@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis column functions for large-scale training-data pipelines:
+  * tokenization, n-gram shingling, language-ID scoring, quality scoring and
+  * document fingerprinting. Pure `functions._` compositions (codegen'd, no
+  * UDFs) so they run at full scan speed over 100 TB of documents.
+  */
+object TextAnalysis {
+
+  /** Lowercase + collapse whitespace + strip leading/trailing space. */
+  def normText(c: Column): Column = trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Whitespace tokens (empty strings filtered). */
+  def tokens(c: Column): Column = filter(split(normText(c), " "), t => t =!= "")
+
+  /** Token count, whitespace definition. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count: word pieces + digits + punctuation runs, the
+    * usual regex-pretokenizer approximation (≈ GPT-2 pretokenizer classes). */
+  def bpeTokenCount(c: Column): Column =
+    size(filter(
+      split(c, "(?=[^\\p{L}\\p{N}])|(?<=[^\\p{L}\\p{N}])"),
+      t => t =!= "" && t =!= " "))
+
+  /** Word n-gram shingles (distinct), the dedup unit for MinHash/Jaccard. */
+  def wordShingles(c: Column, n: Int): Column = {
+    val ts = tokens(c)
+    array_distinct(
+      when(size(ts) < n, array(array_join(ts, " ")))
+        .otherwise(transform(
+          sequence(lit(1), size(ts) - (n - 1)),
+          i => array_join(slice(ts, i, lit(n)), " "))))
+  }
+
+  /** MinHash signature of `numHashes` values. Each hash family member is
+    * md5(i || "|" || shingle); the min is taken lexicographically over hex
+    * strings — deterministic, engine-portable (DuckDB md5 produces identical
+    * hex), no seed tables to ship. Map-side only: no shuffle.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingles, s => md5(concat(i.cast(StringType), lit("|"), s)))))
+
+  /** LSH band keys from a MinHash signature: `bands` buckets of width
+    * signature.size/bands, each hashed to one md5 key. Two documents are
+    * dedup candidates iff they share ≥1 band key. */
+  def lshBandKeys(signature: Column, bands: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => concat(b.cast(StringType), lit(":"),
+        md5(array_join(slice(signature, b * (size(signature) / bands) + 1, size(signature) / bands), ","))))
+
+  /** SimHash fingerprint of `bits` bits (default 16 — enough for banding,
+    * cheap to express portably). Bit j of md5(token) votes ±1; the sign of
+    * the vote sum is bit j of the fingerprint. Returned as a long. */
+  def simhash(tokenArr: Column, bits: Int = 16): Column = {
+    // per-token leading `bits` of md5 as a long
+    val hashes = transform(tokenArr, t => conv(substring(md5(t), 1, 8), 16, 10).cast(LongType))
+    val bitCols = (0 until bits).map { j =>
+      val votes = aggregate(
+        hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(votes > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash longs. */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Document fingerprint: md5 of normalized text — the exact-dup key. */
+  def fingerprint(c: Column): Column = md5(normText(c))
+
+  // --- Language ID (n-gram/stopword heuristic) -----------------------------
+
+  /** Tiny per-language stopword lists. A real system ships fastText; the
+    * heuristic contract here is: score(lang) = |tokens ∩ stopwords(lang)| /
+    * |tokens|, predict argmax with deterministic alphabetic tie-break. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "un", "une", "pour", "dans", "que"),
+    "vi" -> Seq("và", "của", "là", "có", "không", "được", "cho", "với", "này", "các"))
+
+  def langScore(tokenArr: Column, lang: String): Column = {
+    val sw = stopwords(lang)
+    val hits = size(filter(tokenArr, t => sw.map(w => t === w).reduce(_ || _)))
+    when(size(tokenArr) > 0, round(hits.cast(DoubleType) / size(tokenArr), 6)).otherwise(0.0)
+  }
+
+  /** Predicted language: argmax score, alphabetic tie-break. */
+  def langPredict(tokenArr: Column): Column = {
+    val langs = stopwords.keys.toSeq.sorted
+    val scored = langs.map(l => struct(langScore(tokenArr, l).as("s"), lit(l).as("l")))
+    // array_max over (score, -lang) — ties broken by earliest alphabetical
+    val best = langs.foldLeft(struct(lit(-1.0).as("s"), lit("").as("l"))) { (acc, l) =>
+      val cand = struct(langScore(tokenArr, l).as("s"), lit(l).as("l"))
+      when(cand("s") > acc("s"), cand).otherwise(acc)
+    }
+    best("l")
+  }
+
+  // --- Quality scoring ------------------------------------------------------
+
+  /** Heuristic document-quality score in [0,1]: mixes length sanity, mean
+    * word length sanity, alpha ratio, and punctuation/symbol ratio — the
+    * standard C4/Gopher-rule flavor, expression-only. */
+  def qualityScore(c: Column): Column = {
+    val t       = normText(c)
+    val n       = length(t)
+    val toks    = tokens(c)
+    val nTok    = size(toks)
+    val meanLen = when(nTok > 0, n.cast(DoubleType) / nTok.cast(DoubleType)).otherwise(0.0)
+    val alpha   = when(n > 0, length(regexp_replace(t, "[^\\p{L} ]", "")).cast(DoubleType) / n.cast(DoubleType)).otherwise(0.0)
+    val lenOk   = when(n >= 50 && n <= 100000, 1.0).otherwise(when(n > 0, 0.5).otherwise(0.0))
+    val wordOk  = when(meanLen >= 3 && meanLen <= 12, 1.0).otherwise(0.5)
+    round(lenOk * 0.3 + wordOk * 0.2 + alpha * 0.5, 6)
+  }
+
+  /** Stopword ratio (any language) — a classic quality signal. */
+  def stopwordRatio(tokenArr: Column): Column = {
+    val all = stopwords.values.flatten.toSeq.distinct
+    when(size(tokenArr) > 0,
+      round(size(filter(tokenArr, t => all.map(w => t === w).reduce(_ || _))).cast(DoubleType)
+        / size(tokenArr), 6)).otherwise(0.0)
+  }
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hierarchy / graph-ish operators (SURVEY.md §2.9, H1–H6, D2).
+  *
+  * The reference walks `parent_url` chains row-at-a-time with a visited-set
+  * cycle guard and a depth cap of 10 (`postgres_storage.py:487-562`). The
+  * Spark shape is a bounded iterative self-join: each round extends every
+  * node's ancestor path by one hop; nodes whose parent is missing or already
+  * in the path (cycle) stop extending. Depth is bounded (≤5 levels in the
+  * reference, `MAX_CATEGORY_LEVELS`), so this is a fixed small number of
+  * broadcast joins — no GraphX, no driver loop over rows.
+  *
+  * Scale: the parent table is a dim (≈1k rows in the reference); we
+  * `broadcast` it every round so path materialization over N rows is N×depth
+  * map-side work with zero shuffles.
+  */
+object Hierarchy {
+
+  /** H1 — materialize root-first name paths for every node.
+    * Input: url, name, parent_url. Output: adds `category_path`
+    * (array<string>, root first, ≤ maxDepth) and `level` (= size(path)).
+    */
+  def resolvePaths(categories: DataFrame, maxDepth: Int = 10, maxLevels: Int = 5): DataFrame = {
+    val parents = categories.select(
+      col("url").as("__p_url"), col("name").as("__p_name"),
+      col("parent_url").as("__p_parent"))
+    var cur = categories
+      .withColumn("category_path", array(col("name")))
+      .withColumn("__cursor", col("parent_url"))
+      .withColumn("__seen", array(col("url")))
+    var i = 0
+    while (i < maxDepth) {
+      cur = cur
+        .join(broadcast(parents), col("__cursor") === col("__p_url"), "left")
+        .withColumn("__cycle", array_contains(col("__seen"), col("__cursor")))
+        .withColumn("category_path",
+          when(col("__p_name").isNotNull && !col("__cycle"),
+            concat(array(col("__p_name")), col("category_path")))
+            .otherwise(col("category_path")))
+        .withColumn("__seen",
+          when(col("__p_name").isNotNull && !col("__cycle"),
+            concat(col("__seen"), array(col("__cursor"))))
+            .otherwise(col("__seen")))
+        .withColumn("__cursor",
+          when(col("__p_name").isNotNull && !col("__cycle"), col("__p_parent"))
+            .otherwise(lit(null)))
+        .drop("__p_url", "__p_name", "__p_parent", "__cycle")
+      i += 1
+    }
+    cur.drop("__cursor", "__seen")
+      .withColumn("category_path", slice(col("category_path"), 1, maxLevels))
+      .withColumn("level", size(col("category_path")))
+  }
+
+  /** H4 — is_leaf: url never appears as someone's parent_url.
+    * Ref: postgres_storage.py:481,588,714. */
+  def withIsLeaf(categories: DataFrame): DataFrame = {
+    val parentUrls = categories.select(col("parent_url").as("__pu")).where(col("__pu").isNotNull).distinct()
+    categories.join(broadcast(parentUrls), col("url") === col("__pu"), "left")
+      .withColumn("is_leaf", col("__pu").isNull)
+      .drop("__pu")
+  }
+
+  /** D2 — dedup by category_id, best-wins: shortest URL, tie → longer name.
+    * Ref: postgres_storage.py:772-800. */
+  def dedupBestWins(categories: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("category_id"))
+      .orderBy(length(col("url")).asc, length(col("name")).desc, col("url").asc)
+    categories.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** U2/H6 — parent URLs referenced but absent from the table (to repair).
+    * Ref: postgres_storage.py:836-854; tasks/loader.py:62-75. */
+  def missingParents(categories: DataFrame): DataFrame =
+    categories.select(col("parent_url").as("url")).where(col("url").isNotNull).distinct()
+      .join(categories.select("url"), Seq("url"), "left_anti")
+
+  /** H5 — ensure the root name sits at index 1 of every path.
+    * Ref: validate_category_path.py:24-124. */
+  def fixPathRoot(df: DataFrame, pathCol: String, rootName: String): DataFrame =
+    df.withColumn(pathCol,
+      when(element_at(col(pathCol), 1) =!= rootName,
+        concat(array(lit(rootName)), array_remove(col(pathCol), rootName)))
+        .otherwise(col(pathCol)))
+
+  /** H2 — nested tree assembly (small-data, driver-bound by design: the
+    * category dim is ≈1k rows). Children grouped and name-sorted (K1). */
+  def childrenByParent(categories: DataFrame): DataFrame =
+    categories
+      .groupBy(col("parent_url"))
+      .agg(sort_array(collect_list(struct(col("name"), col("url")))).as("children"))
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Write-side merge/upsert + latest-per-key + as-of join operators
+  * (SURVEY.md J5/J6/J7). These are the Spark re-expressions of the
+  * reference's Postgres `INSERT .. ON CONFLICT DO UPDATE` and
+  * `SELECT DISTINCT ON` idioms.
+  */
+object Merge {
+
+  /** J6 — upsert merge with Postgres `COALESCE(NULLIF(EXCLUDED.x,''), old.x)`
+    * semantics: a new value wins only when it is non-null and (for strings)
+    * non-empty, otherwise the old value is kept. New keys are inserted, old
+    * keys never dropped (full-outer).
+    *
+    * Ref: storage/postgres_storage.py:984-1012 (products, key product_id);
+    * :804-830 (categories, key url).
+    *
+    * Scale: a shuffle on `keys` for both sides — at 100 TB the `oldDf`
+    * snapshot should be bucketed/partitioned by the key so only the delta
+    * shuffles; AQE handles skew. No driver-side state.
+    */
+  def upsertMerge(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String]): DataFrame = {
+    val valueCols = newDf.columns.filterNot(keys.contains)
+    require(valueCols.sameElements(oldDf.columns.filterNot(keys.contains)),
+      "old and new must share a schema")
+    val n = newDf.select(newDf.columns.map(c => col(c).as(s"__n_$c")).toIndexedSeq: _*)
+    val o = oldDf.select(oldDf.columns.map(c => col(c).as(s"__o_$c")).toIndexedSeq: _*)
+    val cond = keys.map(k => col(s"__n_$k") <=> col(s"__o_$k")).reduce(_ && _)
+    val joined = n.join(o, cond, "full_outer")
+    val keyCols = keys.map(k => coalesce(col(s"__n_$k"), col(s"__o_$k")).as(k))
+    val merged = valueCols.toIndexedSeq.map { c =>
+      val nv = col(s"__n_$c")
+      val ov = col(s"__o_$c")
+      val newWins = newDf.schema(c).dataType match {
+        case org.apache.spark.sql.types.StringType => when(nv.isNotNull && nv =!= "", nv)
+        case _                                      => when(nv.isNotNull, nv)
+      }
+      coalesce(newWins, ov).as(c)
+    }
+    joined.select((keyCols ++ merged).toIndexedSeq: _*)
+  }
+
+  /** J7 — latest row per key (`SELECT DISTINCT ON (k) .. ORDER BY k, ts DESC`).
+    * `tieBreakers` make the pick deterministic for equal timestamps (the
+    * reference relies on Postgres physical order there — we do not).
+    * Ref: storage/postgres_storage.py:1283-1305.
+    */
+  def latestPerKey(df: DataFrame, keys: Seq[String], ts: String, tieBreakers: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(keys.map(col).toIndexedSeq: _*)
+      .orderBy((col(ts).desc +: tieBreakers).toIndexedSeq: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** As-of join: for every left row, the latest right row with the same key
+    * and rightTime <= leftTime. Single shuffle, no per-key cross product:
+    * union both sides tagged, then `last(value, ignoreNulls)` over a window
+    * ordered by (time, right-before-left) — the classic scalable as-of shape.
+    *
+    * `rightVals` are the right columns to carry; they come back
+    * null when no prior right row exists (left outer as-of).
+    */
+  def asofJoin(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTime: String, rightTime: String,
+      rightVals: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toIndexedSeq
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .withColumn("__rv", lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          rightVals.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))))
+    val r = right
+      .select((col(key) +: rightVals.map(col) :+ col(rightTime)).toIndexedSeq: _*)
+      .withColumn("__t", col(rightTime))
+      .withColumn("__side", lit(0))
+      .withColumn("__rv", struct(rightVals.map(col).toIndexedSeq: _*))
+    val lAll = l.select((col(key).as("__k") +: leftCols.map(col) :+ col("__t") :+ col("__side") :+ col("__rv")).toIndexedSeq: _*)
+    val rAll = r.select((col(key).as("__k") +: leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+ col("__t") :+ col("__side") :+ col("__rv")).toIndexedSeq: _*)
+    val unioned = lAll.unionByName(rAll)
+    // right rows sort before left rows at the same timestamp (<= semantics)
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = unioned.withColumn("__asof", last(col("__rv"), ignoreNulls = true).over(w))
+    filled.filter(col("__side") === 1)
+      .select((leftCols.map(col) ++ rightVals.map(c => col(s"__asof.$c").as(c))).toIndexedSeq: _*)
+  }
+}

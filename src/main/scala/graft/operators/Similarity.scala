@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k (broadcast the query set, scan the
+  * corpus once — embarrassingly parallel, the right answer up to ~10⁹
+  * corpus rows × small query sets).
+  * Scale path: sign-LSH bucketing (random-hyperplane family degenerated to
+  * coordinate hyperplanes for determinism) — queries only probe their own
+  * bucket, turning the scan into a hash-partitioned join.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float vectors as a pure expression
+    * (`zip_with` dot product + `aggregate` norms) — codegen-friendly,
+    * no UDF. Assumes equal lengths. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
+        lit(0.0), (acc, v) => acc + v)
+    def norm(x: Column): Column = sqrt(dot(x, x))
+    dot(a, b) / (norm(a) * norm(b))
+  }
+
+  /** Sign-LSH bucket id from the signs of the first `planes` components.
+    * Deterministic and portable (no random hyperplane matrix to ship);
+    * components of learned embeddings are near-orthogonal enough for
+    * recall-oriented bucketing. */
+  def signBucket(v: Column, planes: Int): Column =
+    (0 until planes).map { i =>
+      when(element_at(v, i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a + b)
+
+  /** Brute-force cosine top-k: for every query row, the k nearest corpus
+    * rows (excluding self-matches by id). Query side is broadcast. */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** LSH-bucketed ANN top-k: probe only the query's sign bucket. Trades
+    * recall for a corpus-partition-local search; at 100 TB the corpus is
+    * hash-partitioned by bucket so each probe touches one partition set. */
+  def lshTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, planes: Int = 8): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      signBucket(col(vecCol), planes).as("bucket")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      signBucket(col(vecCol), planes).as("bucket"))
+    val scored = q.join(c, Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+  }
+}
