@@ -276,6 +276,206 @@ object SparkEntry {
             .cast(DoubleType).as("discount_percent"),
           (dec(col("l_extendedprice")) * dec(col("l_discount")) >= 2000).as("is_flash_sale"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // --- text analysis: token counts + document fingerprint -----------------
+    "q21_text_stats" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast(LongType).as("token_count"),
+        TextAnalysis.bpeTokenCount(col("text")).cast(LongType).as("bpe_token_count"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"),
+        col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- text analysis: stopword language-ID -------------------------------
+    "q22_language_id" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TextAnalysis.langPredict(TextAnalysis.tokens(col("text"))).as("lang_pred"))
+        .withColumn("correct", col("lang_pred") === col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- text analysis: quality + stopword-ratio scoring --------------------
+    "q23_quality_score" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.stopwordRatio(TextAnalysis.tokens(col("text"))).as("stopword_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- exact dedup on normalized-text fingerprint, first(min id) wins -----
+    "q24_exact_dedup" -> ((s, dir) => {
+      Dedup.exactDedup(t(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- MinHash + LSH near-dup pairs, Jaccard-verified ----------------------
+    "q25_minhash_pairs" -> ((s, dir) => {
+      Dedup.minhashDedupPairs(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.3, shingleN = 3, numHashes = 12, bands = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // --- all-pairs n-gram Jaccard via inverted-index join --------------------
+    "q26_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 2, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // --- SimHash near-dup candidates (banded, hamming-verified) --------------
+    "q27_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        bits = 16, maxDist = 3)
+        .withColumn("hamming", col("hamming").cast(LongType))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // --- embedding-cosine near-dup pairs via sign-LSH buckets ----------------
+    "q28_embed_neardup" -> ((s, dir) => {
+      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, planes = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // --- brute-force cosine top-k ANN ----------------------------------------
+    "q29_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 10)
+        .withColumn("rank", col("rank").cast(LongType))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // --- LSH-bucketed ANN top-k ----------------------------------------------
+    "q30_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb.filter(col("vec_id") < 50), emb, "vec_id", "embedding", k = 5, planes = 8)
+        .withColumn("rank", col("rank").cast(LongType))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // --- H1/H4: hierarchy path materialization over a 3-level taxonomy ------
+    //     (region → nation → supplier as category tree)
+    "q31_hierarchy_paths" -> ((s, dir) => {
+      val cats = t(s, dir, "region")
+        .select(concat(lit("r"), col("r_regionkey")).as("url"), col("r_name").as("name"),
+          lit(null).cast(StringType).as("parent_url"))
+        .unionByName(t(s, dir, "nation")
+          .select(concat(lit("n"), col("n_nationkey")).as("url"), col("n_name").as("name"),
+            concat(lit("r"), col("n_regionkey")).as("parent_url")))
+        .unionByName(t(s, dir, "supplier")
+          .select(concat(lit("s"), col("s_suppkey")).as("url"), col("s_name").as("name"),
+            concat(lit("n"), col("s_nationkey")).as("parent_url")))
+      Hierarchy.withIsLeaf(Hierarchy.resolvePaths(cats, maxDepth = 4))
+        .select(col("url"),
+          array_join(col("category_path"), ">").as("path"),
+          col("level").cast(LongType).as("level"),
+          col("is_leaf"))
+        .orderBy(col("url"))
+    }),
+
+    // --- D2: dedup by key, best-wins (shortest url, then longest name) ------
+    "q32_best_wins_dedup" -> ((s, dir) => {
+      Hierarchy.dedupBestWins(t(s, dir, "part")
+        .select(col("p_brand").as("category_id"), col("p_name").as("url"), col("p_type").as("name")))
+        .orderBy(col("category_id"))
+    }),
+
+    // --- CDC history derivation (J7 + X13–X15 + F7) --------------------------
+    "q33_history_cdc" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("user_id").as("product_id"),
+        col("value").as("price"),
+        (col("value") + 10.0).as("original_price"),
+        lit(null).cast(DoubleType).as("discount_percent"),
+        (col("event_id") % 100).as("sales_count"),
+        col("ts").as("crawled_at"),
+        col("event_id"))
+      val hist = ev.filter(col("crawled_at") < lit("2024-01-16 00:00:00").cast(TimestampType)).drop("event_id")
+      val batch = Merge.latestPerKey(ev, Seq("product_id"), "crawled_at", Seq(col("event_id").desc)).drop("event_id")
+      History.deriveEvents(batch, hist, None)
+        .withColumn("crawled_at", date_trunc("second", col("crawled_at")))
+        .orderBy(col("product_id"))
+    }),
+
+    // --- P1/P2/F1: nested→flat transform with normalization + validation ----
+    "q34_transform_flatten" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val raw = o.join(c, o("o_custkey") === c("c_custkey")).select(
+        col("o_orderkey").cast(StringType).as("product_id"),
+        concat(lit("  Product  "), col("o_orderpriority"), lit("  ")).as("raw_name"),
+        concat(lit("https://tiki.vn/p/"), col("o_orderkey")).as("url"),
+        struct(col("o_totalprice").as("current_price"),
+          (col("o_totalprice") * 1.25).as("original_price")).as("price"),
+        struct(((col("o_orderkey") % 70) / 10.0).as("average"),
+          (col("o_orderkey") % 500).as("total_reviews")).as("rating"),
+        struct(col("c_name").as("name"), (col("c_custkey") % 2 === 0).as("is_official")).as("seller"),
+        ((col("o_orderkey") % 11) - 1).as("sales_count"))
+      val flat = raw.select(
+        col("product_id"),
+        ColumnOps.normalizeText(col("raw_name")).as("name"),
+        col("url"),
+        col("price.current_price").as("price"),
+        col("price.original_price").as("original_price"),
+        ColumnOps.discountPercent(col("price.original_price"), col("price.current_price")).as("discount_percent"),
+        col("rating.average").as("rating_average"),
+        col("rating.total_reviews").cast(LongType).as("rating_count"),
+        col("seller.name").as("seller_name"),
+        col("seller.is_official").as("seller_is_official"),
+        coalesce(col("sales_count"), lit(0)).cast(LongType).as("sales_count"))
+      flat.filter(
+        col("product_id").rlike("^[0-9]+$") &&
+          col("url").rlike("^https?://") &&
+          col("price").isNotNull && col("price") >= 0 && col("price") <= col("original_price") &&
+          col("rating_average") >= 0 && col("rating_average") <= 5 &&
+          col("sales_count") >= 0)
+        .orderBy(col("product_id"))
+    }),
+
+    // --- X1–X6, X11: parser/normalizer scalar-function pack ------------------
+    "q35_parsers" -> ((s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        ColumnOps.parsePrice(concat(col("p_retailprice").cast(IntegerType), lit("₫"))).as("parsed_price"),
+        ColumnOps.parseSalesCount(
+          when(col("p_partkey") % 3 === 0, concat((col("p_partkey") % 90).cast(StringType), lit("k")))
+            .when(col("p_partkey") % 3 === 1, concat(lit("Đã bán "), (col("p_partkey") % 50).cast(StringType)))
+            .otherwise((col("p_partkey") % 1000).cast(StringType))).as("parsed_sales"),
+        ColumnOps.extractProductId(concat(lit("https://tiki.vn/san-pham/p/"), col("p_partkey"))).as("pid"),
+        ColumnOps.extractCategoryId(concat(lit("https://tiki.vn/ao-thun/c"), col("p_partkey") % 100)).as("cid"),
+        ColumnOps.normalizeCategoryId(
+          when(col("p_partkey") % 2 === 0, concat(lit("C"), (col("p_partkey") % 100).cast(StringType)))
+            .otherwise((col("p_partkey") % 100).cast(StringType))).as("cid_norm"),
+        ColumnOps.nameFromSlug(concat(lit("https://tiki.vn/ao-thun-nam/c"), col("p_partkey") % 100)).as("slug_name"),
+        ColumnOps.normalizeUrl(lit("https://tiki.vn/x?b=2&utm_source=g&a=1&spid=3#frag")).as("norm_url"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // --- A8/X19/X21/F2: completeness score, segments, seller validity -------
+    "q36_quality_flags" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      c.select(
+        col("c_custkey"),
+        ColumnOps.completenessScore(
+          critical = Seq(col("c_name").isNotNull, col("c_custkey").isNotNull),
+          important = Seq(col("c_mktsegment").isNotNull, length(col("c_mktsegment")) > 8),
+          optional = Seq(col("c_acctbal") > 0)).as("completeness"),
+        ColumnOps.priceSegment(col("c_acctbal") * 1000).as("segment"),
+        ColumnOps.priceCategory(col("c_acctbal") * 1000).as("category"),
+        ColumnOps.isOfficialSeller(
+          when(col("c_custkey") % 3 === 0, concat(col("c_name"), lit(" Official Store")))
+            .otherwise(col("c_name"))).as("is_official"),
+        ColumnOps.validSellerName(
+          when(col("c_custkey") % 5 === 0, lit("123"))
+            .when(col("c_custkey") % 5 === 1, lit("đã mua hàng x"))
+            .otherwise(col("c_name"))).as("seller_name"))
+        .orderBy(col("c_custkey"))
     })
   )
 
@@ -454,6 +654,346 @@ object SparkEntry {
         |  CAST(ROUND((CAST(l_extendedprice AS DECIMAL(18,2)) - CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) / CAST(l_extendedprice AS DECIMAL(18,2)) * 100, 2) AS DOUBLE) AS discount_percent,
   |  (CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) >= 2000) AS is_flash_sale
         |FROM lineitem WHERE l_orderkey % 100 = 0
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q21_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), t -> t != '')) AS BIGINT) AS token_count,
+        |  CAST(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]')) AS BIGINT) AS bpe_token_count,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+        |  n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q22_language_id" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), t -> t != '') tk
+        |  FROM documents
+        |), langs AS (
+        |  SELECT * FROM (VALUES
+        |    ('de', ['der','die','das','und','ist','nicht','ein','mit','für','von']),
+        |    ('en', ['the','a','of','and','to','in','is','it','that','for']),
+        |    ('es', ['el','la','de','que','y','en','un','es','por','con']),
+        |    ('fr', ['le','la','de','et','est','un','une','pour','dans','que']),
+        |    ('vi', ['và','của','là','có','không','được','cho','với','này','các'])) AS v(l, sw)
+        |), scored AS (
+        |  SELECT t.doc_id, t.lang, g.l,
+        |    CASE WHEN len(t.tk) > 0
+        |      THEN round(len(list_filter(t.tk, x -> list_contains(g.sw, x)))::DOUBLE / len(t.tk), 6)
+        |      ELSE 0.0 END s
+        |  FROM toks t CROSS JOIN langs g
+        |)
+        |SELECT doc_id, lang, l AS lang_pred, (l = lang) AS correct
+        |FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, l ASC) = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q23_quality_score" ->
+      """WITH base AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) t,
+        |    list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), x -> x != '') tk
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, length(t) n, len(tk) ntok,
+        |    CASE WHEN len(tk) > 0 THEN length(t)::DOUBLE / len(tk) ELSE 0.0 END mean_len,
+        |    CASE WHEN length(t) > 0 THEN length(regexp_replace(t, '[^\p{L} ]', '', 'g'))::DOUBLE / length(t) ELSE 0.0 END alpha,
+        |    tk
+        |  FROM base
+        |)
+        |SELECT doc_id,
+        |  round((CASE WHEN n >= 50 AND n <= 100000 THEN 1.0 WHEN n > 0 THEN 0.5 ELSE 0.0 END) * 0.3
+        |      + (CASE WHEN mean_len >= 3 AND mean_len <= 12 THEN 1.0 ELSE 0.5 END) * 0.2
+        |      + alpha * 0.5, 6) AS quality,
+        |  CASE WHEN ntok > 0 THEN round(len(list_filter(tk, x -> list_contains(
+        |    ['der','die','das','und','ist','nicht','ein','mit','für','von',
+        |     'the','a','of','and','to','in','is','it','that','for',
+        |     'el','la','de','que','y','en','un','es','por','con',
+        |     'le','et','est','une','pour','dans',
+        |     'và','của','là','có','không','được','cho','với','này','các'], x)))::DOUBLE / ntok, 6)
+        |    ELSE 0.0 END AS stopword_ratio
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q24_exact_dedup" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |  ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q25_minhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), t -> t != '') l
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+        |    ELSE list_distinct([array_to_string(l[i:i+2], ' ') FOR i IN range(1, len(l) - 1)]) END sh
+        |  FROM toks
+        |), sig AS (
+        |  SELECT doc_id, sh, [list_min([md5(i::VARCHAR || '|' || s) FOR s IN sh]) FOR i IN range(0, 12)] sg FROM sh
+        |), bands AS (
+        |  SELECT doc_id, unnest([b::VARCHAR || ':' || md5(array_to_string(sg[b*3+1:b*3+3], ',')) FOR b IN range(0, 4)]) bk FROM sig
+        |), cand AS (
+        |  SELECT DISTINCT x.doc_id id_a, y.doc_id id_b FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id
+        |), sj AS (
+        |  SELECT c.id_a, c.id_b,
+        |    round(len(list_intersect(a.sh, b.sh))::DOUBLE
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) jaccard
+        |  FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+        |)
+        |SELECT id_a, id_b, jaccard FROM sj WHERE jaccard >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+
+    "q26_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), t -> t != '') l
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(l) < 2 THEN [array_to_string(l, ' ')]
+        |    ELSE list_distinct([array_to_string(l[i:i+1], ' ') FOR i IN range(1, len(l))]) END sh
+        |  FROM toks
+        |), inv AS (
+        |  SELECT doc_id, len(sh) n, unnest(sh) s FROM sh
+        |), p AS (
+        |  SELECT x.doc_id id_a, y.doc_id id_b, x.n n_a, y.n n_b, count(*) inter
+        |  FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT id_a, id_b, round(inter::DOUBLE / (n_a + n_b - inter), 6) jaccard
+        |FROM p WHERE round(inter::DOUBLE / (n_a + n_b - inter), 6) >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "q27_simhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), t -> t != '') l
+        |  FROM documents
+        |), fp AS (
+        |  SELECT doc_id, CAST(list_sum([
+        |    CASE WHEN list_sum([
+        |      CASE WHEN ((('0x' || substr(md5(t), 1, 8))::BIGINT >> j) & 1) = 1 THEN 1 ELSE -1 END
+        |      FOR t IN l]) > 0 THEN (1::BIGINT << j) ELSE 0 END
+        |    FOR j IN range(0, 16)]) AS BIGINT) fp
+        |  FROM toks
+        |), banded AS (
+        |  SELECT doc_id, fp, unnest(['lo:' || (fp & 255)::VARCHAR, 'hi:' || (fp >> 8)::VARCHAR]) band FROM fp
+        |), pairs AS (
+        |  SELECT DISTINCT x.doc_id id_a, y.doc_id id_b, CAST(bit_count(xor(x.fp, y.fp)) AS BIGINT) hamming
+        |  FROM banded x JOIN banded y ON x.band = y.band AND x.doc_id < y.doc_id
+        |)
+        |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
+
+    "q28_embed_neardup" ->
+      """WITH b AS (
+        |  SELECT vec_id, embedding, CAST(list_sum([
+        |    CASE WHEN embedding[i+1] > 0 THEN (1::BIGINT << i) ELSE 0 END FOR i IN range(0, 4)]) AS BIGINT) bucket
+        |  FROM embeddings
+        |), p AS (
+        |  SELECT x.vec_id id_a, y.vec_id id_b,
+        |    round(list_sum([x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE FOR i IN range(1, 65)])
+        |      / (sqrt(list_sum([x.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE FOR i IN range(1, 65)]))
+        |       * sqrt(list_sum([y.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE FOR i IN range(1, 65)]))), 6) cosine
+        |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        |)
+        |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    "q29_ann_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id query_id, embedding qv FROM embeddings WHERE vec_id < 5
+        |), s AS (
+        |  SELECT q.query_id, c.vec_id neighbor_id,
+        |    round(list_sum([q.qv[i]::DOUBLE * c.embedding[i]::DOUBLE FOR i IN range(1, 65)])
+        |      / (sqrt(list_sum([q.qv[i]::DOUBLE * q.qv[i]::DOUBLE FOR i IN range(1, 65)]))
+        |       * sqrt(list_sum([c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE FOR i IN range(1, 65)]))), 6) cosine
+        |  FROM q JOIN embeddings c ON c.vec_id != q.query_id
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) rk FROM s
+        |)
+        |SELECT query_id, CAST(rk AS BIGINT) rank, neighbor_id, cosine FROM r WHERE rk <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q30_lsh_topk" ->
+      """WITH b AS (
+        |  SELECT vec_id, embedding, CAST(list_sum([
+        |    CASE WHEN embedding[i+1] > 0 THEN (1::BIGINT << i) ELSE 0 END FOR i IN range(0, 8)]) AS BIGINT) bucket
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id query_id, embedding qv, bucket FROM b WHERE vec_id < 50
+        |), s AS (
+        |  SELECT q.query_id, c.vec_id neighbor_id,
+        |    round(list_sum([q.qv[i]::DOUBLE * c.embedding[i]::DOUBLE FOR i IN range(1, 65)])
+        |      / (sqrt(list_sum([q.qv[i]::DOUBLE * q.qv[i]::DOUBLE FOR i IN range(1, 65)]))
+        |       * sqrt(list_sum([c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE FOR i IN range(1, 65)]))), 6) cosine
+        |  FROM q JOIN b c ON q.bucket = c.bucket AND c.vec_id != q.query_id
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) rk FROM s
+        |)
+        |SELECT query_id, CAST(rk AS BIGINT) rank, neighbor_id, cosine FROM r WHERE rk <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q31_hierarchy_paths" ->
+      """WITH cats AS (
+        |  SELECT 'r' || r_regionkey url, r_name AS "name", CAST(NULL AS VARCHAR) parent_url FROM region
+        |  UNION ALL SELECT 'n' || n_nationkey, n_name, 'r' || n_regionkey FROM nation
+        |  UNION ALL SELECT 's' || s_suppkey, s_name, 'n' || s_nationkey FROM supplier
+        |), j AS (
+        |  SELECT c.url, c."name", p."name" p_name, g."name" g_name
+        |  FROM cats c LEFT JOIN cats p ON c.parent_url = p.url LEFT JOIN cats g ON p.parent_url = g.url
+        |)
+        |SELECT url,
+        |  array_to_string([x FOR x IN [g_name, p_name, "name"] IF x IS NOT NULL], '>') AS path,
+        |  CAST(len([x FOR x IN [g_name, p_name, "name"] IF x IS NOT NULL]) AS BIGINT) AS level,
+        |  url NOT IN (SELECT parent_url FROM cats WHERE parent_url IS NOT NULL) AS is_leaf
+        |FROM j ORDER BY url""".stripMargin,
+
+    "q32_best_wins_dedup" ->
+      """SELECT category_id, url, "name" FROM (
+        |  SELECT p_brand category_id, p_name url, p_type AS "name" FROM part)
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY category_id ORDER BY length(url) ASC, length(name) DESC, url ASC) = 1
+        |ORDER BY category_id""".stripMargin,
+
+    "q33_history_cdc" ->
+      """WITH ev AS (
+        |  SELECT user_id product_id, value price, value + 10.0 original_price,
+        |    CAST(NULL AS DOUBLE) discount_percent, event_id % 100 sales_count, ts crawled_at, event_id
+        |  FROM events
+        |), hist AS (
+        |  SELECT product_id, price, original_price, discount_percent, sales_count, crawled_at
+        |  FROM ev WHERE crawled_at < TIMESTAMP '2024-01-16 00:00:00'
+        |), batch AS (
+        |  SELECT product_id, price, original_price, discount_percent, sales_count, crawled_at FROM ev
+        |  QUALIFY row_number() OVER (PARTITION BY product_id ORDER BY crawled_at DESC, event_id DESC) = 1
+        |), prev AS (
+        |  SELECT product_id, price previous_price, original_price previous_original_price,
+        |    discount_percent previous_discount_percent, sales_count previous_sales_count FROM hist
+        |  QUALIFY row_number() OVER (PARTITION BY product_id ORDER BY crawled_at DESC, price DESC) = 1
+        |), joined AS (
+        |  SELECT b.*, p.previous_price, p.previous_original_price, p.previous_discount_percent, p.previous_sales_count
+        |  FROM batch b LEFT JOIN prev p USING (product_id)
+        |  WHERE b.product_id IS NOT NULL AND b.price IS NOT NULL
+        |), typed AS (
+        |  SELECT *,
+        |    CASE WHEN previous_sales_count IS NOT NULL AND sales_count IS NOT NULL
+        |      THEN sales_count - previous_sales_count END sales_change,
+        |    (previous_price IS NULL AND previous_original_price IS NULL AND previous_discount_percent IS NULL) first_crawl,
+        |    ((price IS DISTINCT FROM previous_price) OR (original_price IS DISTINCT FROM previous_original_price)
+        |      OR (discount_percent IS DISTINCT FROM previous_discount_percent)) price_changed
+        |  FROM joined
+        |), ev2 AS (
+        |  SELECT *,
+        |    CASE WHEN first_crawl THEN 'price_change' WHEN price_changed THEN 'price_change'
+        |         WHEN sales_change IS NOT NULL AND sales_change != 0 THEN 'sales_change'
+        |         ELSE 'no_change' END crawl_type,
+        |    CASE WHEN original_price IS NOT NULL AND price IS NOT NULL THEN original_price - price END discount_amount
+        |  FROM typed
+        |)
+        |SELECT product_id, price, original_price, discount_percent, discount_amount,
+        |  CASE WHEN NOT first_crawl AND crawl_type = 'price_change' AND price IS NOT NULL AND previous_price IS NOT NULL
+        |    THEN price - previous_price END price_change,
+        |  CASE WHEN NOT first_crawl AND crawl_type = 'price_change' AND price IS NOT NULL AND previous_price IS NOT NULL
+        |    AND previous_price > 0 THEN round((price - previous_price) / previous_price * 100, 2) END price_change_percent,
+        |  previous_price, previous_original_price, previous_discount_percent,
+        |  sales_count, sales_change,
+        |  (coalesce(discount_percent, 0) >= 30 OR coalesce(discount_amount, 0) >= 100000) is_flash_sale,
+        |  crawl_type, date_trunc('second', crawled_at) crawled_at
+        |FROM ev2 WHERE crawl_type != 'no_change' ORDER BY product_id""".stripMargin,
+
+    "q34_transform_flatten" ->
+      """SELECT * FROM (
+        |  SELECT CAST(o_orderkey AS VARCHAR) product_id,
+        |    trim(regexp_replace('  Product  ' || o_orderpriority || '  ', '\s+', ' ', 'g')) AS "name",
+        |    'https://tiki.vn/p/' || o_orderkey url,
+        |    o_totalprice price,
+        |    o_totalprice * 1.25 original_price,
+        |    round((o_totalprice * 1.25 - o_totalprice) / (o_totalprice * 1.25) * 100, 2) discount_percent,
+        |    (o_orderkey % 70) / 10.0 rating_average,
+        |    CAST(o_orderkey % 500 AS BIGINT) rating_count,
+        |    c_name seller_name,
+        |    c_custkey % 2 = 0 seller_is_official,
+        |    CAST(o_orderkey % 11 - 1 AS BIGINT) sales_count
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |WHERE regexp_matches(product_id, '^[0-9]+$') AND regexp_matches(url, '^https?://')
+        |  AND price IS NOT NULL AND price >= 0 AND price <= original_price
+        |  AND rating_average >= 0 AND rating_average <= 5 AND sales_count >= 0
+        |ORDER BY product_id""".stripMargin,
+
+    "q35_parsers" ->
+      """WITH inputs AS (
+        |  SELECT p_partkey,
+        |    CAST(CAST(trunc(p_retailprice) AS BIGINT) AS VARCHAR) || '₫' price_str,
+        |    CASE WHEN p_partkey % 3 = 0 THEN (p_partkey % 90)::VARCHAR || 'k'
+        |         WHEN p_partkey % 3 = 1 THEN 'Đã bán ' || (p_partkey % 50)::VARCHAR
+        |         ELSE (p_partkey % 1000)::VARCHAR END sales_str,
+        |    'https://tiki.vn/san-pham/p/' || p_partkey purl,
+        |    'https://tiki.vn/ao-thun/c' || (p_partkey % 100) curl,
+        |    CASE WHEN p_partkey % 2 = 0 THEN 'C' || (p_partkey % 100)::VARCHAR
+        |         ELSE (p_partkey % 100)::VARCHAR END cid_raw,
+        |    'https://tiki.vn/ao-thun-nam/c' || (p_partkey % 100) slug_url,
+        |    'https://tiki.vn/x?b=2&utm_source=g&a=1&spid=3#frag' raw_url
+        |  FROM part
+        |), parsed AS (
+        |  SELECT p_partkey,
+        |    CASE WHEN regexp_replace(price_str, '[^0-9]', '', 'g') = '' THEN NULL
+        |      ELSE CAST(regexp_replace(price_str, '[^0-9]', '', 'g') AS BIGINT) END parsed_price,
+        |    lower(trim(sales_str)) ls,
+        |    regexp_extract(lower(trim(sales_str)), '([0-9]+(?:[\.,][0-9]+)?)\s*([km])?', 1) num,
+        |    regexp_extract(lower(trim(sales_str)), '([0-9]+(?:[\.,][0-9]+)?)\s*([km])?', 2) unit,
+        |    CASE WHEN regexp_extract(purl, '/p/([0-9]+)', 1) = '' THEN NULL
+        |      ELSE regexp_extract(purl, '/p/([0-9]+)', 1) END pid,
+        |    CASE WHEN regexp_extract(curl, '/c([0-9]+)', 1) = '' THEN NULL
+        |      ELSE 'c' || regexp_extract(curl, '/c([0-9]+)', 1) END cid,
+        |    CASE WHEN regexp_matches(lower(trim(cid_raw)), '^c?[0-9]+$')
+        |      THEN 'c' || regexp_replace(lower(trim(cid_raw)), '^c', '') ELSE NULL END cid_norm,
+        |    array_to_string(list_transform(
+        |      string_split(replace(regexp_extract(slug_url, '/([^/]+)/c[0-9]+', 1), '-', ' '), ' '),
+        |      w -> upper(w[1]) || lower(w[2:])), ' ') slug_name,
+        |    regexp_extract(regexp_replace(trim(raw_url), '#.*$', ''), '^([^?]*)', 1) base,
+        |    regexp_extract(regexp_replace(trim(raw_url), '#.*$', ''), '\?(.*)$', 1) query
+        |  FROM inputs
+        |)
+        |SELECT p_partkey, parsed_price,
+        |  CASE WHEN num = '' THEN NULL
+        |       WHEN unit = 'k' THEN CAST(CAST(replace(num, ',', '.') AS DOUBLE) * 1000 AS BIGINT)
+        |       WHEN unit = 'm' THEN CAST(CAST(replace(num, ',', '.') AS DOUBLE) * 1000000 AS BIGINT)
+        |       ELSE CAST(regexp_replace(ls, '[^0-9]', '', 'g') AS BIGINT) END parsed_sales,
+        |  pid, cid, cid_norm, slug_name,
+        |  CASE WHEN query = '' OR len(list_filter(string_split(query, '&'),
+        |      p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'spid=') OR starts_with(p, 'src=') OR p = ''))) = 0
+        |    THEN base
+        |    ELSE base || '?' || array_to_string(list_sort(list_filter(string_split(query, '&'),
+        |      p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'spid=') OR starts_with(p, 'src=') OR p = ''))), '&') END norm_url
+        |FROM parsed ORDER BY p_partkey""".stripMargin,
+
+    "q36_quality_flags" ->
+      """WITH synth AS (
+        |  SELECT c_custkey, c_name, c_acctbal * 1000 px,
+        |    CASE WHEN c_mktsegment IS NOT NULL THEN 1.0 ELSE 0.0 END
+        |      + CASE WHEN length(c_mktsegment) > 8 THEN 1.0 ELSE 0.0 END imp_sum,
+        |    CASE WHEN c_acctbal > 0 THEN 1.0 ELSE 0.0 END opt_sum,
+        |    CASE WHEN c_custkey % 3 = 0 THEN c_name || ' Official Store' ELSE c_name END off_name,
+        |    trim(CASE WHEN c_custkey % 5 = 0 THEN '123'
+        |         WHEN c_custkey % 5 = 1 THEN 'đã mua hàng x' ELSE c_name END) s
+        |  FROM customer
+        |)
+        |SELECT c_custkey,
+        |  round(1.0 * 0.5 + (imp_sum / 2.0) * 0.35 + opt_sum * 0.15, 4) AS completeness,
+        |  CASE WHEN px IS NULL THEN 'unknown' WHEN px < 100000 THEN 'under_100k'
+        |       WHEN px < 500000 THEN '100k_500k' WHEN px < 1000000 THEN '500k_1m'
+        |       WHEN px < 5000000 THEN '1m_5m' WHEN px < 20000000 THEN '5m_20m'
+        |       ELSE 'over_20m' END AS segment,
+        |  CASE WHEN px IS NULL THEN 'unknown' WHEN px < 100000 THEN 'budget'
+        |       WHEN px < 1000000 THEN 'mid-range' WHEN px < 10000000 THEN 'premium'
+        |       ELSE 'luxury' END AS category,
+        |  (contains(lower(coalesce(off_name, '')), 'official')
+        |   OR contains(lower(coalesce(off_name, '')), 'chính hãng')
+        |   OR contains(lower(coalesce(off_name, '')), 'tiki')) AS is_official,
+        |  CASE WHEN s IS NULL OR length(s) < 2 OR length(s) > 100
+        |       OR contains(lower(s), 'đã mua') OR contains(lower(s), 'đã bán')
+        |       OR contains(lower(s), 'sold') OR contains(lower(s), 'bought')
+        |       OR contains(lower(s), 'mua') OR contains(lower(s), 'bán')
+        |       OR contains(lower(s), 'xem thêm') OR contains(lower(s), 'more info')
+        |       OR contains(lower(s), 'chi tiết') OR contains(lower(s), 'loading')
+        |       OR contains(lower(s), 'đang tải') OR contains(lower(s), 'đã mua hàng')
+        |       OR regexp_matches(s, '^[0-9]+$') OR regexp_matches(s, '^[^\p{L}\p{N}_]+$')
+        |       OR regexp_matches(s, '^[0-9]+\s')
+        |    THEN NULL ELSE s END AS seller_name
+        |FROM synth ORDER BY c_custkey""".stripMargin
   )
 }

@@ -20,12 +20,12 @@ object TextAnalysis {
   /** Token count, whitespace definition. */
   def tokenCount(c: Column): Column = size(tokens(c))
 
-  /** BPE-ish subword count: word pieces + digits + punctuation runs, the
-    * usual regex-pretokenizer approximation (≈ GPT-2 pretokenizer classes). */
+  /** BPE-ish subword count: letter runs + digit runs + single punctuation,
+    * the usual regex-pretokenizer approximation (≈ GPT-2 pretokenizer
+    * classes). RE2-compatible (no lookarounds) so the same pattern runs in
+    * any engine. */
   def bpeTokenCount(c: Column): Column =
-    size(filter(
-      split(c, "(?=[^\\p{L}\\p{N}])|(?<=[^\\p{L}\\p{N}])"),
-      t => t =!= "" && t =!= " "))
+    size(regexp_extract_all(c, lit("[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]"), lit(0)))
 
   /** Word n-gram shingles (distinct), the dedup unit for MinHash/Jaccard. */
   def wordShingles(c: Column, n: Int): Column = {

@@ -108,9 +108,11 @@ object Dedup {
       threshold: Double, planes: Int = 8): DataFrame = {
     val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       Similarity.signBucket(col(vecCol), planes).as("bucket"))
+    // threshold compares the 6-dp-rounded cosine so the boundary decision is
+    // identical across engines regardless of FP summation order
     bucketed.as("x").join(bucketed.as("y"), col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
-      .withColumn("cosine", Similarity.cosine(col("x.v"), col("y.v")))
+      .withColumn("cosine", round(Similarity.cosine(col("x.v"), col("y.v")), 6))
       .filter(col("cosine") >= threshold)
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"), round(col("cosine"), 6).as("cosine"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"), col("cosine"))
   }
 }

@@ -37,19 +37,22 @@ object Similarity {
     }.reduce((a, b) => a + b)
 
   /** Brute-force cosine top-k: for every query row, the k nearest corpus
-    * rows (excluding self-matches by id). Query side is broadcast. */
+    * rows (excluding self-matches by id). Query side is broadcast.
+    * Ranking is on the 6-dp-rounded cosine (ties → neighbor_id) so the
+    * ordering is deterministic and identical across engines regardless of
+    * floating-point summation order. */
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine", round(cosine(col("qv"), col("cv")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
   /** LSH-bucketed ANN top-k: probe only the query's sign bucket. Trades
@@ -63,11 +66,11 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       signBucket(col(vecCol), planes).as("bucket"))
     val scored = q.join(c, Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine", round(cosine(col("qv"), col("cv")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 }
