@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.ColumnOps
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, Hierarchy, History, Merge, Similarity}
+import graft.operators.{Dedup, Hierarchy, History, Merge, Multimodal, Similarity}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with a DuckDB oracle in `oracleSql` where ANSI-SQL
@@ -476,6 +476,51 @@ object SparkEntry {
             .when(col("c_custkey") % 5 === 1, lit("đã mua hàng x"))
             .otherwise(col("c_name"))).as("seller_name"))
         .orderBy(col("c_custkey"))
+    }),
+
+    // --- X8–X10: Vietnamese name cleaning / shortening UDFs ------------------
+    //     Not ANSI-SQL-expressible (Unicode word-boundary regex passes) →
+    //     no oracleSql entry; correctness is covered by the 20-case
+    //     differential golden suite in NameCleanerSpec (outputs of the
+    //     reference implementation executed directly).
+    "q37_name_cleaning" -> ((s, dir) => {
+      import graft.functions.NameCleaner
+      val names = Seq(
+        "Áo thun nam CV0016 cao cấp #hot 2024",
+        "[HOT] Quần jean nữ - ",
+        "Bình giữ nhiệt 500ml SKU-123",
+        "Kệ gỗ W76x30.5xH11.5Cm đa năng",
+        "Tai nghe bluetooth 5.0 chống ồn MS 456 giá sốc!!!",
+        "Combo 3 món đồ chơi trẻ em thông minh 2023",
+        "Giày thể thao nam - hàng nội địa (size 39-44)",
+        "Balo laptop 15.6 inch chống nước, siêu bền, bảo hành 12 tháng")
+      import s.implicits._
+      val base = t(s, dir, "part").limit(200)
+      val withNames = base.withColumn("raw_name",
+        element_at(
+          typedLit(names),
+          (col("p_partkey") % names.size).cast(IntegerType) + 1))
+      withNames.select(
+        col("p_partkey"),
+        col("raw_name"),
+        NameCleaner.cleanNameUdf(col("raw_name")).as("clean_name"),
+        NameCleaner.shortNameUdf(col("raw_name")).as("short_name"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // --- multimodal: binary asset column + partition-mapped stub decode -----
+    //     (decode itself is a deterministic fake — the contract under test is
+    //     the Spark-side plumbing: binary column, per-partition decoder,
+    //     feature schema, metadata-only resize)
+    "q38_multimodal" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val assets = Multimodal.asAsset(docs, "text", "text/plain")
+      val decoded = Multimodal.decodeAssets(assets, "asset")
+      Multimodal.resizeMeta(decoded, 512)
+        .select(col("doc_id"), col("width"), col("height"), col("duration_ms"),
+          col("f0"), col("f1"), col("f2"), col("f3"),
+          col("resized_width"), col("resized_height"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -933,10 +978,10 @@ object SparkEntry {
         |    CASE WHEN regexp_replace(price_str, '[^0-9]', '', 'g') = '' THEN NULL
         |      ELSE CAST(regexp_replace(price_str, '[^0-9]', '', 'g') AS BIGINT) END parsed_price,
         |    lower(trim(sales_str)) ls,
-        |    regexp_extract(lower(trim(sales_str)), '([0-9]+(?:[\.,][0-9]+)?)\s*([km])?', 1) num,
-        |    regexp_extract(lower(trim(sales_str)), '([0-9]+(?:[\.,][0-9]+)?)\s*([km])?', 2) unit,
-        |    CASE WHEN regexp_extract(purl, '/p/([0-9]+)', 1) = '' THEN NULL
-        |      ELSE regexp_extract(purl, '/p/([0-9]+)', 1) END pid,
+        |    regexp_extract(lower(trim(sales_str)), '([0-9.]+)\s*([km]?)', 1) num,
+        |    regexp_extract(lower(trim(sales_str)), '([0-9.]+)\s*([km]?)', 2) unit,
+        |    CASE WHEN regexp_extract(purl, '[/-]p[/-]?([0-9]+)', 1) = '' THEN NULL
+        |      ELSE regexp_extract(purl, '[/-]p[/-]?([0-9]+)', 1) END pid,
         |    CASE WHEN regexp_extract(curl, '/c([0-9]+)', 1) = '' THEN NULL
         |      ELSE 'c' || regexp_extract(curl, '/c([0-9]+)', 1) END cid,
         |    CASE WHEN regexp_matches(lower(trim(cid_raw)), '^c?[0-9]+$')
@@ -950,9 +995,9 @@ object SparkEntry {
         |)
         |SELECT p_partkey, parsed_price,
         |  CASE WHEN num = '' THEN NULL
-        |       WHEN unit = 'k' THEN CAST(CAST(replace(num, ',', '.') AS DOUBLE) * 1000 AS BIGINT)
-        |       WHEN unit = 'm' THEN CAST(CAST(replace(num, ',', '.') AS DOUBLE) * 1000000 AS BIGINT)
-        |       ELSE CAST(regexp_replace(ls, '[^0-9]', '', 'g') AS BIGINT) END parsed_sales,
+        |       WHEN unit = 'k' THEN CAST(trunc(CAST(num AS DOUBLE) * 1000) AS BIGINT)
+        |       WHEN unit = 'm' THEN CAST(trunc(CAST(num AS DOUBLE) * 1000000) AS BIGINT)
+        |       ELSE CAST(trunc(CAST(num AS DOUBLE)) AS BIGINT) END parsed_sales,
         |  pid, cid, cid_norm, slug_name,
         |  CASE WHEN query = '' OR len(list_filter(string_split(query, '&'),
         |      p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'spid=') OR starts_with(p, 'src=') OR p = ''))) = 0
@@ -994,6 +1039,29 @@ object SparkEntry {
         |       OR regexp_matches(s, '^[0-9]+$') OR regexp_matches(s, '^[^\p{L}\p{N}_]+$')
         |       OR regexp_matches(s, '^[0-9]+\s')
         |    THEN NULL ELSE s END AS seller_name
-        |FROM synth ORDER BY c_custkey""".stripMargin
+        |FROM synth ORDER BY c_custkey""".stripMargin,
+
+    // q37_name_cleaning: intentionally absent — Unicode word-boundary UDF
+    // logic not expressible in DuckDB SQL; covered by NameCleanerSpec's
+    // differential goldens. Driver records a rows-only check.
+
+    "q38_multimodal" ->
+      """WITH d AS (
+        |  SELECT doc_id, md5(text) h FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    1 + ('0x' || substr(h, 1, 4))::INT % 1024 width,
+        |    1 + ('0x' || substr(h, 5, 4))::INT % 640 height,
+        |    CAST(('0x' || substr(h, 9, 4))::INT AS BIGINT) duration_ms,
+        |    ('0x' || substr(h, 1, 4))::INT / 65535.0 f0,
+        |    ('0x' || substr(h, 5, 4))::INT / 65535.0 f1,
+        |    ('0x' || substr(h, 9, 4))::INT / 65535.0 f2,
+        |    ('0x' || substr(h, 13, 4))::INT / 65535.0 f3
+        |  FROM d
+        |)
+        |SELECT doc_id, width, height, duration_ms, f0, f1, f2, f3,
+        |  CAST(floor(width * least(1.0, 512.0 / greatest(width, height))) AS INTEGER) resized_width,
+        |  CAST(floor(height * least(1.0, 512.0 / greatest(width, height))) AS INTEGER) resized_height
+        |FROM m ORDER BY doc_id""".stripMargin
   )
 }

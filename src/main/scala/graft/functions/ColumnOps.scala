@@ -22,25 +22,29 @@ object ColumnOps {
     when(digits === "", lit(null).cast(LongType)).otherwise(digits.cast(LongType))
   }
 
-  /** X2 — parse_sales_count: "2k"→2000, "1.5m"→1500000, "Đã bán 1.2k"→1200;
-    * plain digit-strip fallback. Ref: src/pipelines/crawl/utils.py:365-411.
+  /** X2 — parse_sales_count: "2k"→2000, "1.5k"→1500, "3m"→3000000,
+    * "389.000"→389 (float parse + int truncation — NOT digit-strip),
+    * digit-strip only when the number regex finds nothing.
+    * Ref: src/pipelines/crawl/utils.py:365-411 (`([\d.]+)\s*([km]?)`,
+    * then `int(num)`).
     */
   def parseSalesCount(c: Column): Column = {
     val s    = lower(trim(c.cast(StringType)))
-    val num  = regexp_extract(s, "([0-9]+(?:[\\.,][0-9]+)?)\\s*([km])?", 1)
-    val unit = regexp_extract(s, "([0-9]+(?:[\\.,][0-9]+)?)\\s*([km])?", 2)
-    val base = regexp_replace(num, ",", ".").cast(DoubleType)
-    when(num === "", lit(null).cast(LongType))
+    val num  = regexp_extract(s, "([0-9.]+)\\s*([km]?)", 1)
+    val unit = regexp_extract(s, "([0-9.]+)\\s*([km]?)", 2)
+    val base = num.cast(DoubleType)
+    when(num === "" || s.isNull, lit(null).cast(LongType))
       .otherwise(
         when(unit === "k", (base * 1000).cast(LongType))
           .when(unit === "m", (base * 1000000).cast(LongType))
-          .otherwise(regexp_replace(s, "[^0-9]", "").cast(LongType)))
+          .otherwise(base.cast(LongType)))
   }
 
-  /** X3 — extract product id from URL: /p/(\d+).
+  /** X3 — extract product id from URL: handles `/p/123`, `-p123.html`,
+    * `/p123` ( `[\/-]p[/-]?(\d+)` ).
     * Ref: src/pipelines/crawl/utils.py:554-568. */
   def extractProductId(url: Column): Column = {
-    val id = regexp_extract(url, "/p/(\\d+)", 1)
+    val id = regexp_extract(url, "[/-]p[/-]?([0-9]+)", 1)
     when(id === "", lit(null).cast(StringType)).otherwise(id)
   }
 

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.History
+
+/** Structured Streaming surface (SURVEY.md §2.10). The reference is
+  * micro-batch incremental (resumable progress, recency watermark, CDC into
+  * crawl_history, per-day quota); these are the Spark-native equivalents:
+  * `readStream` → transform → `writeStream`, watermarks for the staleness
+  * policy, `foreachBatch` for the CDC merge.
+  *
+  * All transforms below work identically on batch DataFrames (Spark's
+  * unified API) — the batch twins are what the oracle gate checks
+  * (q09/q10/q33); these wrappers add watermarking + sink wiring.
+  *
+  * Scale: every aggregation keys its state by (window/session, group key) —
+  * state store size is bounded by the watermark horizon, not stream length.
+  */
+object Streams {
+
+  /** Tumbling-window aggregation with a late-data watermark (the streaming
+    * twin of q10_window_hourly). */
+  def windowedAgg(events: DataFrame, tsCol: String, windowLen: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Gap-based session windows (the streaming twin of q09_sessionize;
+    * built-in `session_window` keeps state per open session only). */
+  def sessionAgg(events: DataFrame, tsCol: String, gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+
+  /** Streaming dedup by key within the watermark horizon — the streaming
+    * analogue of the crawler's skip-already-seen set (F5/J4). */
+  def dedupStream(df: DataFrame, keys: Seq[String], tsCol: String, watermark: String): DataFrame =
+    df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keys)
+
+  /** CDC sink: per micro-batch, derive typed change events against the
+    * stored history and append them (the streaming form of
+    * History.deriveEvents; reference postgres_storage.py:1250-1478).
+    *
+    * History lives in a date-partitioned parquet dir; each batch reads the
+    * current latest-per-key snapshot, classifies changes, and appends only
+    * rows that changed (no_change rows are dropped inside deriveEvents).
+    */
+  def cdcSink(batchStream: DataFrame, historyPath: String, checkpointPath: String): StreamingQuery =
+    batchStream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val hist = existingHistory(spark, historyPath, batch)
+        History.deriveEvents(batch, hist, None)
+          .write.mode("append").parquet(historyPath)
+        ()
+      }
+      .start()
+
+  private def existingHistory(spark: SparkSession, path: String, like: DataFrame): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(path), spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+      spark.read.parquet(path)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], like.schema)
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+
+case class Ev(event_id: Long, user_id: String, event_type: String, value: Double, ts: Timestamp)
+case class Crawl(product_id: String, price: Double, original_price: Double,
+    discount_percent: java.lang.Double, sales_count: Long, crawled_at: Timestamp)
+
+/** Streaming specs: MemoryStream-driven micro-batches, results compared to
+  * the batch twins of the same transforms. */
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val events = Seq(
+    Ev(1, "u1", "click", 1.0, ts("2024-01-01 10:00:00")),
+    Ev(2, "u1", "click", 2.0, ts("2024-01-01 10:10:00")),
+    Ev(3, "u1", "purchase", 3.0, ts("2024-01-01 12:00:00")),
+    Ev(4, "u2", "click", 4.0, ts("2024-01-01 10:05:00")))
+
+  test("windowedAgg on a stream equals the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.windowedAgg(mem.toDF, "ts", "1 hour", "0 seconds")
+      .writeStream.format("memory").queryName("win_agg").outputMode("complete").start()
+    mem.addData(events: _*)
+    q.processAllAvailable()
+    val got = spark.table("win_agg")
+      .select(col("window.start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("start"), col("event_type"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    q.stop()
+    val want = events.toDF()
+      .groupBy(date_trunc("hour", col("ts")).as("start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .orderBy(col("start"), col("event_type"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == want)
+  }
+
+  test("sessionAgg groups by 30-minute inactivity gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.sessionAgg(mem.toDF, "ts", "30 minutes", "0 seconds")
+      .writeStream.format("memory").queryName("sess_agg").outputMode("complete").start()
+    mem.addData(events: _*)
+    q.processAllAvailable()
+    val got = spark.table("sess_agg")
+      .select(col("user_id"), col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("n_events"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    q.stop()
+    // u1: events 1+2 within 30min (one session, sum 3.0), event 3 later (own session); u2: one
+    assert(got == Seq(("u1", 1L, 3.0), ("u1", 2L, 3.0), ("u2", 1L, 4.0)))
+  }
+
+  test("cdcSink appends first-crawl then price-change events across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_cdc").toString
+    val histPath = s"$dir/history"
+    val ckpt = s"$dir/ckpt"
+    val mem = MemoryStream[Crawl]
+    val q = Streams.cdcSink(mem.toDF, histPath, ckpt)
+    mem.addData(Crawl("p1", 100.0, 120.0, null, 5L, ts("2024-01-01 00:00:00")))
+    q.processAllAvailable()
+    mem.addData(Crawl("p1", 110.0, 120.0, null, 5L, ts("2024-01-02 00:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val hist = spark.read.parquet(histPath)
+      .select("product_id", "price", "crawl_type", "price_change")
+      .orderBy("crawled_at")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getString(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toSeq
+    assert(hist == Seq(("p1", 100.0, "price_change", null), ("p1", 110.0, "price_change", 10.0)))
+  }
+}
