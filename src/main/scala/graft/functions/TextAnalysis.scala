@@ -27,15 +27,18 @@ object TextAnalysis {
   def bpeTokenCount(c: Column): Column =
     size(regexp_extract_all(c, lit("[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]"), lit(0)))
 
-  /** Word n-gram shingles (distinct), the dedup unit for MinHash/Jaccard. */
-  def wordShingles(c: Column, n: Int): Column = {
-    val ts = tokens(c)
+  /** Shingles from a pre-materialized token array column. Prefer staging
+    * `tokens(c)` into its own projection first — the shingle expression
+    * references the token array once per output element. */
+  def shinglesFromTokens(ts: Column, n: Int): Column =
     array_distinct(
       when(size(ts) < n, array(array_join(ts, " ")))
         .otherwise(transform(
           sequence(lit(1), size(ts) - (n - 1)),
           i => array_join(slice(ts, i, lit(n)), " "))))
-  }
+
+  /** Word n-gram shingles (distinct), the dedup unit for MinHash/Jaccard. */
+  def wordShingles(c: Column, n: Int): Column = shinglesFromTokens(tokens(c), n)
 
   /** MinHash signature of `numHashes` values. Each hash family member is
     * md5(i || "|" || shingle); the min is taken lexicographically over hex
@@ -56,12 +59,16 @@ object TextAnalysis {
       b => concat(b.cast(StringType), lit(":"),
         md5(array_join(slice(signature, b * (size(signature) / bands) + 1, size(signature) / bands), ","))))
 
-  /** SimHash fingerprint of `bits` bits (default 16 — enough for banding,
-    * cheap to express portably). Bit j of md5(token) votes ±1; the sign of
-    * the vote sum is bit j of the fingerprint. Returned as a long. */
-  def simhash(tokenArr: Column, bits: Int = 16): Column = {
-    // per-token leading `bits` of md5 as a long
-    val hashes = transform(tokenArr, t => conv(substring(md5(t), 1, 8), 16, 10).cast(LongType))
+  /** Per-token hash array for SimHash: leading 8 md5 hex chars as a long.
+    * Materialize this as its own column before calling
+    * [[simhashFromHashes]] — the fingerprint references the array `bits`
+    * times and Catalyst re-evaluates nested higher-order arguments. */
+  def tokenHashes(tokenArr: Column): Column =
+    transform(tokenArr, t => conv(substring(md5(t), 1, 8), 16, 10).cast(LongType))
+
+  /** SimHash fingerprint from a pre-materialized hash array: bit j of each
+    * hash votes ±1; the sign of the vote sum is bit j of the fingerprint. */
+  def simhashFromHashes(hashes: Column, bits: Int = 16): Column = {
     val bitCols = (0 until bits).map { j =>
       val votes = aggregate(
         hashes, lit(0L),
@@ -70,6 +77,11 @@ object TextAnalysis {
     }
     bitCols.reduce(_ + _)
   }
+
+  /** SimHash of a token array (convenience; prefer materializing
+    * [[tokenHashes]] first in multi-reference plans). */
+  def simhash(tokenArr: Column, bits: Int = 16): Column =
+    simhashFromHashes(tokenHashes(tokenArr), bits)
 
   /** Hamming distance between two simhash longs. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

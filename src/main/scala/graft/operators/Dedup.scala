@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextAnalysis._
@@ -11,11 +11,17 @@ import graft.functions.TextAnalysis._
   *
   * Scale notes (the whole point of these shapes):
   *  - exact dedup: one hash-partitioned shuffle on the fingerprint.
-  *  - MinHash+LSH: signatures/bands are map-side expressions; the only
-  *    shuffle is the explode+self-join on band keys, whose fan-out is
-  *    controlled by (numHashes, bands). Never an O(n²) cross join.
-  *  - n-gram Jaccard is evaluated ONLY on candidate pairs that already share
-  *    a shingle (inverted-index join), not all pairs.
+  *  - MinHash/SimHash run over EXPLODED shingle/token rows with a
+  *    `groupBy(id)` partial aggregation (map-side combine), never as deep
+  *    nested array lambdas: flat md5/bit expressions stay inside
+  *    whole-stage codegen, and Catalyst's optimizer is linear in the tree —
+  *    a nested `bands(sig(shingles(tokens)))` expression under a Generate
+  *    drove plan optimization super-linear (minutes of driver CPU at 5k
+  *    docs) while this shape plans in milliseconds and scales by rows.
+  *  - the only shuffles are the signature groupBy and the band-key join,
+  *    whose fan-out is controlled by (numHashes, bands). Never O(n²).
+  *  - n-gram Jaccard joins the inverted index with a length filter in the
+  *    join condition so size-incompatible pairs never reach the aggregate.
   *  - embedding near-dup goes through sign-LSH buckets first.
   */
 object Dedup {
@@ -30,16 +36,37 @@ object Dedup {
       .drop("__fp", "__rn")
   }
 
+  /** One row per (id, shingle): the working relation for MinHash/Jaccard.
+    * Shingles are distinct within a document (wordShingles distincts). */
+  private def shingleRows(docs: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
+    docs.select(col(idCol).as("id"), explode(wordShingles(col(textCol), shingleN)).as("s"))
+
+  /** MinHash signatures as `numHashes` flat columns h0..h{k-1}:
+    * hᵢ(doc) = min over shingles of md5(i || "|" || shingle), the min taken
+    * lexicographically over hex strings — deterministic, engine-portable
+    * (DuckDB md5 yields identical hex), no seed tables to ship.
+    * Partial-aggregated min ⇒ one shuffle carrying k×32-byte rows per doc. */
+  private def minhashSigCols(shRows: DataFrame, numHashes: Int): DataFrame = {
+    val hashed = shRows.select(
+      Seq(col("id")) ++ (0 until numHashes).map(i =>
+        md5(concat(lit(i + "|"), col("s"))).as(s"h$i")): _*)
+    val aggs = (0 until numHashes).map(i => min(col(s"h$i")).as(s"h$i"))
+    hashed.groupBy("id").agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Candidate near-dup pairs via MinHash + LSH banding.
-    * Returns (id_a, id_b) with id_a < id_b, distinct.
-    */
+    * Returns (id_a, id_b) with id_a < id_b, distinct. */
   def minhashLshCandidates(
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4): DataFrame = {
-    val withBands = docs
-      .select(col(idCol).as("id"),
-        lshBandKeys(minhashSignature(wordShingles(col(textCol), shingleN), numHashes), bands).as("bandkeys"))
-      .select(col("id"), explode(col("bandkeys")).as("bandkey"))
+    val rows = numHashes / bands
+    val sig = minhashSigCols(shingleRows(docs, idCol, textCol, shingleN), numHashes)
+    // band key b = md5 of the band's hashes joined with "," (same bytes the
+    // array-formulation produced), prefixed with the band index
+    val bandCols = (0 until bands).map { b =>
+      concat(lit(s"$b:"), md5(concat_ws(",", (b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)))
+    }
+    val withBands = sig.select(col("id"), explode(array(bandCols: _*)).as("bandkey"))
     val a = withBands.select(col("bandkey"), col("id").as("id_a"))
     val b = withBands.select(col("bandkey"), col("id").as("id_b"))
     a.join(b, Seq("bandkey"))
@@ -48,48 +75,88 @@ object Dedup {
   }
 
   /** Verified near-dup pairs: LSH candidates filtered by true shingle-set
-    * Jaccard ≥ threshold. */
+    * Jaccard ≥ threshold. Intersections are counted with an equi-join on the
+    * exploded shingle relation (|candidates| × shared-shingles work), never
+    * by re-materializing per-doc arrays. */
   def minhashDedupPairs(
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, shingleN)
     val cands = minhashLshCandidates(docs, idCol, textCol, shingleN, numHashes, bands)
-    val sh = docs.select(col(idCol).as("id"), wordShingles(col(textCol), shingleN).as("sh"))
-    cands
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    verifyJaccard(cands, sh, threshold)
   }
 
-  /** All-pairs n-gram Jaccard ≥ threshold via inverted-index self-join
-    * (pairs must share ≥1 shingle; grouped count gives |A∩B| in one
-    * shuffle — no cross join). */
-  def ngramJaccardPairs(
-      docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, threshold: Double): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), wordShingles(col(textCol), shingleN).as("sh"))
-      .withColumn("n", size(col("sh")))
-    val inv = sh.select(col("id"), col("n"), explode(col("sh")).as("s"))
-    val pairs = inv.as("x").join(inv.as("y"), col("x.s") === col("y.s") && col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.n").as("n_a"), col("y.n").as("n_b"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
+  /** Join candidate (id_a,id_b) pairs against the exploded shingle relation,
+    * count intersections, attach set sizes, filter on 6-dp-rounded Jaccard. */
+  private def verifyJaccard(cands: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(sh.select(col("id").as("id_a"), col("s")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** SimHash near-dup candidates: same fingerprint (or join on rotated bands
-    * for hamming>0 tolerance — here exact-bucket, hamming ≤ maxDist verify). */
+  /** All-pairs n-gram Jaccard ≥ threshold, exact, via an inverted-index
+    * join with a **length filter**: one row per (doc, shingle), self-joined
+    * on the shingle with `t·max(|A|,|B|) ≤ min(|A|,|B|)` enforced IN the
+    * join condition (J(A,B) ≥ t forces it, so no false negatives), then a
+    * single groupBy counting the intersection — exactly one wide shuffle of
+    * narrow (id_a, id_b) rows, no per-pair array re-materialization.
+    *
+    * Scale: the join fan-out is Σ_s df(s)² over the shingle vocabulary.
+    * With a realistic vocabulary this is near-linear; for low-diversity
+    * corpora cap the damage by raising `shingleN` (bigger n ⇒ rarer
+    * shingles) — a PPJoin prefix filter does NOT help there because at
+    * threshold t every prefix is (1−t) of the document and tiny vocabularies
+    * make everything collide anyway (measured: prefix filtering left 7.9M of
+    * 12.5M possible pairs on the synthetic corpus while doubling the joins). */
+  def ngramJaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, threshold: Double): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, shingleN)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inv = sh.join(broadcast(sizes), Seq("id"))
+    inv.as("x").join(inv.as("y"),
+        col("x.s") === col("y.s") && col("x.id") < col("y.id") &&
+        col("x.n") >= col("y.n") * threshold && col("y.n") >= col("x.n") * threshold)
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.n").as("n_a"), col("y.n").as("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash near-dup candidates: fingerprints from exploded token rows
+    * (bit j of md5-derived token hash votes ±1; sign of the vote sum is
+    * bit j), banded on upper/lower half, hamming-verified ≤ maxDist.
+    * Docs with zero tokens get fingerprint 0 (empty vote sum), matching the
+    * array formulation. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       bits: Int = 16, maxDist: Int = 2): DataFrame = {
-    val fp = docs.select(col(idCol).as("id"), simhash(tokens(col(textCol)), bits).as("fp"))
-    // band on upper/lower half: pairs within hamming maxDist share ≥1 half when maxDist < bits/2 buckets apart
+    val tokRows = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
+    val hashed = tokRows.select(col("id"),
+      conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long").as("h"))
+    val voteAggs = (0 until bits).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$j")
+    }
+    val votes = hashed.groupBy("id").agg(voteAggs.head, voteAggs.tail: _*)
+    val fpCol = (0 until bits).map { j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    // empty-token docs drop out of the explode; restore them with fp = 0
+    val fp = docs.select(col(idCol).as("id"))
+      .join(votes.select(col("id"), fpCol.as("fp")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("fp"), lit(0L)).as("fp"))
+    // band on upper/lower half: pairs within hamming ≤ bits/2 − 1 share ≥1 identical half
     val banded = fp
       .withColumn("b0", concat(lit("lo:"), (col("fp").bitwiseAND(lit((1L << (bits / 2)) - 1))).cast("string")))
       .withColumn("b1", concat(lit("hi:"), shiftright(col("fp"), bits / 2).cast("string")))
@@ -107,11 +174,13 @@ object Dedup {
       emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planes: Int = 8): DataFrame = {
     val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-      Similarity.signBucket(col(vecCol), planes).as("bucket"))
+      Similarity.signBucket(col(vecCol), planes).as("bucket"),
+      Similarity.norm(col(vecCol)).as("nrm"))
     // threshold compares the 6-dp-rounded cosine so the boundary decision is
     // identical across engines regardless of FP summation order
     bucketed.as("x").join(bucketed.as("y"), col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
-      .withColumn("cosine", round(Similarity.cosine(col("x.v"), col("y.v")), 6))
+      .withColumn("cosine", round(
+        Similarity.dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"), col("cosine"))
   }

@@ -16,16 +16,20 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** Cosine similarity of two float vectors as a pure expression
-    * (`zip_with` dot product + `aggregate` norms) — codegen-friendly,
-    * no UDF. Assumes equal lengths. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
-        lit(0.0), (acc, v) => acc + v)
-    def norm(x: Column): Column = sqrt(dot(x, x))
+  /** Dot product of two float vectors as a pure expression
+    * (`zip_with` + `aggregate`) — codegen-friendly, no UDF. */
+  def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. Materialize per row before pairwise joins — computing it
+    * inside `cosine` would redo the self-dot once per pair. */
+  def norm(x: Column): Column = sqrt(dot(x, x))
+
+  /** Cosine similarity. Assumes equal lengths. Prefer
+    * `dot(a,b)/(normA*normB)` with precomputed norms in pairwise plans. */
+  def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
-  }
 
   /** Sign-LSH bucket id from the signs of the first `planes` components.
     * Deterministic and portable (no random hyperplane matrix to ship);
@@ -44,10 +48,12 @@ object Similarity {
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("cosine", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -62,11 +68,11 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int, planes: Int = 8): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      signBucket(col(vecCol), planes).as("bucket")))
+      signBucket(col(vecCol), planes).as("bucket"), norm(col(vecCol)).as("qn")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      signBucket(col(vecCol), planes).as("bucket"))
+      signBucket(col(vecCol), planes).as("bucket"), norm(col(vecCol)).as("cn"))
     val scored = q.join(c, Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("cosine", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

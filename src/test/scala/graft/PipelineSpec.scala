@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Pipeline
+import graft.store.Store
+import graft.transform.Transform
+
+case class FxPrice(current_price: Double, original_price: Double, discount_percent: Double)
+case class FxRating(average: Double, total_reviews: Long)
+case class FxSeller(name: String, is_official: Boolean)
+case class FxStock(available: Boolean)
+case class FxRaw(product_id: String, name: String, brand: String, url: String,
+    category_path: Seq[String], price: FxPrice, rating: FxRating, seller: FxSeller,
+    stock: FxStock, sales_count: String, crawled_at: String)
+
+/** End-to-end pipeline spec mirroring the reference's
+  * tests/test_transform_load.py fixture (2 valid nested products + invalid
+  * price + missing id + duplicate), driven through transform → store upsert
+  * → history → summary across two runs. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private type Price = FxPrice; private val Price = FxPrice
+  private type Rating = FxRating; private val Rating = FxRating
+  private type Seller = FxSeller; private val Seller = FxSeller
+  private type Stock = FxStock; private val Stock = FxStock
+  private type Raw = FxRaw; private val Raw = FxRaw
+
+  private def fixture(run2: Boolean = false) = Seq(
+    Raw("123456", "Sản phẩm  Test 1", "Thương hiệu: BrandA", "https://tiki.vn/p/123456",
+      Seq("Root", "Cat"), Price(if (run2) 110000 else 100000, 200000, 50),
+      Rating(4.5, 100), Seller("Shop ABC", false), Stock(true), "2k", "2025-01-15 14:00:00"),
+    Raw("234567", "Product Two", "BrandB", "https://tiki.vn/p/234567",
+      Seq("Root"), Price(50000, 60000, 16.67), Rating(4.0, 10),
+      Seller("Shop DEF", true), Stock(true), "500", "2025-01-15 14:00:00"),
+    // invalid: price > original_price
+    Raw("345678", "Bad Price", "X", "https://tiki.vn/p/345678",
+      Seq(), Price(300000, 200000, 0), Rating(3.0, 1),
+      Seller("S", false), Stock(false), "1", "2025-01-15 14:00:00"),
+    // invalid: non-digit id
+    Raw("abc", "No Id", "X", "https://tiki.vn/p/0",
+      Seq(), Price(1000, 2000, 0), Rating(3.0, 1),
+      Seller("Shop GHI", false), Stock(false), "1", "2025-01-15 14:00:00"),
+    // duplicate of 123456 (same id, later name sort)
+    Raw("123456", "Sản phẩm Test 1 dup", "BrandA", "https://tiki.vn/p/123456",
+      Seq("Root", "Cat"), Price(if (run2) 110000 else 100000, 200000, 50),
+      Rating(4.5, 100), Seller("Shop ABC", false), Stock(true), "2k", "2025-01-15 14:00:00"))
+
+  test("transform: flatten/normalize/validate/dedup with reference stats semantics") {
+    val t = Transform.run(fixture().toDF())
+    assert(t.stats == Transform.RunStats(total = 5, valid = 3, invalid = 2, duplicatesRemoved = 1))
+    val byId = t.products.collect().map(r => r.getAs[String]("product_id") -> r).toMap
+    assert(byId.keySet == Set("123456", "234567"))
+    val p1 = byId("123456")
+    assert(p1.getAs[String]("brand") == "BrandA")          // prefix stripped
+    assert(p1.getAs[String]("name") == "Sản phẩm Test 1")  // whitespace collapsed + first-wins dedup
+    assert(p1.getAs[Long]("sales_count") == 2000L)          // "2k" parsed
+    assert(p1.getAs[Double]("discount_percent") == 50.0)    // recomputed
+    val reasons = t.rejects.select("reject_reason").as[String].collect().sorted.toSeq
+    assert(reasons == Seq("bad_price", "bad_product_id"))
+  }
+
+  test("pipeline two runs: upsert keeps table keyed, CDC logs first-crawl then price-change only") {
+    val root = Files.createTempDirectory("graft_pipe").toString
+    val store = new Store(spark, root)
+
+    val r1 = Pipeline.run(spark, fixture().toDF(), store)
+    assert(r1.loadedCount == 2)
+    assert(r1.historyEvents == 2) // both first-crawl
+    assert(r1.summary.collect()(0).getAs[Long]("total_products") == 2)
+
+    val r2 = Pipeline.run(spark, fixture(run2 = true).toDF(), store)
+    assert(r2.loadedCount == 2)   // upsert, not append
+    // run2: 123456 price changed → 1 event; 234567 unchanged → no_change dropped
+    assert(r2.historyEvents == 1)
+
+    val hist = store.history("crawl_history").get
+    val types = hist.groupBy("product_id", "crawl_type").count()
+      .orderBy("product_id", "crawl_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(types == Seq(
+      ("123456", "price_change", 2L),  // first crawl + real change
+      ("234567", "price_change", 1L))) // first crawl only
+    // upserted price reflects run2
+    val snap = store.snapshot("products").get
+    assert(snap.filter(col("product_id") === "123456").select("price").as[Double].collect()(0) == 110000.0)
+  }
+
+  test("store archive moves old history partitions and keeps recent ones") {
+    val root = Files.createTempDirectory("graft_arch").toString
+    val store = new Store(spark, root)
+    val events = Seq(
+      ("p1", 1.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      ("p2", 2.0, java.sql.Timestamp.valueOf("2024-06-01 00:00:00")))
+      .toDF("product_id", "price", "crawled_at")
+    store.appendHistory("crawl_history", events)
+    val archived = store.archiveHistory("crawl_history", "2024-03-01")
+    assert(archived == 1)
+    assert(store.history("crawl_history").get.count() == 1)
+    assert(store.history("crawl_history_archive").get.count() == 1)
+  }
+}

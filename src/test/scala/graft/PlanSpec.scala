@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions — the scale contract (SURVEY.md §7.4 #7):
+  * filters reach the parquet scan, projections prune columns, small dims
+  * broadcast, hot paths stay inside whole-stage codegen. These are the
+  * properties that decide 100 TB behavior; the oracle gate can't see them.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter + projection push down to the parquet scan") {
+    val df = Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") > 40)
+      .select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40"), p)
+    val readSchema = p.split("ReadSchema:")(1).split("\n")(0)
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"), readSchema)
+    assert(!readSchema.contains("l_extendedprice"), s"column pruning failed: $readSchema")
+  }
+
+  test("dim joins broadcast (q05 enrich, q17 rollup)") {
+    val p1 = plan(SparkEntry.queries("q05_enrich_join")(spark, sfDir))
+    assert(p1.contains("BroadcastHashJoin"), p1.take(2000))
+    val p2 = plan(SparkEntry.queries("q17_rollup")(spark, sfDir))
+    assert(p2.contains("BroadcastHashJoin"), p2.take(2000))
+  }
+
+  test("aggregations use map-side partial aggregation and whole-stage codegen") {
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
+    val p = plan(df)
+    // partial (map-side) aggregate below the shuffle — one Exchange, two HashAggregates
+    assert(p.contains("partial_sum"), p.take(2000))
+    df.collect() // finalize AQE so codegen stages materialize
+    val finalPlan = df.queryExecution.executedPlan.toString
+    // whole-stage-codegen stages print as `*(n) Operator` in the final plan
+    assert(finalPlan.contains("*(1)") || finalPlan.contains("WholeStageCodegen"),
+      finalPlan.take(2000))
+  }
+
+  test("anti/semi joins use join operators, not subquery re-scans") {
+    val p = plan(SparkEntry.queries("q11_anti_join")(spark, sfDir))
+    assert(p.contains("LeftAnti"), p.take(2000))
+    val p2 = plan(SparkEntry.queries("q12_semi_join")(spark, sfDir))
+    assert(p2.contains("LeftSemi"), p2.take(2000))
+  }
+
+  test("hierarchy resolution broadcasts the parent dim every round (no shuffle joins)") {
+    val p = plan(SparkEntry.queries("q31_hierarchy_paths")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "hierarchy rounds must not shuffle-join a dim")
+  }
+}
