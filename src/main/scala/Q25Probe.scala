@@ -3,7 +3,7 @@ object Q25Probe {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions","32").config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val names = if (a.nonEmpty) a.toSeq else Seq("q25_minhash_pairs", "q26_ngram_jaccard", "q27_simhash_pairs", "q28_embed_neardup", "q29_ann_topk", "q30_lsh_topk")
+    val names = if (a.nonEmpty) a.toSeq else Seq("q26_ngram_jaccard", "q25_minhash_pairs")
     names.foreach { name =>
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.1").count()

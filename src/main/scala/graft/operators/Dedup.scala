@@ -121,6 +121,23 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, threshold: Double): DataFrame = {
     val sh = shingleRows(docs, idCol, textCol, shingleN)
+    // one corpus scan builds the vocab; checkpointed so counting it and
+    // joining against it don't re-scan
+    val vocab = sh.select("s").distinct()
+      .withColumn("v", row_number().over(Window.orderBy(col("s"))) - 1)
+      .localCheckpoint()
+    val vocabSize = vocab.count()
+    if (vocabSize <= DenseVocabBits) ngramJaccardDense(sh, vocab, threshold, vocabSize.toInt)
+    else ngramJaccardInverted(sh, threshold)
+  }
+
+  /** Vocabulary-size cutoff for the dense bitmap strategy (16 longs/doc). */
+  val DenseVocabBits = 1024
+
+  /** General path: inverted-index self-join on the shingle with the length
+    * filter in the join condition, one groupBy counting intersections.
+    * Join fan-out is Σ_s df(s)² — near-linear for realistic vocabularies. */
+  private def ngramJaccardInverted(sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val inv = sh.join(broadcast(sizes), Seq("id"))
     inv.as("x").join(inv.as("y"),
@@ -134,6 +151,60 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Low-diversity path: when the shingle vocabulary fits `DenseVocabBits`
+    * bits, encode each document's shingle set as an array of longs (bit v
+    * set ⇔ vocab item v present) and evaluate ALL length-compatible pairs
+    * with AND+popcount in a broadcast nested-loop — no wide shuffle, no
+    * Σ_s df(s)² blow-up (which IS quadratic on tiny vocabularies where every
+    * inverted list is a constant fraction of the corpus). Cost is
+    * n²·(bits/64) map-only work; exact same output as the inverted path.
+    *
+    * The all-pairs loop is expressed as EQUI-joins through a (block, block)
+    * pairs relation — docs are bucketed into `PairBlocks` blocks and each
+    * unordered block pair is enumerated once — because BroadcastHashJoin
+    * participates in whole-stage codegen while a broadcast nested-loop join
+    * evaluates its condition interpreted (measured 2× slower end-to-end). */
+  private def ngramJaccardDense(sh: DataFrame, vocab: DataFrame, threshold: Double, vocabSize: Int): DataFrame = {
+    val words = (vocabSize + 63) / 64
+    val bitAggs = (0 until words).map { w =>
+      expr(s"bit_or(if(v div 64 = $w, shiftleft(cast(1 as bigint), cast(v % 64 as int)), 0L))").as(s"w$w")
+    }
+    // one tiny row per doc (n + `words` longs); localCheckpoint so the two
+    // join sides don't each re-scan + re-aggregate the corpus
+    val vecs = sh.join(broadcast(vocab), Seq("s"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n"), bitAggs: _*)
+      .withColumn("b", pmod(hash(col("id")), lit(PairBlocks)))
+      .localCheckpoint()
+    val spark = vecs.sparkSession
+    val blockPairs = spark.range(PairBlocks.toLong * PairBlocks)
+      .select((col("id") / PairBlocks).cast("int").as("b1"),
+        pmod(col("id"), lit(PairBlocks)).cast("int").as("b2"))
+      .filter(col("b1") <= col("b2"))
+    // flat bit_count chain — stays inside whole-stage codegen, unlike a
+    // zip_with/aggregate lambda which is interpreted per pair
+    val interCol = (0 until words).map { w =>
+      bit_count(col(s"x.w$w").bitwiseAND(col(s"y.w$w"))).cast("long")
+    }.reduce(_ + _)
+    // cross-block pairs appear once by construction; same-block pairs are
+    // ordered by id. Output ids are normalized with least/greatest.
+    vecs.as("x").join(broadcast(blockPairs), col("x.b") === col("b1"))
+      .join(broadcast(vecs.as("y")),
+        col("y.b") === col("b2") &&
+        (col("b1") < col("b2") || col("x.id") < col("y.id")) &&
+        col("x.n") >= col("y.n") * threshold && col("y.n") >= col("x.n") * threshold)
+      .select(least(col("x.id"), col("y.id")).as("id_a"),
+        greatest(col("x.id"), col("y.id")).as("id_b"),
+        col("x.n").as("n_a"), col("y.n").as("n_b"), interCol.as("inter"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Block count for the dense all-pairs equi-join plan. */
+  val PairBlocks = 16
 
   /** SimHash near-dup candidates: fingerprints from exploded token rows
     * (bit j of md5-derived token hash votes ±1; sign of the vote sum is
