@@ -8,6 +8,8 @@ import org.apache.spark.sql.types._
 import graft.functions.ColumnOps
 import graft.functions.TextAnalysis
 import graft.operators.{Dedup, Hierarchy, History, Merge, Multimodal, Similarity}
+import graft.quality.Checks
+import graft.warehouse.StarSchema
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with a DuckDB oracle in `oracleSql` where ANSI-SQL
@@ -521,6 +523,51 @@ object SparkEntry {
           col("f0"), col("f1"), col("f2"), col("f3"),
           col("resized_width"), col("resized_height"))
         .orderBy(col("doc_id"))
+    }),
+
+    // --- J9/X20/X21: star-schema build — dim dedup + SK assignment, dim_date,
+    //     price-segment ladder, broadcast fact assembly ----------------------
+    "q39_star_fact" -> ((s, dir) => {
+      val part = t(s, dir, "part")
+      val orders = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val dimBrand = StarSchema.dim(part, Seq("p_brand"), "brand_sk")
+      val dimDate = StarSchema.dimDate(orders, "o_orderdate")
+      val src = li
+        .join(orders.select(col("o_orderkey"), col("o_orderdate").cast(DateType).as("date")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(part.select(col("p_partkey"), col("p_brand"), col("p_retailprice")),
+          col("l_partkey") === col("p_partkey"))
+      val fact = StarSchema.fact(src,
+        Seq(dimBrand -> Seq("p_brand"), dimDate -> Seq("date")),
+        keep = Seq(
+          StarSchema.priceSegmentSk(col("p_retailprice") * 1000).as("segment_sk"),
+          (dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+            .as("rev")))
+      fact.groupBy(col("brand_sk"), col("segment_sk"))
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          countDistinct(col("date_sk")).cast(LongType).as("n_dates"),
+          sum(col("rev")).cast(DoubleType).as("revenue"))
+        .orderBy(col("brand_sk"), col("segment_sk"))
+    }),
+
+    // --- §5c quality checker: one-pass rule report + FK orphans + dup keys --
+    "q40_quality_report" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val orders = t(s, dir, "orders")
+      val rules = Seq(
+        Checks.inRange("l_quantity", 1, 50),
+        Checks.inRange("l_discount", 0, 0.1),
+        Checks.inRange("l_tax", 0, 0.08),
+        Checks.required("l_returnflag"))
+      val base = Checks.report(li, rules)
+      val orphans = Checks.fkOrphans(li, orders, "l_orderkey", "o_orderkey")
+        .agg(count(lit(1)).cast(LongType).as("violations"))
+        .withColumn("rule", lit("fk_orphans_lineitem_orders")).select("rule", "violations")
+      val dups = Checks.duplicates(li, Seq("l_orderkey", "l_linenumber"))
+        .agg(count(lit(1)).cast(LongType).as("violations"))
+        .withColumn("rule", lit("duplicate_line_keys")).select("rule", "violations")
+      base.unionByName(orphans).unionByName(dups).orderBy(col("rule"))
     })
   )
 
@@ -1062,6 +1109,56 @@ object SparkEntry {
         |SELECT doc_id, width, height, duration_ms, f0, f1, f2, f3,
         |  CAST(floor(width * least(1.0, 512.0 / greatest(width, height))) AS INTEGER) resized_width,
         |  CAST(floor(height * least(1.0, 512.0 / greatest(width, height))) AS INTEGER) resized_height
-        |FROM m ORDER BY doc_id""".stripMargin
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q39_star_fact" ->
+      """WITH dim_brand AS (
+        |  SELECT p_brand, CAST(row_number() OVER (ORDER BY p_brand) AS BIGINT) brand_sk
+        |  FROM (SELECT DISTINCT p_brand FROM part)
+        |), dim_date AS (
+        |  SELECT d, CAST(row_number() OVER (ORDER BY d) AS BIGINT) date_sk
+        |  FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) d FROM orders WHERE o_orderdate IS NOT NULL)
+        |), fact AS (
+        |  SELECT b.brand_sk,
+        |    CAST(CASE WHEN p.p_retailprice IS NULL THEN 0
+        |      WHEN p.p_retailprice * 1000 < 100000 THEN 1
+        |      WHEN p.p_retailprice * 1000 < 500000 THEN 2
+        |      WHEN p.p_retailprice * 1000 < 1000000 THEN 3
+        |      WHEN p.p_retailprice * 1000 < 3000000 THEN 4
+        |      WHEN p.p_retailprice * 1000 < 5000000 THEN 5
+        |      ELSE 6 END AS BIGINT) segment_sk,
+        |    dd.date_sk,
+        |    CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) rev
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  JOIN dim_brand b ON p.p_brand = b.p_brand
+        |  JOIN dim_date dd ON CAST(o.o_orderdate AS DATE) = dd.d
+        |)
+        |SELECT brand_sk, segment_sk, CAST(COUNT(*) AS BIGINT) n,
+        |  CAST(COUNT(DISTINCT date_sk) AS BIGINT) n_dates,
+        |  CAST(SUM(rev) AS DOUBLE) revenue
+        |FROM fact GROUP BY brand_sk, segment_sk
+        |ORDER BY brand_sk, segment_sk""".stripMargin,
+
+    "q40_quality_report" ->
+      """SELECT 'range_l_quantity' AS rule,
+        |  CAST(COUNT(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 50) THEN 1 END) AS BIGINT) violations
+        |FROM lineitem
+        |UNION ALL SELECT 'range_l_discount',
+        |  CAST(COUNT(CASE WHEN l_discount IS NOT NULL AND (l_discount < 0 OR l_discount > 0.1) THEN 1 END) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL SELECT 'range_l_tax',
+        |  CAST(COUNT(CASE WHEN l_tax IS NOT NULL AND (l_tax < 0 OR l_tax > 0.08) THEN 1 END) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL SELECT 'required_l_returnflag',
+        |  CAST(COUNT(CASE WHEN l_returnflag IS NULL OR trim(CAST(l_returnflag AS VARCHAR)) = '' THEN 1 END) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL SELECT 'fk_orphans_lineitem_orders', CAST(COUNT(*) AS BIGINT)
+        |FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |UNION ALL SELECT 'duplicate_line_keys', CAST(COUNT(*) AS BIGINT)
+        |FROM (SELECT l_orderkey, l_linenumber FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) > 1)
+        |ORDER BY rule""".stripMargin
   )
 }

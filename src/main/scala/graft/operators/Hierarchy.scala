@@ -93,4 +93,31 @@ object Hierarchy {
     categories
       .groupBy(col("parent_url"))
       .agg(sort_array(collect_list(struct(col("name"), col("url")))).as("children"))
+
+  /** H3 — flatten a recursive `{name,url,children:[...]}` JSON tree into
+    * (name, url, parent_url, level) rows. Spark has no recursive types, so
+    * the schema is depth-unrolled to `maxDepth` and the descent is a bounded
+    * loop of explodes — one narrow Generate per level, no driver recursion.
+    * Ref: extract_categories.py:30-74. */
+  def flattenTree(trees: DataFrame, jsonCol: String, maxDepth: Int = 5): DataFrame = {
+    import org.apache.spark.sql.types._
+    def nodeSchema(d: Int): StructType = {
+      val base = Seq(StructField("name", StringType), StructField("url", StringType))
+      if (d <= 1) StructType(base)
+      else StructType(base :+ StructField("children", ArrayType(nodeSchema(d - 1))))
+    }
+    var cur = trees
+      .select(from_json(col(jsonCol), nodeSchema(maxDepth)).as("node"))
+      .select(lit(null).cast(StringType).as("parent_url"), col("node"), lit(1).as("level"))
+    val levels = Seq.newBuilder[DataFrame]
+    for (d <- 1 to maxDepth) {
+      levels += cur.select(col("node.name").as("name"), col("node.url").as("url"),
+        col("parent_url"), col("level"))
+      if (d < maxDepth)
+        cur = cur.filter(col("node.children").isNotNull)
+          .select(col("node.url").as("parent_url"),
+            explode(col("node.children")).as("node"), (col("level") + 1).as("level"))
+    }
+    levels.result().reduce(_ unionByName _)
+  }
 }
