@@ -568,6 +568,70 @@ object SparkEntry {
         .agg(count(lit(1)).cast(LongType).as("violations"))
         .withColumn("rule", lit("duplicate_line_keys")).select("rule", "violations")
       base.unionByName(orphans).unionByName(dups).orderBy(col("rule"))
+    }),
+
+    // --- F5: staleness skip — latest activity per key, anti vs fresh set ----
+    //     (detail-skip predicate: rows touched within N days are skipped;
+    //      reference interval on updated_at, tasks/detail.py:194-216)
+    "q41_staleness_skip" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("tss", date_trunc("second", col("ts")))
+      val latest = ev.groupBy(col("user_id"))
+        .agg(max(col("tss")).as("last_ts"), count(lit(1)).cast(LongType).as("n_events"))
+      val ref = latest.agg(max(col("last_ts")).as("ref_ts"))
+      latest.crossJoin(broadcast(ref))
+        .filter(col("last_ts") < col("ref_ts") - expr("INTERVAL 1 DAYS"))
+        .select(col("user_id"), col("last_ts"), col("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    // --- A4: coverage stats — recency-bucketed distinct keys + windowed avg -
+    "q42_crawl_coverage" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("tss", date_trunc("second", col("ts")))
+      val latest = ev.groupBy(col("user_id")).agg(max(col("tss")).as("last_ts"))
+      val ref = latest.agg(max(col("last_ts")).as("ref_ts"))
+      val buckets = latest.crossJoin(broadcast(ref)).agg(
+        count(when(col("last_ts") >= col("ref_ts") - expr("INTERVAL 1 DAYS"), 1))
+          .cast(LongType).as("seen_24h"),
+        count(when(col("last_ts") < col("ref_ts") - expr("INTERVAL 1 DAYS") &&
+          col("last_ts") >= col("ref_ts") - expr("INTERVAL 7 DAYS"), 1))
+          .cast(LongType).as("seen_7d"),
+        count(when(col("last_ts") < col("ref_ts") - expr("INTERVAL 7 DAYS"), 1))
+          .cast(LongType).as("seen_older"),
+        count(lit(1)).cast(LongType).as("total_users"))
+      val recent = ev.crossJoin(broadcast(ref))
+        .filter(col("tss") >= col("ref_ts") - expr("INTERVAL 30 DAYS"))
+        .agg(count(lit(1)).cast(LongType).as("events_30d"), davg(col("value")).as("avg_value_30d"))
+      buckets.crossJoin(recent)
+    }),
+
+    // --- §2.10 per-day quota: rate-limited take of k events per key per day -
+    "q43_daily_quota" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("tss", date_trunc("second", col("ts")))
+        .withColumn("day", date_format(col("tss"), "yyyy-MM-dd"))
+      val w = Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("tss").asc, col("event_id").asc)
+      val kept = ev.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      kept.groupBy(col("day"))
+        .agg(count(lit(1)).cast(LongType).as("kept"),
+          countDistinct(col("user_id")).cast(LongType).as("users"))
+        .orderBy(col("day"))
+    }),
+
+    // --- X17/X18: map column ops — JSON payload → MapType → key access ------
+    "q44_map_ops" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("m", from_json(col("props"), MapType(StringType, StringType)))
+      ev.select(col("event_type"),
+          element_at(col("m"), "k").cast(LongType).as("k"),
+          size(map_keys(col("m"))).cast(LongType).as("nkeys"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          sum(col("k")).cast(LongType).as("sum_k"),
+          max(col("nkeys")).cast(LongType).as("max_keys"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -1159,6 +1223,51 @@ object SparkEntry {
         |FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
         |UNION ALL SELECT 'duplicate_line_keys', CAST(COUNT(*) AS BIGINT)
         |FROM (SELECT l_orderkey, l_linenumber FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) > 1)
-        |ORDER BY rule""".stripMargin
+        |ORDER BY rule""".stripMargin,
+
+    "q41_staleness_skip" ->
+      """WITH latest AS (
+        |  SELECT user_id, MAX(date_trunc('second', ts)) last_ts, CAST(COUNT(*) AS BIGINT) n_events
+        |  FROM events GROUP BY user_id
+        |), ref AS (SELECT MAX(last_ts) ref_ts FROM latest)
+        |SELECT user_id, last_ts, n_events
+        |FROM latest, ref WHERE last_ts < ref_ts - INTERVAL 1 DAY
+        |ORDER BY user_id""".stripMargin,
+
+    "q42_crawl_coverage" ->
+      """WITH latest AS (
+        |  SELECT user_id, MAX(date_trunc('second', ts)) last_ts FROM events GROUP BY user_id
+        |), ref AS (SELECT MAX(last_ts) ref_ts FROM latest),
+        |b AS (
+        |  SELECT
+        |    CAST(COUNT(CASE WHEN last_ts >= ref_ts - INTERVAL 1 DAY THEN 1 END) AS BIGINT) seen_24h,
+        |    CAST(COUNT(CASE WHEN last_ts < ref_ts - INTERVAL 1 DAY
+        |      AND last_ts >= ref_ts - INTERVAL 7 DAY THEN 1 END) AS BIGINT) seen_7d,
+        |    CAST(COUNT(CASE WHEN last_ts < ref_ts - INTERVAL 7 DAY THEN 1 END) AS BIGINT) seen_older,
+        |    CAST(COUNT(*) AS BIGINT) total_users
+        |  FROM latest, ref
+        |), r AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) events_30d,
+        |    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value), 4) avg_value_30d
+        |  FROM events, ref WHERE date_trunc('second', ts) >= ref_ts - INTERVAL 30 DAY
+        |)
+        |SELECT * FROM b, r""".stripMargin,
+
+    "q43_daily_quota" ->
+      """WITH ranked AS (
+        |  SELECT user_id, strftime(date_trunc('second', ts), '%Y-%m-%d') AS "day",
+        |    row_number() OVER (PARTITION BY user_id, strftime(date_trunc('second', ts), '%Y-%m-%d')
+        |      ORDER BY date_trunc('second', ts), event_id) rn
+        |  FROM events
+        |)
+        |SELECT "day", CAST(COUNT(*) AS BIGINT) kept, CAST(COUNT(DISTINCT user_id) AS BIGINT) users
+        |FROM ranked WHERE rn <= 3
+        |GROUP BY "day" ORDER BY "day"""".stripMargin,
+
+    "q44_map_ops" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) sum_k,
+        |  CAST(MAX(len(json_keys(props))) AS BIGINT) max_keys
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

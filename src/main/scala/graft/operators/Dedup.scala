@@ -120,9 +120,10 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, threshold: Double): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, shingleN)
-    // one corpus scan builds the vocab; checkpointed so counting it and
-    // joining against it don't re-scan
+    // ONE corpus scan materializes the exploded shingle relation (narrow:
+    // id + shingle string); vocab build and both downstream paths read the
+    // checkpoint instead of re-running normalize+tokenize+explode
+    val sh = shingleRows(docs, idCol, textCol, shingleN).localCheckpoint()
     val vocab = sh.select("s").distinct()
       .withColumn("v", row_number().over(Window.orderBy(col("s"))) - 1)
       .localCheckpoint()
