@@ -11,15 +11,18 @@ import graft.functions.TextAnalysis._
   *
   * Scale notes (the whole point of these shapes):
   *  - exact dedup: one hash-partitioned shuffle on the fingerprint.
-  *  - MinHash/SimHash run over EXPLODED shingle/token rows with a
-  *    `groupBy(id)` partial aggregation (map-side combine), never as deep
-  *    nested array lambdas: flat md5/bit expressions stay inside
-  *    whole-stage codegen, and Catalyst's optimizer is linear in the tree —
-  *    a nested `bands(sig(shingles(tokens)))` expression under a Generate
-  *    drove plan optimization super-linear (minutes of driver CPU at 5k
-  *    docs) while this shape plans in milliseconds and scales by rows.
-  *  - the only shuffles are the signature groupBy and the band-key join,
-  *    whose fan-out is controlled by (numHashes, bands). Never O(n²).
+  *  - MinHash/SimHash signatures are native Catalyst expressions
+  *    ([[graft.expressions.HashExpressions]]) — one codegen'd call per
+  *    document, no Generate/shuffle on the signature path. Token arrays are
+  *    staged through their own projection first: expressions nested inside
+  *    higher-order-function lambdas are re-evaluated per element (Catalyst
+  *    does no subexpression elimination inside lambdas), so
+  *    shingles(tokens(text)) would re-tokenize the document once per
+  *    shingle (measured 25×). Deeply nested HOF trees under a Generate are
+  *    also super-linear in OPTIMIZER time — both forbidden shapes here.
+  *  - the only shuffles are a narrow repartition that spreads sketch work
+  *    across the cluster and the band-key join, whose fan-out is
+  *    controlled by (numHashes, bands). Never O(n²).
   *  - n-gram Jaccard joins the inverted index with a length filter in the
   *    join condition so size-incompatible pairs never reach the aggregate.
   *  - embedding near-dup goes through sign-LSH buckets first.
@@ -37,36 +40,43 @@ object Dedup {
   }
 
   /** One row per (id, shingle): the working relation for MinHash/Jaccard.
-    * Shingles are distinct within a document (wordShingles distincts). */
+    * Shingles are distinct within a document (wordShingles distincts).
+    * The repartition spreads the normalize+shingle work across the cluster
+    * even when the source has few splits (a 1-file local table would
+    * otherwise tokenize on one core); at real scale the input has thousands
+    * of splits and the shuffle of raw (id, text) rows is still one linear
+    * narrow pass. Downstream groupBys on `id` reuse the partitioning. */
   private def shingleRows(docs: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
-    docs.select(col(idCol).as("id"), explode(wordShingles(col(textCol), shingleN)).as("s"))
+    docs.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+      .repartition(col("id"))
+      .select(col("id"), explode(shinglesFromTokens(col("__toks"), shingleN)).as("s"))
 
-  /** MinHash signatures as `numHashes` flat columns h0..h{k-1}:
-    * hᵢ(doc) = min over shingles of md5(i || "|" || shingle), the min taken
-    * lexicographically over hex strings — deterministic, engine-portable
-    * (DuckDB md5 yields identical hex), no seed tables to ship.
-    * Partial-aggregated min ⇒ one shuffle carrying k×32-byte rows per doc. */
-  private def minhashSigCols(shRows: DataFrame, numHashes: Int): DataFrame = {
-    val hashed = shRows.select(
-      Seq(col("id")) ++ (0 until numHashes).map(i =>
-        md5(concat(lit(i + "|"), col("s"))).as(s"h$i")): _*)
-    val aggs = (0 until numHashes).map(i => min(col(s"h$i")).as(s"h$i"))
-    hashed.groupBy("id").agg(aggs.head, aggs.tail: _*)
-  }
-
-  /** Candidate near-dup pairs via MinHash + LSH banding.
+  /** Candidate near-dup pairs via MinHash + LSH banding. The signature is
+    * the native [[graft.expressions.MinHashSignatureExpr]] — one codegen'd
+    * call per document, NO explode and NO shuffle on the signature path
+    * (the hash family — lexicographic-min md5(i || "|" || shingle) hex — is
+    * unchanged and oracle-identical). Band keys are flat expressions over
+    * the signature column.
     * Returns (id_a, id_b) with id_a < id_b, distinct. */
   def minhashLshCandidates(
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4): DataFrame = {
     val rows = numHashes / bands
-    val sig = minhashSigCols(shingleRows(docs, idCol, textCol, shingleN), numHashes)
+    val sig = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+      .repartition(col("id"))
+      .select(col("id"), graft.expressions.HashExpressions.minhashSignature(
+        shinglesFromTokens(col("__toks"), shingleN), numHashes).as("sig"))
     // band key b = md5 of the band's hashes joined with "," (same bytes the
     // array-formulation produced), prefixed with the band index
     val bandCols = (0 until bands).map { b =>
-      concat(lit(s"$b:"), md5(concat_ws(",", (b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)))
+      concat(lit(s"$b:"),
+        md5(concat_ws(",", (b * rows until (b + 1) * rows).map(i => element_at(col("sig"), i + 1)): _*)))
     }
+    // localCheckpoint: without it the self-join computes the full signature
+    // pass once PER SIDE (no shuffle ⇒ no exchange reuse); the banded
+    // relation is tiny (bands × docs rows of (key, id))
     val withBands = sig.select(col("id"), explode(array(bandCols: _*)).as("bandkey"))
+      .localCheckpoint()
     val a = withBands.select(col("bandkey"), col("id").as("id_a"))
     val b = withBands.select(col("bandkey"), col("id").as("id_b"))
     a.join(b, Seq("bandkey"))
@@ -81,7 +91,9 @@ object Dedup {
   def minhashDedupPairs(
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, shingleN)
+    // the verify join reads the exploded shingle relation three times
+    // (sizes, id_a side, id_b side) — materialize it once
+    val sh = shingleRows(docs, idCol, textCol, shingleN).localCheckpoint()
     val cands = minhashLshCandidates(docs, idCol, textCol, shingleN, numHashes, bands)
     verifyJaccard(cands, sh, threshold)
   }
@@ -207,32 +219,26 @@ object Dedup {
   /** Block count for the dense all-pairs equi-join plan. */
   val PairBlocks = 16
 
-  /** SimHash near-dup candidates: fingerprints from exploded token rows
-    * (bit j of md5-derived token hash votes ±1; sign of the vote sum is
-    * bit j), banded on upper/lower half, hamming-verified ≤ maxDist.
-    * Docs with zero tokens get fingerprint 0 (empty vote sum), matching the
-    * array formulation. */
+  /** SimHash near-dup candidates: the native
+    * [[graft.expressions.SimHashExpr]] fingerprint (bit j of the
+    * md5-derived token hash votes ±1; sign of the vote sum is bit j) —
+    * one codegen'd call per document, no explode/shuffle — banded on
+    * upper/lower half, hamming-verified ≤ maxDist. Zero-token docs get
+    * fingerprint 0. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       bits: Int = 16, maxDist: Int = 2): DataFrame = {
-    val tokRows = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
-    val hashed = tokRows.select(col("id"),
-      conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long").as("h"))
-    val voteAggs = (0 until bits).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$j")
-    }
-    val votes = hashed.groupBy("id").agg(voteAggs.head, voteAggs.tail: _*)
-    val fpCol = (0 until bits).map { j =>
-      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    // empty-token docs drop out of the explode; restore them with fp = 0
-    val fp = docs.select(col(idCol).as("id"))
-      .join(votes.select(col("id"), fpCol.as("fp")), Seq("id"), "left")
-      .select(col("id"), coalesce(col("fp"), lit(0L)).as("fp"))
-    // band on upper/lower half: pairs within hamming ≤ bits/2 − 1 share ≥1 identical half
+    val fp = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+      .repartition(col("id"))
+      .select(col("id"),
+        graft.expressions.HashExpressions.simhash64(col("__toks"), bits).as("fp"))
+    // band on upper/lower half: pairs within hamming ≤ bits/2 − 1 share ≥1 identical half.
+    // localCheckpoint for the same reason as the MinHash bands: both join
+    // sides would otherwise re-run the fingerprint scan
     val banded = fp
       .withColumn("b0", concat(lit("lo:"), (col("fp").bitwiseAND(lit((1L << (bits / 2)) - 1))).cast("string")))
       .withColumn("b1", concat(lit("hi:"), shiftright(col("fp"), bits / 2).cast("string")))
       .select(col("id"), col("fp"), explode(array(col("b0"), col("b1"))).as("band"))
+      .localCheckpoint()
     banded.as("x").join(banded.as("y"), col("x.band") === col("y.band") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         hammingDistance(col("x.fp"), col("y.fp")).as("hamming"))

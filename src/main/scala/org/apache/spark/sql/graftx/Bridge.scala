@@ -1,0 +1,23 @@
+package org.apache.spark.sql.graftx
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ catalyst Expression bridge. Spark 4 hides the classic Column
+  * internals behind `private[sql]`; third-party Catalyst expressions need a
+  * shim inside the `org.apache.spark.sql` package tree to expose them (the
+  * standard pattern for Spark-native libraries). Only this file lives in
+  * Spark's namespace; everything else is `graft.*`. */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a function builder on a LIVE session (extensions only apply
+    * at session construction; `getOrCreate` on an existing session ignores
+    * them — this covers that path). */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+}
