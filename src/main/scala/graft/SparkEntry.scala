@@ -1089,8 +1089,8 @@ object SparkEntry {
         |    CASE WHEN regexp_replace(price_str, '[^0-9]', '', 'g') = '' THEN NULL
         |      ELSE CAST(regexp_replace(price_str, '[^0-9]', '', 'g') AS BIGINT) END parsed_price,
         |    lower(trim(sales_str)) ls,
-        |    regexp_extract(lower(trim(sales_str)), '([0-9.]+)\s*([km]?)', 1) num,
-        |    regexp_extract(lower(trim(sales_str)), '([0-9.]+)\s*([km]?)', 2) unit,
+        |    regexp_extract(lower(trim(sales_str)), '([0-9]+(?:\.[0-9]+)?)\s*([km]?)', 1) num,
+        |    regexp_extract(lower(trim(sales_str)), '([0-9]+(?:\.[0-9]+)?)\s*([km]?)', 2) unit,
         |    CASE WHEN regexp_extract(purl, '[/-]p[/-]?([0-9]+)', 1) = '' THEN NULL
         |      ELSE regexp_extract(purl, '[/-]p[/-]?([0-9]+)', 1) END pid,
         |    CASE WHEN regexp_extract(curl, '/c([0-9]+)', 1) = '' THEN NULL

@@ -19,7 +19,10 @@ object ColumnOps {
     */
   def parsePrice(c: Column): Column = {
     val digits = regexp_replace(c.cast(StringType), "[^0-9]", "")
-    when(digits === "", lit(null).cast(LongType)).otherwise(digits.cast(LongType))
+    // >18 digits cannot be a price and would overflow the ANSI BIGINT cast
+    // (found by PropertySpec's generated-garbage batch) -> null
+    when(digits === "" || length(digits) > 18, lit(null).cast(LongType))
+      .otherwise(digits.cast(LongType))
   }
 
   /** X2 — parse_sales_count: "2k"→2000, "1.5k"→1500, "3m"→3000000,
@@ -30,10 +33,17 @@ object ColumnOps {
     */
   def parseSalesCount(c: Column): Column = {
     val s    = lower(trim(c.cast(StringType)))
-    val num  = regexp_extract(s, "([0-9.]+)\\s*([km]?)", 1)
-    val unit = regexp_extract(s, "([0-9.]+)\\s*([km]?)", 2)
+    // the number group must be a strictly-valid numeral (not "[0-9.]+")
+    // so the later double cast is total under ANSI mode — a bare "." or
+    // "1..2" matched the loose pattern and killed the job (found by
+    // PropertySpec's generated-garbage batch)
+    val numRe = "([0-9]+(?:\\.[0-9]+)?)\\s*([km]?)"
+    val num  = regexp_extract(s, numRe, 1)
+    val unit = regexp_extract(s, numRe, 2)
     val base = num.cast(DoubleType)
-    when(num === "" || s.isNull, lit(null).cast(LongType))
+    // length guard: a 20+-digit "count" is garbage and the double->long
+    // ANSI cast would throw on overflow
+    when(num === "" || length(num) > 15 || s.isNull, lit(null).cast(LongType))
       .otherwise(
         when(unit === "k", (base * 1000).cast(LongType))
           .when(unit === "m", (base * 1000000).cast(LongType))

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.expressions.HashFns
+import graft.functions.{ColumnOps, NameCleaner}
+import graft.operators.{Dedup, Merge}
+
+/** Property-based tests (SURVEY.md §5's planned upgrade over the
+  * reference's example-based suite): invariants checked over generated
+  * inputs — pure JVM functions via ScalaCheck directly, column functions
+  * via one generated-batch DataFrame pass. */
+class PropertySpec extends SparkSpec {
+
+  private def check(label: String, p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(100), p)
+    assert(res.passed, s"$label: $res")
+  }
+
+  private val anyString: Gen[String] =
+    Gen.frequency(
+      6 -> Gen.asciiPrintableStr,
+      2 -> Gen.listOf(Gen.oneOf("  ", "đã", "bán", "₫", "1.5m", "2k", "\t", "xyz")).map(_.mkString(" ")),
+      1 -> Gen.const(""),
+      1 -> Gen.listOf(Gen.choose(Char.MinValue, Char.MaxValue)).map(_.mkString).map(_.filterNot(_.isSurrogate)))
+
+  test("cleanName is total on garbage and idempotent on realistic names") {
+    // totality over arbitrary garbage (the goldens pin exact behavior; the
+    // reference heuristic is NOT idempotent on unbalanced-bracket noise)
+    check("cleanName total", Prop.forAll(anyString) { s =>
+      val r = NameCleaner.cleanName(s)
+      r != null && r == r.trim
+    })
+    check("shortName total", Prop.forAll(anyString) { s =>
+      NameCleaner.shortName(s) != null
+    })
+    // NOT idempotence: removing a year can CREATE a new marketing-phrase
+    // adjacency ("cao 2023 cấp" → "cao cấp" → removed on a second pass) —
+    // the reference heuristic has the same ordering sensitivity (SURVEY
+    // §7.4#4) and the goldens pin it. The contractual invariants are:
+    val word = Gen.oneOf("Áo", "thun", "nam", "cotton", "cao", "cấp", "giảm", "giá",
+      "hàng", "chính", "hãng", "2023", "size", "XL", "khuyến", "mãi", "laptop", "ELITE")
+    val name = Gen.nonEmptyListOf(word).map(_.mkString(" "))
+    check("cleanName output is normalized", Prop.forAll(name) { s =>
+      val r = NameCleaner.cleanName(s)
+      r == r.trim && !r.contains("  ") && !r.matches(".*\\b202\\d\\b.*")
+    })
+  }
+
+  test("minhash signature is invariant under shingle permutation and duplication") {
+    val shingleGen = Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty))
+    def arr(xs: Seq[String]) =
+      new GenericArrayData(xs.map(x => UTF8String.fromString(x): Any).toArray)
+    check("permutation-invariant", Prop.forAll(shingleGen) { xs =>
+      val a = HashFns.minhash(arr(xs), 8)
+      val b = HashFns.minhash(arr(scala.util.Random.shuffle(xs)), 8)
+      a.toSeq[UTF8String](org.apache.spark.sql.types.StringType) ==
+        b.toSeq[UTF8String](org.apache.spark.sql.types.StringType)
+    })
+    check("duplication-invariant", Prop.forAll(shingleGen) { xs =>
+      val a = HashFns.minhash(arr(xs), 8)
+      val b = HashFns.minhash(arr(xs ++ xs), 8)
+      a.toSeq[UTF8String](org.apache.spark.sql.types.StringType) ==
+        b.toSeq[UTF8String](org.apache.spark.sql.types.StringType)
+    })
+  }
+
+  test("simhash is permutation-invariant and hamming-bounded") {
+    val tokGen = Gen.listOf(Gen.alphaNumStr)
+    def arr(xs: Seq[String]) =
+      new GenericArrayData(xs.map(x => UTF8String.fromString(x): Any).toArray)
+    check("permutation-invariant", Prop.forAll(tokGen) { xs =>
+      HashFns.simhash(arr(xs), 16) == HashFns.simhash(arr(scala.util.Random.shuffle(xs)), 16)
+    })
+    check("fits bit width", Prop.forAll(tokGen) { xs =>
+      val fp = HashFns.simhash(arr(xs), 16)
+      fp >= 0L && fp < (1L << 16)
+    })
+  }
+
+  test("column parsers and normalizers hold invariants over a generated batch") {
+    import spark.implicits._
+    val samples = Gen.listOfN(300, anyString)
+      .apply(Gen.Parameters.default, org.scalacheck.rng.Seed(42L)).get
+    val df = samples.toDF("s").select(
+      col("s"),
+      ColumnOps.normalizeText(col("s")).as("norm"),
+      ColumnOps.normalizeText(ColumnOps.normalizeText(col("s"))).as("norm2"),
+      ColumnOps.parseSalesCount(col("s")).as("sales"),
+      ColumnOps.parsePrice(col("s")).as("price"))
+    // idempotence of normalization; parser totality + sign contracts
+    assert(df.filter(col("norm") =!= col("norm2")).count() === 0)
+    assert(df.filter(col("sales").isNotNull && col("sales") < 0).count() === 0)
+    assert(df.filter(col("price").isNotNull && col("price") < 0).count() === 0)
+  }
+
+  test("upsertMerge is idempotent and exactDedup keeps the minimum id per fingerprint") {
+    import spark.implicits._
+    val old = Seq(("1", "a", 10.0), ("2", "b", 20.0)).toDF("product_id", "name", "price")
+    val batch = Seq(("2", "", 25.0), ("3", "c", 30.0)).toDF("product_id", "name", "price")
+    val once = Merge.upsertMerge(old, batch, Seq("product_id"))
+    val twice = Merge.upsertMerge(once, batch, Seq("product_id"))
+    assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+
+    val docs = Seq((5L, "x  y"), (3L, "x y"), (9L, "z")).toDF("doc_id", "text")
+    val kept = Dedup.exactDedup(docs, "doc_id", "text").select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept === Set(3L, 9L))
+  }
+}

@@ -79,4 +79,34 @@ class StreamsSpec extends SparkSpec {
         if (r.isNullAt(3)) null else r.getDouble(3))).toSeq
     assert(hist == Seq(("p1", 100.0, "price_change", null), ("p1", 110.0, "price_change", 10.0)))
   }
+
+  test("statefulCdc keeps previous values in group state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.ProductObs]
+    val outDir = java.nio.file.Files.createTempDirectory("graft_scdc").toString
+    val q = Streams.statefulCdc(mem.toDS())
+      .writeStream.format("memory").queryName("scdc").outputMode("append").start()
+    mem.addData(
+      Streams.ProductObs("p1", 100.0, 5L, ts("2024-01-01 00:00:00")),
+      Streams.ProductObs("p2", 50.0, 1L, ts("2024-01-01 00:00:00")))
+    q.processAllAvailable()
+    mem.addData(
+      Streams.ProductObs("p1", 120.0, 5L, ts("2024-01-02 00:00:00")), // price change
+      Streams.ProductObs("p2", 50.0, 9L, ts("2024-01-02 00:00:00")), // sales change
+      Streams.ProductObs("p2", 50.0, 9L, ts("2024-01-03 00:00:00"))) // no change
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("scdc")
+      .select("product_id", "crawl_type", "price", "previous_price", "price_change", "sales_change")
+      .orderBy("crawled_at", "product_id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        if (r.isNullAt(3)) null else r.getDouble(3),
+        if (r.isNullAt(4)) null else r.getDouble(4),
+        if (r.isNullAt(5)) null else r.getLong(5))).toSeq
+    assert(got === Seq(
+      ("p1", "first_crawl", 100.0, null, null, null),
+      ("p2", "first_crawl", 50.0, null, null, null),
+      ("p1", "price_change", 120.0, 100.0, 20.0, null),
+      ("p2", "sales_change", 50.0, 50.0, null, 8L)))
+  }
 }
