@@ -46,6 +46,9 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // S3: the reference zlib-compresses its JSON artifacts; here
+      // compression is a storage-codec concern — zstd on every parquet write
+      .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.ui.enabled", "false")
 
   /** Build and finish setup (UDF registration needs a live session; the

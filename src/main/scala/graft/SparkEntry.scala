@@ -632,6 +632,17 @@ object SparkEntry {
           sum(col("k")).cast(LongType).as("sum_k"),
           max(col("nkeys")).cast(LongType).as("max_keys"))
         .orderBy(col("event_type"))
+    }),
+
+    // --- IVF ANN: KMeans inverted lists + nprobe search (scale path; no SQL
+    //     oracle — KMeans isn't SQL-expressible, driver does rows-only) -----
+    "q45_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val index = operators.Ann.buildIvf(emb, "vec_id", "embedding", nlist = 16)
+      operators.Ann.ivfTopK(emb.filter(col("vec_id") < 20), index,
+        "vec_id", "embedding", k = 10, nprobe = 4)
+        .withColumn("rank", col("rank").cast(LongType))
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbour — the scale path for
+  * similarity search beyond [[Similarity.lshTopK]]'s sign buckets.
+  *
+  * Build: KMeans (seeded, deterministic per partitioning) learns `nlist`
+  * centroids on the corpus; every corpus vector is assigned to its nearest
+  * centroid's list. At 100 TB the assigned corpus is written partitioned by
+  * `list` so a probe reads only `nprobe`/`nlist` of the data.
+  *
+  * Query: each query ranks centroids by distance, probes its top `nprobe`
+  * lists (an equi-join on list id — hash-partition-local), scores exact
+  * cosine inside them, and takes the top k. Recall is tunable via `nprobe`
+  * (spec asserts ≥ 0.7 @ nprobe=4/nlist=16 on the synthetic embeddings vs
+  * the brute-force oracle).
+  */
+object Ann {
+
+  /** Corpus side of the index: input + `list` (centroid id) column, plus
+    * the fitted centroid vectors as a plain Array for the query side. */
+  case class IvfIndex(assigned: DataFrame, centroids: Array[Array[Double]])
+
+  def buildIvf(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, seed: Long = 42L): IvfIndex = {
+    val feat = corpus.select(col(idCol), col(vecCol),
+      array_to_vector(col(vecCol)).as("__features"))
+    // 10 iterations is plenty for routing-quality centroids (IVF recall is
+    // governed by nprobe, not centroid convergence)
+    val model = new KMeans()
+      .setK(nlist).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("__features").setPredictionCol("list")
+      .fit(feat)
+    val assigned = model.transform(feat).drop("__features")
+    IvfIndex(assigned, model.clusterCenters.map(_.toArray))
+  }
+
+  /** Probe the index: exact cosine inside the query's `nprobe` nearest
+    * lists, top-k per query (ties broken by neighbour id). */
+  def ivfTopK(queries: DataFrame, index: IvfIndex, idCol: String, vecCol: String,
+      k: Int, nprobe: Int): DataFrame = {
+    val centroids = index.centroids
+    // rank centroids per query by squared L2 distance — a small flat
+    // expression tree (nlist terms), evaluated once per query row
+    val distCols = centroids.zipWithIndex.map { case (c, i) =>
+      val d = c.indices.map { j =>
+        val diff = element_at(col("qv"), j + 1).cast("double") - lit(c(j))
+        diff * diff
+      }.reduce(_ + _)
+      struct(d.as("dist"), lit(i).as("list"))
+    }
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        Similarity.norm(col(vecCol)).as("qn"))
+      .withColumn("probe", explode(slice(array_sort(array(distCols: _*)), 1, nprobe)))
+      .select(col("query_id"), col("qv"), col("qn"), col("probe.list").as("list"))
+    val corpus = index.assigned.select(col(idCol).as("neighbor_id"), col("list"),
+      col(vecCol).as("cv"), Similarity.norm(col(vecCol)).as("cn"))
+    val scored = probes.join(corpus, Seq("list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(
+        Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+}

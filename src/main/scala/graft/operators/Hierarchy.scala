@@ -79,6 +79,26 @@ object Hierarchy {
     categories.select(col("parent_url").as("url")).where(col("url").isNotNull).distinct()
       .join(categories.select("url"), Seq("url"), "left_anti")
 
+  /** H6 — full missing-parent repair: pull absent parents from a reference
+    * dimension (precedence: existing table wins), union them in, re-derive
+    * paths and is_leaf. Parents absent from the reference too are created
+    * as placeholder roots named from their URL slug (the reference's
+    * auto-create default, postgres_storage.py:836-854).
+    * Ref flow: tasks/loader.py:21-219. */
+  def repairParents(categories: DataFrame, referenceDim: DataFrame,
+      maxLevels: Int = 5): DataFrame = {
+    val missing = missingParents(categories)
+    val fromRef = missing.join(referenceDim, Seq("url"), "inner")
+      .select(col("url"), col("name"), col("parent_url"))
+    val placeholders = missing.join(referenceDim.select("url"), Seq("url"), "left_anti")
+      .select(col("url"),
+        initcap(regexp_replace(regexp_extract(col("url"), "/([^/]+)/?$", 1), "-", " ")).as("name"),
+        lit(null).cast("string").as("parent_url"))
+    val repaired = categories.select("url", "name", "parent_url")
+      .unionByName(fromRef).unionByName(placeholders)
+    withIsLeaf(resolvePaths(repaired, maxLevels = maxLevels))
+  }
+
   /** H5 — ensure the root name sits at index 1 of every path.
     * Ref: validate_category_path.py:24-124. */
   def fixPathRoot(df: DataFrame, pathCol: String, rootName: String): DataFrame =

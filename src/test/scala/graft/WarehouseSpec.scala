@@ -86,6 +86,24 @@ class WarehouseSpec extends SparkSpec {
     assert(Schemas.envelope.fieldNames.contains("products"))
   }
 
+  test("repairParents pulls absent parents from the reference dim and placeholders the rest") {
+    import spark.implicits._
+    val cats = Seq(
+      ("/a/x", "X", "/a"),          // parent /a missing, present in reference
+      ("/b/y", "Y", "/b")           // parent /b missing everywhere -> placeholder
+    ).toDF("url", "name", "parent_url")
+    val ref = Seq(("/a", "A", null: String)).toDF("url", "name", "parent_url")
+    val repaired = Hierarchy.repairParents(cats, ref)
+    val rows = repaired.select("url", "name", "is_leaf")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(rows === Set(
+      ("/a/x", "X", true), ("/b/y", "Y", true),
+      ("/a", "A", false), ("/b", "B", false)))
+    val pathOfX = repaired.filter(col("url") === "/a/x")
+      .select(array_join(col("category_path"), ">")).head().getString(0)
+    assert(pathOfX === "A>X")
+  }
+
   test("flattenTree unrolls a nested category tree to (name,url,parent,level)") {
     import spark.implicits._
     val tree =
