@@ -1,5 +1,7 @@
 /** Dev probe: stage timings for q25 at sf0.1. */
-object Q25Probe {
+package graft.tools
+
+object QueryProbe {
   def main(a: Array[String]): Unit = {
     import org.apache.spark.sql.functions._
     import graft.functions.TextAnalysis._
