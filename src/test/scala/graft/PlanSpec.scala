@@ -54,4 +54,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
     assert(!p.contains("SortMergeJoin"), "hierarchy rounds must not shuffle-join a dim")
   }
+
+  test("no query plans a cartesian product or an unintended nested-loop join") {
+    // BNLJ is legitimate ONLY where the algorithm is genuinely all-pairs
+    // against a broadcast side: brute-force ANN and single-row
+    // reference-time joins
+    val bnljAllowed = Set("q29_ann_topk", "q41_staleness_skip", "q42_crawl_coverage")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val p = plan(fn(spark, sfDir))
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+      if (!bnljAllowed(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a nested-loop join")
+    }
+  }
+
+  test("minhash signature path has no shuffle between scan and band explode") {
+    // the sketch is a scalar expression: scan → repartition → project(sig)
+    // → generate. A groupBy/Window on the path would add an extra Exchange.
+    val sigOnly = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val df = graft.operators.Dedup.minhashLshCandidates(sigOnly, "doc_id", "text")
+    // candidates still compute (smoke); the checkpointed band relation has
+    // exactly the narrow repartition exchange upstream — assert by running
+    // the full operator and checking no SortMergeJoin appeared
+    val p = plan(df)
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(df.columns.toSeq === Seq("id_a", "id_b"))
+  }
 }
