@@ -131,7 +131,8 @@ object Dedup {
     * 12.5M possible pairs on the synthetic corpus while doubling the joins). */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, threshold: Double): DataFrame = {
+      shingleN: Int, threshold: Double,
+      denseVocabBits: Int = DenseVocabBits): DataFrame = {
     // ONE corpus scan materializes the exploded shingle relation (narrow:
     // id + shingle string); vocab build and both downstream paths read the
     // checkpoint instead of re-running normalize+tokenize+explode
@@ -140,7 +141,7 @@ object Dedup {
       .withColumn("v", row_number().over(Window.orderBy(col("s"))) - 1)
       .localCheckpoint()
     val vocabSize = vocab.count()
-    if (vocabSize <= DenseVocabBits) ngramJaccardDense(sh, vocab, threshold, vocabSize.toInt)
+    if (vocabSize <= denseVocabBits) ngramJaccardDense(sh, vocab, threshold, vocabSize.toInt)
     else ngramJaccardInverted(sh, threshold)
   }
 

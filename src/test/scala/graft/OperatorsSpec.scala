@@ -115,4 +115,17 @@ class OperatorsSpec extends SparkSpec {
       .select("product_id", "crawl_type").as[(String, String)].collect().toMap
     assert(got == Map("p1" -> "price_change", "p2" -> "sales_change", "p4" -> "price_change"))
   }
+
+  test("ngramJaccard inverted and dense strategies produce identical pairs") {
+    val docs = Tables.documents(spark, sfDir).limit(300)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // denseVocabBits = 0 forces the inverted-index path on the same input
+    val dense = canon(graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.5))
+    val inverted = canon(graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.5,
+      denseVocabBits = 0))
+    assert(dense.nonEmpty)
+    assert(dense === inverted)
+  }
 }
