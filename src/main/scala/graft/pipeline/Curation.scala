@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.operators.Dedup
+
+/** Corpus curation — the training-data pipeline composed end-to-end over a
+  * documents table: language/quality gates (pure expressions), exact
+  * dedup, MinHash near-dup removal, and a per-reason drop ledger.
+  *
+  * Near-dup resolution keeps the SMALLEST doc id of each verified pair and
+  * drops the other side (single-link-lite: one pass over pairs, no
+  * connected-components iteration — at 100 TB a full CC would be an
+  * iterative join; one pass removes ≥ half of every duplicate cluster per
+  * run and converges over recurring runs, which is the standard
+  * curation-cadence trade-off).
+  *
+  * Every stage is one declarative plan over the previous stage's output;
+  * `curate` returns the kept corpus plus a (reason, n) ledger derived
+  * set-theoretically (counts of stage inputs/outputs — deterministic under
+  * retries and partitioning).
+  */
+object Curation {
+
+  case class CurationResult(kept: DataFrame, ledger: DataFrame)
+
+  def curate(
+      docs: DataFrame, idCol: String, textCol: String,
+      allowedLangs: Seq[String] = Seq("en", "de", "es", "fr", "vi"),
+      minQuality: Double = 0.5,
+      nearDupThreshold: Double = 0.7,
+      shingleN: Int = 3): CurationResult = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val total = docs.count()
+
+    // stage 1: language + quality gates (one scan, both expressions)
+    val scored = docs.select(col(idCol), col(textCol),
+      TextAnalysis.langPredict(TextAnalysis.tokens(col(textCol))).as("__lang"),
+      TextAnalysis.qualityScore(col(textCol)).as("__q"))
+    val gated = scored
+      .filter(col("__lang").isin(allowedLangs: _*) && col("__q") >= minQuality)
+      .drop("__lang", "__q")
+    val nGated = gated.count()
+
+    // stage 2: exact dedup (normalized-text fingerprint, min-id wins)
+    val exact = Dedup.exactDedup(gated, idCol, textCol)
+    val nExact = exact.count()
+
+    // stage 3: near-dup removal — drop the larger id of each verified pair
+    val pairs = Dedup.minhashDedupPairs(exact, idCol, textCol, nearDupThreshold,
+      shingleN = shingleN)
+    val losers = pairs.select(col("id_b").as(idCol)).distinct()
+    val kept = exact.join(losers, Seq(idCol), "left_anti")
+    val nKept = kept.count()
+
+    val ledger = Seq(
+      ("input", total),
+      ("dropped_lang_or_quality", total - nGated),
+      ("dropped_exact_dup", nGated - nExact),
+      ("dropped_near_dup", nExact - nKept),
+      ("kept", nKept)
+    ).toDF("reason", "n")
+    CurationResult(kept, ledger)
+  }
+}
