@@ -1,0 +1,20 @@
+package graft.tools
+
+/** Dev tool: dump formatted physical plans of flagship queries to stdout
+  * (captured into docs/PLANS.md as plan-quality evidence). */
+object PlanDump {
+  def main(a: Array[String]): Unit = {
+    val spark = graft.GraftSession.create("local[8]", 8)
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (a.nonEmpty) a.toSeq
+      else Seq("q01_pricing_summary", "q05_enrich_join", "q07_latest_per_key",
+        "q25_minhash_pairs", "q31_hierarchy_paths", "q39_star_fact")
+    names.foreach { n =>
+      println(s"===== $n =====")
+      val df = graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
+      df.collect() // finalize AQE
+      println(df.queryExecution.executedPlan.toString)
+    }
+    spark.stop()
+  }
+}
