@@ -201,20 +201,22 @@ object Dedup {
     val interCol = (0 until words).map { w =>
       bit_count(col(s"x.w$w").bitwiseAND(col(s"y.w$w"))).cast("long")
     }.reduce(_ + _)
+    val jaccardCol = round(interCol.cast("double") /
+      (col("x.n") + col("y.n") - interCol).cast("double"), 6)
     // cross-block pairs appear once by construction; same-block pairs are
     // ordered by id. Output ids are normalized with least/greatest.
+    // The Jaccard threshold sits IN the join condition: the hash join then
+    // emits only true matches instead of materializing every candidate
+    // pair's row for a downstream filter (n² candidates, ~n survivors).
     vecs.as("x").join(broadcast(blockPairs), col("x.b") === col("b1"))
       .join(broadcast(vecs.as("y")),
         col("y.b") === col("b2") &&
         (col("b1") < col("b2") || col("x.id") < col("y.id")) &&
-        col("x.n") >= col("y.n") * threshold && col("y.n") >= col("x.n") * threshold)
+        col("x.n") >= col("y.n") * threshold && col("y.n") >= col("x.n") * threshold &&
+        jaccardCol >= threshold)
       .select(least(col("x.id"), col("y.id")).as("id_a"),
         greatest(col("x.id"), col("y.id")).as("id_b"),
-        col("x.n").as("n_a"), col("y.n").as("n_b"), interCol.as("inter"))
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (col("n_a") + col("n_b") - col("inter")).cast("double"), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+        jaccardCol.as("jaccard"))
   }
 
   /** Block count for the dense all-pairs equi-join plan. */
