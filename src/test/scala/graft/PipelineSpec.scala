@@ -101,4 +101,16 @@ class PipelineSpec extends SparkSpec {
     assert(store.history("crawl_history").get.count() == 1)
     assert(store.history("crawl_history_archive").get.count() == 1)
   }
+
+  test("history events conform to the declared crawl_history schema") {
+    import graft.schema.Schemas
+    // the CDC event columns must be a subset of the declared at-rest schema
+    // (modulo types refined at write time)
+    val eventCols = Set("product_id", "crawl_type", "price", "previous_price",
+      "price_change", "price_change_percent", "sales_count",
+      "previous_sales_count", "sales_change", "is_flash_sale", "crawled_at")
+    assert(eventCols.subsetOf(Schemas.crawlHistory.fieldNames.toSet))
+    assert(Schemas.product.fieldNames.contains("product_id"))
+    assert(Schemas.category.fieldNames.toSet.contains("is_leaf"))
+  }
 }
