@@ -341,7 +341,7 @@ object SparkEntry {
     // --- embedding-cosine near-dup pairs via sign-LSH buckets ----------------
     "q28_embed_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.4, planes = 4)
+        threshold = 0.4, planes = 8, bands = 4)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -947,16 +947,19 @@ object SparkEntry {
         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
 
     "q28_embed_neardup" ->
-      """WITH b AS (
-        |  SELECT vec_id, embedding, CAST(list_sum([
-        |    CASE WHEN embedding[i+1] > 0 THEN (1::BIGINT << i) ELSE 0 END FOR i IN range(0, 4)]) AS BIGINT) bucket
-        |  FROM embeddings
+      """WITH banded AS (
+        |  SELECT vec_id, b::VARCHAR || ':' || CAST(list_sum([
+        |    CASE WHEN embedding[b*8+i+1] > 0 THEN (1::BIGINT << i) ELSE 0 END FOR i IN range(0, 8)]) AS VARCHAR) band
+        |  FROM embeddings, range(0, 4) t(b)
+        |), cand AS (
+        |  SELECT DISTINCT x.vec_id id_a, y.vec_id id_b
+        |  FROM banded x JOIN banded y ON x.band = y.band AND x.vec_id < y.vec_id
         |), p AS (
-        |  SELECT x.vec_id id_a, y.vec_id id_b,
-        |    round(list_sum([x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE FOR i IN range(1, 65)])
-        |      / (sqrt(list_sum([x.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE FOR i IN range(1, 65)]))
-        |       * sqrt(list_sum([y.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE FOR i IN range(1, 65)]))), 6) cosine
-        |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        |  SELECT c.id_a, c.id_b,
+        |    round(list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE FOR i IN range(1, 65)])
+        |      / (sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE FOR i IN range(1, 65)]))
+        |       * sqrt(list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE FOR i IN range(1, 65)]))), 6) cosine
+        |  FROM cand c JOIN embeddings a ON a.vec_id = c.id_a JOIN embeddings b ON b.vec_id = c.id_b
         |)
         |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin,
 

@@ -137,12 +137,20 @@ object Dedup {
     // id + shingle string); vocab build and both downstream paths read the
     // checkpoint instead of re-running normalize+tokenize+explode
     val sh = shingleRows(docs, idCol, textCol, shingleN).localCheckpoint()
-    val vocab = sh.select("s").distinct()
-      .withColumn("v", row_number().over(Window.orderBy(col("s"))) - 1)
-      .localCheckpoint()
-    val vocabSize = vocab.count()
-    if (vocabSize <= denseVocabBits) ngramJaccardDense(sh, vocab, threshold, vocabSize.toInt)
-    else ngramJaccardInverted(sh, threshold)
+    // Size probe only: a distributed countDistinct aggregate — NO global
+    // sort, NO id assignment. At corpus scale the vocabulary is billions of
+    // shingles; anything that funnels it through one task (e.g. an
+    // unpartitioned row_number window) is a driver-adjacent bottleneck, so
+    // dense ids exist only on the dense path below, where the vocab is
+    // <= denseVocabBits rows and is collected + rebuilt driver-side.
+    val vocabSize = sh.agg(count_distinct(col("s"))).head.getLong(0)
+    if (vocabSize <= denseVocabBits) {
+      val spark = sh.sparkSession
+      import spark.implicits._
+      val vocab = sh.select("s").distinct().as[String].collect().sorted
+        .zipWithIndex.toSeq.toDF("s", "v")
+      ngramJaccardDense(sh, vocab, threshold, vocabSize.toInt)
+    } else ngramJaccardInverted(sh, threshold)
   }
 
   /** Vocabulary-size cutoff for the dense bitmap strategy (16 longs/doc). */
@@ -186,15 +194,21 @@ object Dedup {
     }
     // one tiny row per doc (n + `words` longs); localCheckpoint so the two
     // join sides don't each re-scan + re-aggregate the corpus
-    val vecs = sh.join(broadcast(vocab), Seq("s"))
+    val unblocked = sh.join(broadcast(vocab), Seq("s"))
       .groupBy("id")
       .agg(count(lit(1)).as("n"), bitAggs: _*)
-      .withColumn("b", pmod(hash(col("id")), lit(PairBlocks)))
       .localCheckpoint()
+    // Block count scales with the corpus: total pair work is ~n²/2 no matter
+    // the blocking, but blocks bound rows-per-task (≈ n/blocks per side) so
+    // per-task compare count stays ~PairBlockRows² and parallelism grows
+    // with n instead of being pinned at 16 tasks.
+    val nDocs = unblocked.count()
+    val blocks = math.max(PairBlocks, math.ceil(nDocs.toDouble / PairBlockRows).toInt)
+    val vecs = unblocked.withColumn("b", pmod(hash(col("id")), lit(blocks)))
     val spark = vecs.sparkSession
-    val blockPairs = spark.range(PairBlocks.toLong * PairBlocks)
-      .select((col("id") / PairBlocks).cast("int").as("b1"),
-        pmod(col("id"), lit(PairBlocks)).cast("int").as("b2"))
+    val blockPairs = spark.range(blocks.toLong * blocks)
+      .select((col("id") / blocks).cast("int").as("b1"),
+        pmod(col("id"), lit(blocks)).cast("int").as("b2"))
       .filter(col("b1") <= col("b2"))
     // flat bit_count chain — stays inside whole-stage codegen, unlike a
     // zip_with/aggregate lambda which is interpreted per pair
@@ -219,8 +233,12 @@ object Dedup {
         jaccardCol.as("jaccard"))
   }
 
-  /** Block count for the dense all-pairs equi-join plan. */
+  /** Minimum block count for the dense all-pairs equi-join plan. */
   val PairBlocks = 16
+
+  /** Target rows per block on the dense path — bounds per-task compare work
+    * at ~PairBlockRows² ≈ 16M popcount chains per block pair. */
+  val PairBlockRows = 4096
 
   /** SimHash near-dup candidates: the native
     * [[graft.expressions.SimHashExpr]] fingerprint (bit j of the
@@ -249,20 +267,42 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
-  /** Embedding-cosine near-dup pairs: sign-LSH bucket (first `planes` dims'
-    * signs) then exact cosine within bucket. */
+  /** Embedding-cosine near-dup pairs: multi-band sign-LSH candidates, then
+    * exact cosine per distinct candidate pair.
+    *
+    * Band b buckets on the signs of components [b·planes, (b+1)·planes) —
+    * `bands` independent OR'd bands. A single wide bucket (small `planes`)
+    * is quadratic inside each bucket (Σ_b n_b² ≈ n²/2^planes blows up with
+    * corpus size); multiple narrow-population bands keep per-bucket counts
+    * bounded while the OR preserves recall for high-cosine pairs. Candidates
+    * are distinct'd on narrow (id_a, id_b) BEFORE the vectors are joined
+    * back, so each pair pays exactly one dot product and the banded relation
+    * that self-joins carries no vector payload. */
   def embeddingNearDupPairs(
       emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int = 8): DataFrame = {
-    val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-      Similarity.signBucket(col(vecCol), planes).as("bucket"),
+      threshold: Double, planes: Int = 8, bands: Int = 4): DataFrame = {
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       Similarity.norm(col(vecCol)).as("nrm"))
+    val bandCols = (0 until bands).map { b =>
+      concat(lit(s"$b:"), Similarity.signBucketAt(col("v"), b * planes, planes).cast("string"))
+    }
+    // narrow (id, band) relation; localCheckpoint so the self-join's two
+    // sides don't each re-scan the corpus
+    val banded = base.select(col("id"), explode(array(bandCols: _*)).as("band"))
+      .localCheckpoint()
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    // verify: join vectors back by id (two pruned corpus scans — the scale
+    // shape; vectors never ride through the band self-join).
     // threshold compares the 6-dp-rounded cosine so the boundary decision is
     // identical across engines regardless of FP summation order
-    bucketed.as("x").join(bucketed.as("y"), col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+    cand
+      .join(base.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("id_b"))
       .withColumn("cosine", round(
-        Similarity.dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")), 6))
+        Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cosine") >= threshold)
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"), col("cosine"))
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 }

@@ -35,9 +35,13 @@ object Similarity {
     * Deterministic and portable (no random hyperplane matrix to ship);
     * components of learned embeddings are near-orthogonal enough for
     * recall-oriented bucketing. */
-  def signBucket(v: Column, planes: Int): Column =
+  def signBucket(v: Column, planes: Int): Column = signBucketAt(v, 0, planes)
+
+  /** Sign bucket over components [offset, offset+planes) — the per-band
+    * variant: independent bands read disjoint component ranges. */
+  def signBucketAt(v: Column, offset: Int, planes: Int): Column =
     (0 until planes).map { i =>
-      when(element_at(v, i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
+      when(element_at(v, offset + i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a + b)
 
   /** Brute-force cosine top-k: for every query row, the k nearest corpus

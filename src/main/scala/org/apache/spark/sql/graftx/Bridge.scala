@@ -20,4 +20,10 @@ object Bridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Drain the async listener bus — lets tests observe every
+    * QueryExecutionListener event fired so far (`listenerBus` is
+    * `private[spark]`, hence the shim). */
+  def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

@@ -68,6 +68,38 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dedup family runs no single-partition sort/window stage") {
+    // The scale contract for the dedup operators: nothing funnels the corpus
+    // (or its shingle vocabulary) through one task. The classic offender is
+    // an unpartitioned Window.orderBy — Exchange SinglePartition + Sort +
+    // Window over the FULL relation. Final single-ROW aggregates also plan
+    // Exchange SinglePartition but carry pre-aggregated bytes, so the
+    // assertion keys on SinglePartition *combined with* a Sort or Window.
+    // Stages hidden behind localCheckpoint never appear in the final plan
+    // string, so capture every executed plan via a listener instead.
+    val plans = scala.collection.mutable.ArrayBuffer[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Seq("q24_exact_dedup", "q25_minhash_pairs", "q26_ngram_jaccard",
+          "q27_simhash_pairs", "q28_embed_neardup").foreach { q =>
+        SparkEntry.queries(q)(spark, sfDir).collect()
+      }
+      org.apache.spark.sql.graftx.Bridge.drainListenerBus(spark)
+    } finally spark.listenerManager.unregister(listener)
+    val captured = plans.synchronized { plans.toVector }
+    assert(captured.nonEmpty, "listener captured no plans")
+    val bad = captured.filter(p => p.contains("Exchange SinglePartition") &&
+      (p.contains("Window [") || p.contains("Sort [")))
+    assert(bad.isEmpty, s"single-partition sort/window stage:\n${bad.headOption.getOrElse("").take(2000)}")
+  }
+
   test("minhash signature path has no shuffle between scan and band explode") {
     // the sketch is a scalar expression: scan → repartition → project(sig)
     // → generate. A groupBy/Window on the path would add an extra Exchange.
