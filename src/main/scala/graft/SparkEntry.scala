@@ -643,6 +643,115 @@ object SparkEntry {
         "vec_id", "embedding", k = 10, nprobe = 4)
         .withColumn("rank", col("rank").cast(LongType))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // --- P4/F3: read-side detail-merge — detail truthy values overwrite the
+    //     listing, sales_count prefers detail, brand-required gate ----------
+    "q46_detail_merge" -> ((s, dir) => {
+      val part = t(s, dir, "part")
+      val listing = part.select(
+        col("p_partkey").as("product_id"),
+        col("p_name").as("name"),
+        when(col("p_partkey") % 7 === 0, lit(null).cast(StringType))
+          .otherwise(col("p_brand")).as("brand"),
+        col("p_retailprice").as("price"),
+        when(col("p_partkey") % 5 === 0, lit(null).cast(LongType))
+          .otherwise(col("p_size").cast(LongType)).as("sales_count"),
+        col("p_type").as("description"))
+      val detail = part.filter(col("p_partkey") % 2 === 0).select(
+        col("p_partkey").as("product_id"),
+        when(col("p_partkey") % 4 === 0, lit(""))
+          .otherwise(concat(lit("D-"), col("p_brand"))).as("brand"),
+        when(col("p_partkey") % 3 === 0, lit(0.0))
+          .otherwise(col("p_retailprice") + 100.0).as("price"),
+        when(col("p_partkey") % 6 === 0, lit(null).cast(LongType))
+          .otherwise(col("p_size").cast(LongType) * 2).as("sales_count"),
+        lit(null).cast(StringType).as("description"))
+      Merge.detailMerge(listing, detail, "product_id",
+        detailWins = Seq("brand", "price", "description"),
+        preferDetail = Seq("sales_count"),
+        requireCol = Some("brand"))
+        .orderBy(col("product_id"))
+    }),
+
+    // --- J3: category product-count join (OR-match as union of equi-joins) --
+    "q47_category_counts" -> ((s, dir) => {
+      val cats = t(s, dir, "region")
+        .select(concat(lit("r"), col("r_regionkey")).as("url"),
+          lit(null).cast(LongType).as("category_id"), lit(false).as("is_leaf"))
+        .unionByName(t(s, dir, "nation")
+          .select(concat(lit("n"), col("n_nationkey")).as("url"),
+            lit(null).cast(LongType).as("category_id"), lit(false).as("is_leaf")))
+        .unionByName(t(s, dir, "supplier")
+          .select(concat(lit("s"), col("s_suppkey")).as("url"),
+            when(col("s_suppkey") % 10 === 0, lit(null).cast(LongType))
+              .otherwise(col("s_suppkey") + 1000L).as("category_id"),
+            lit(true).as("is_leaf")))
+        .withColumn("product_count", lit(-1L))
+      val prods = t(s, dir, "lineitem").select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("product_id"),
+        when(col("l_linenumber") % 2 === 0, concat(lit("s"), col("l_suppkey")))
+          .otherwise(lit(null).cast(StringType)).as("category_url"),
+        when(col("l_linenumber") % 2 === 1, col("l_suppkey") + 1000L)
+          .otherwise(lit(null).cast(LongType)).as("category_id"))
+      Hierarchy.categoryProductCounts(cats, prods)
+        .select("url", "category_id", "is_leaf", "product_count")
+        .orderBy(col("url"))
+    }),
+
+    // --- P6: _metadata enrichment — missing_fields + score + quality label --
+    "q48_metadata" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val f = c.select(
+        col("c_custkey"),
+        col("c_name").as("name"),
+        when(col("c_custkey") % 11 === 0, lit(null).cast(DoubleType))
+          .otherwise(col("c_acctbal") * 1000).as("price"),
+        when(col("c_custkey") % 5 === 0, lit("123"))
+          .when(col("c_custkey") % 5 === 1, lit("x"))
+          .otherwise(col("c_name")).as("seller_name"),
+        when(col("c_custkey") % 3 === 0, lit("")).otherwise(col("c_mktsegment")).as("brand"),
+        when(col("c_custkey") % 7 === 0, lit(null).cast(LongType))
+          .otherwise(col("c_custkey") % 100).as("category_id"),
+        when(col("c_custkey") % 2 === 0, lit(null).cast(DoubleType))
+          .otherwise((col("c_custkey") % 50) / 10.0).as("rating_average"),
+        when(col("c_custkey") % 13 === 0, lit(null).cast(LongType))
+          .otherwise(col("c_custkey") % 500).as("sales_count"))
+      val m = ColumnOps.enrichMetadata(
+        critical = Seq(
+          "name" -> (col("name").isNotNull && col("name") =!= ""),
+          "price" -> col("price").isNotNull,
+          "product_id" -> col("c_custkey").isNotNull),
+        important = Seq(
+          "seller_name" -> ColumnOps.validSellerName(col("seller_name")).isNotNull,
+          "brand" -> (col("brand").isNotNull && col("brand") =!= ""),
+          "category_id" -> col("category_id").isNotNull),
+        optional = Seq(
+          "rating_average" -> col("rating_average").isNotNull,
+          "sales_count" -> col("sales_count").isNotNull),
+        retryCount = col("c_custkey") % 3,
+        crawlStatus = when(col("c_custkey") % 2 === 0, lit("success")).otherwise(lit("partial")))
+      f.withColumn("_m", m).select(
+        col("c_custkey"),
+        array_join(col("_m.missing_fields"), ",").as("missing_fields"),
+        col("_m.data_completeness_score").as("completeness"),
+        col("_m.retry_count").cast(LongType).as("retry_count"),
+        col("_m.data_quality").as("data_quality"),
+        col("_m.crawl_status").as("crawl_status"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // --- H5: path-root repair — root name forced to index 1 of every path ---
+    "q49_path_root" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier").join(t(s, dir, "nation"),
+        col("s_nationkey") === col("n_nationkey"))
+      val withPath = sup.select(col("s_suppkey"),
+        when(col("s_suppkey") % 3 === 0, array(col("n_name"), col("s_name")))
+          .when(col("s_suppkey") % 3 === 1, array(col("n_name"), lit("Root"), col("s_name")))
+          .otherwise(array(lit("Root"), col("n_name"), col("s_name"))).as("category_path"))
+      Hierarchy.fixPathRoot(withPath, "category_path", "Root")
+        .select(col("s_suppkey"), array_join(col("category_path"), ">").as("path"))
+        .orderBy(col("s_suppkey"))
     })
   )
 
@@ -1282,6 +1391,98 @@ object SparkEntry {
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) n,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) sum_k,
         |  CAST(MAX(len(json_keys(props))) AS BIGINT) max_keys
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q46_detail_merge" ->
+      """WITH listing AS (
+        |  SELECT p_partkey product_id, p_name AS "name",
+        |    CASE WHEN p_partkey % 7 = 0 THEN NULL ELSE p_brand END brand,
+        |    p_retailprice price,
+        |    CASE WHEN p_partkey % 5 = 0 THEN NULL ELSE CAST(p_size AS BIGINT) END sales_count,
+        |    p_type description
+        |  FROM part
+        |), detail AS (
+        |  SELECT p_partkey product_id,
+        |    CASE WHEN p_partkey % 4 = 0 THEN '' ELSE 'D-' || p_brand END brand,
+        |    CASE WHEN p_partkey % 3 = 0 THEN 0.0 ELSE p_retailprice + 100.0 END price,
+        |    CASE WHEN p_partkey % 6 = 0 THEN NULL ELSE CAST(p_size AS BIGINT) * 2 END sales_count,
+        |    CAST(NULL AS VARCHAR) description
+        |  FROM part WHERE p_partkey % 2 = 0
+        |), merged AS (
+        |  SELECT l.product_id, l."name",
+        |    CASE WHEN d.brand IS NOT NULL AND d.brand != '' THEN d.brand ELSE l.brand END brand,
+        |    CASE WHEN d.price IS NOT NULL AND d.price != 0 THEN d.price ELSE l.price END price,
+        |    coalesce(d.sales_count, l.sales_count) sales_count,
+        |    CASE WHEN d.description IS NOT NULL AND d.description != '' THEN d.description ELSE l.description END description
+        |  FROM listing l LEFT JOIN detail d USING (product_id)
+        |)
+        |SELECT product_id, "name", brand, price, sales_count, description FROM merged
+        |WHERE brand IS NOT NULL AND trim(brand) != '' ORDER BY product_id""".stripMargin,
+
+    "q47_category_counts" ->
+      """WITH cats AS (
+        |  SELECT 'r' || r_regionkey url, CAST(NULL AS BIGINT) category_id, FALSE is_leaf FROM region
+        |  UNION ALL SELECT 'n' || n_nationkey, CAST(NULL AS BIGINT), FALSE FROM nation
+        |  UNION ALL SELECT 's' || s_suppkey,
+        |    CASE WHEN s_suppkey % 10 = 0 THEN NULL ELSE s_suppkey + 1000 END, TRUE FROM supplier
+        |), prods AS (
+        |  SELECT l_orderkey * 10 + l_linenumber product_id,
+        |    CASE WHEN l_linenumber % 2 = 0 THEN 's' || l_suppkey END category_url,
+        |    CASE WHEN l_linenumber % 2 = 1 THEN l_suppkey + 1000 END category_id
+        |  FROM lineitem
+        |), counts AS (
+        |  SELECT c.url, count(DISTINCT p.product_id) cnt
+        |  FROM cats c JOIN prods p
+        |    ON p.category_url = c.url OR (c.category_id IS NOT NULL AND p.category_id = c.category_id)
+        |  WHERE c.is_leaf GROUP BY c.url
+        |)
+        |SELECT c.url, c.category_id, c.is_leaf,
+        |  CAST(CASE WHEN c.is_leaf THEN coalesce(cnt, 0) ELSE -1 END AS BIGINT) product_count
+        |FROM cats c LEFT JOIN counts ct ON c.url = ct.url ORDER BY c.url""".stripMargin,
+
+    "q48_metadata" ->
+      """WITH f AS (
+        |  SELECT c_custkey, c_name AS "name",
+        |    CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_acctbal * 1000 END price,
+        |    NOT (c_custkey % 5 IN (0, 1)) seller_ok,
+        |    NOT (c_custkey % 3 = 0) brand_ok,
+        |    NOT (c_custkey % 7 = 0) cat_ok,
+        |    NOT (c_custkey % 2 = 0) rating_ok,
+        |    NOT (c_custkey % 13 = 0) sales_ok
+        |  FROM customer
+        |), scored AS (
+        |  SELECT c_custkey, seller_ok, brand_ok, cat_ok,
+        |    CASE WHEN "name" IS NOT NULL AND "name" != '' AND price IS NOT NULL AND c_custkey IS NOT NULL
+        |      THEN round(0.5
+        |        + 0.35 * ((seller_ok::INT + brand_ok::INT + cat_ok::INT) / 3.0)
+        |        + 0.15 * ((rating_ok::INT + sales_ok::INT) / 2.0), 4)
+        |      ELSE 0.0 END score
+        |  FROM f
+        |)
+        |SELECT c_custkey,
+        |  coalesce(array_to_string([x FOR x IN [
+        |    CASE WHEN NOT seller_ok THEN 'seller_name' END,
+        |    CASE WHEN NOT brand_ok THEN 'brand' END,
+        |    CASE WHEN NOT cat_ok THEN 'category_id' END] IF x IS NOT NULL], ','), '') missing_fields,
+        |  score completeness,
+        |  CAST(c_custkey % 3 AS BIGINT) retry_count,
+        |  CASE WHEN seller_ok AND brand_ok AND cat_ok THEN 'complete'
+        |       WHEN score >= 0.7 THEN 'partial' ELSE 'incomplete' END data_quality,
+        |  CASE WHEN c_custkey % 2 = 0 THEN 'success' ELSE 'partial' END crawl_status
+        |FROM scored ORDER BY c_custkey""".stripMargin,
+
+    "q49_path_root" ->
+      """WITH p AS (
+        |  SELECT s_suppkey,
+        |    CASE WHEN s_suppkey % 3 = 0 THEN [n_name, s_name]
+        |         WHEN s_suppkey % 3 = 1 THEN [n_name, 'Root', s_name]
+        |         ELSE ['Root', n_name, s_name] END path
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |)
+        |SELECT s_suppkey, array_to_string(
+        |  CASE WHEN path[1] != 'Root'
+        |    THEN list_prepend('Root', list_filter(path, x -> x != 'Root'))
+        |    ELSE path END, '>') AS path
+        |FROM p ORDER BY s_suppkey""".stripMargin
   )
 }

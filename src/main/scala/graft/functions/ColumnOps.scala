@@ -195,6 +195,43 @@ object ColumnOps {
       .otherwise(round(ratio(critical) * 0.5 + ratio(important) * 0.35 + ratio(optional) * 0.15, 4))
   }
 
+  /** P6 — names of missing fields as array<string>, in declaration order.
+    * A field is "present" when its flag column is true (callers encode the
+    * reference's truthiness — non-null/non-empty — per field).
+    * Ref: data_validator.py:28-88 (`get_missing_fields`). */
+  def missingFields(presence: Seq[(String, Column)]): Column =
+    array_compact(array(presence.map { case (name, ok) =>
+      when(ok, lit(null).cast(StringType)).otherwise(lit(name))
+    }: _*))
+
+  /** P6 — data-quality label ladder: every important field present →
+    * `complete`; else score ≥ minScore → `partial`; else `incomplete`.
+    * Ref: data_validator.py:211-217. */
+  def dataQualityLabel(missingImportant: Column, score: Column,
+      minScore: Double = 0.7): Column =
+    when(size(missingImportant) === 0, "complete")
+      .when(score >= minScore, "partial")
+      .otherwise("incomplete")
+
+  /** P6 — the full `_metadata` enrichment struct:
+    * {missing_fields, data_completeness_score, retry_count, data_quality,
+    * crawl_status}. Presence flags are passed per tier; the score is A8's
+    * weighted formula over the same flags.
+    * Ref: data_validator.py:185-227 (`enrich_product_metadata`). */
+  def enrichMetadata(
+      critical: Seq[(String, Column)], important: Seq[(String, Column)],
+      optional: Seq[(String, Column)],
+      retryCount: Column, crawlStatus: Column): Column = {
+    val score = completenessScore(critical.map(_._2), important.map(_._2), optional.map(_._2))
+    val missing = missingFields(important)
+    struct(
+      missing.as("missing_fields"),
+      score.as("data_completeness_score"),
+      retryCount.as("retry_count"),
+      dataQualityLabel(missing, score).as("data_quality"),
+      crawlStatus.as("crawl_status"))
+  }
+
   /** F2 — seller-name garbage filter: null out names that are too short/long,
     * contain a junk pattern, are digits-only, punctuation-only, or start with
     * "<digits> ". Ref: transformer.py:474-544.

@@ -107,6 +107,44 @@ object Hierarchy {
         concat(array(lit(rootName)), array_remove(col(pathCol), rootName)))
         .otherwise(col(pathCol)))
 
+  /** J3 — category product-count update: count DISTINCT products per LEAF
+    * category where the product matches by `category_url = url` OR (category
+    * has a non-null id AND `product.category_id = category_id`), then write
+    * the count back onto the leaf rows (non-leaf rows keep their old value;
+    * leaves with no products get 0 — the reference's LEFT JOIN).
+    *
+    * Ref: postgres_storage.py:1526-1539 (`update_category_product_counts`).
+    *
+    * The Postgres OR-join would plan a nested loop on Spark; here it is a
+    * UNION of two equi-joins (url-match ∪ id-match) feeding one
+    * `countDistinct` — each join hashes on its own key, the union is narrow
+    * (url, product_id) rows, and `countDistinct` dedups products that match
+    * the same category through both arms. The category dim is small →
+    * broadcast on both arms; the products side never shuffles. */
+  def categoryProductCounts(
+      categories: DataFrame, products: DataFrame,
+      countCol: String = "product_count"): DataFrame = {
+    val leaf = categories.filter(col("is_leaf"))
+    val byUrl = products
+      .select(col("category_url").as("__curl"), col("product_id").as("__pid"))
+      .join(broadcast(leaf.select(col("url").as("__curl"))), Seq("__curl"))
+      .select(col("__curl").as("__url"), col("__pid"))
+    val byId = products
+      .filter(col("category_id").isNotNull)
+      .select(col("category_id").as("__cid"), col("product_id").as("__pid"))
+      .join(broadcast(leaf.filter(col("category_id").isNotNull)
+        .select(col("category_id").as("__cid"), col("url").as("__url"))), Seq("__cid"))
+      .select(col("__url"), col("__pid"))
+    val counts = byUrl.unionByName(byId)
+      .groupBy(col("__url")).agg(countDistinct(col("__pid")).as("__cnt"))
+    categories
+      .join(counts.withColumnRenamed("__url", "url"), Seq("url"), "left")
+      .withColumn(countCol,
+        when(col("is_leaf"), coalesce(col("__cnt"), lit(0L)))
+          .otherwise(col(countCol)))
+      .drop("__cnt")
+  }
+
   /** H2 — nested tree assembly (small-data, driver-bound by design: the
     * category dim is ≈1k rows). Children grouped and name-sorted (K1). */
   def childrenByParent(categories: DataFrame): DataFrame =

@@ -44,6 +44,50 @@ object Merge {
     joined.select((keyCols ++ merged).toIndexedSeq: _*)
   }
 
+  /** P4 — read-side detail-merge: enrich listing rows with freshly-crawled
+    * detail values. For each column in `detailWins` the detail value
+    * overwrites the listing value only when it is "truthy" in the
+    * reference's Python sense (`if detail.get(x):`) — non-null, non-empty
+    * string, non-zero number, non-empty array/map. Columns in
+    * `preferDetail` (sales_count) use plain `is not None` precedence.
+    * Rows whose merged `requireCol` is null/blank are dropped (the
+    * reference's brand-required gate, F3 — such rows are re-crawled later).
+    *
+    * Ref: tasks/detail.py:1932-1994 (`merge_product_details` field-update
+    * loop + brand filter).
+    *
+    * Scale: one left join hashed on `key` (broadcast when the detail batch
+    * is small — it's the day's crawl delta, listing is the full catalog);
+    * everything else is a per-row projection. */
+  def detailMerge(
+      listing: DataFrame, detail: DataFrame, key: String,
+      detailWins: Seq[String], preferDetail: Seq[String] = Nil,
+      requireCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.types._
+    def truthy(c: Column, dt: DataType): Column = dt match {
+      case StringType          => c.isNotNull && c =!= ""
+      case _: NumericType      => c.isNotNull && c =!= lit(0)
+      case BooleanType         => c.isNotNull && c
+      case _: ArrayType        => c.isNotNull && size(c) > 0
+      case _: MapType          => c.isNotNull && size(c) > 0
+      case _                   => c.isNotNull
+    }
+    val d = detail.select(detail.columns.map(c => col(c).as(s"__d_$c")).toIndexedSeq: _*)
+    val joined = listing.join(d, col(key) === col(s"__d_$key"), "left")
+    val outCols = listing.columns.toIndexedSeq.map { c =>
+      if (detailWins.contains(c))
+        when(truthy(col(s"__d_$c"), detail.schema(c).dataType), col(s"__d_$c"))
+          .otherwise(col(c)).as(c)
+      else if (preferDetail.contains(c))
+        coalesce(col(s"__d_$c"), col(c)).as(c)
+      else col(c)
+    }
+    val merged = joined.select(outCols: _*)
+    requireCol.fold(merged) { rc =>
+      merged.filter(col(rc).isNotNull && trim(col(rc)) =!= "")
+    }
+  }
+
   /** J7 — latest row per key (`SELECT DISTINCT ON (k) .. ORDER BY k, ts DESC`).
     * `tieBreakers` make the pick deterministic for equal timestamps (the
     * reference relies on Postgres physical order there — we do not).

@@ -12,6 +12,74 @@ class OperatorsSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("detailMerge: truthy detail wins, sales prefers detail, brand gate drops (P4/F3)") {
+    val listing = Seq(
+      (1L, "A", Option("BrandA"), 10.0, Option(5L)),
+      (2L, "B", Option("BrandB"), 20.0, None),
+      (3L, "C", None, 30.0, Option(7L)),        // brand null, no detail → dropped
+      (4L, "D", Option("BrandD"), 40.0, Option(9L)))
+      .toDF("product_id", "name", "brand", "price", "sales_count")
+    val detail = Seq(
+      (1L, Option(""), Option(0.0), Option(50L)),   // empty brand + zero price keep listing
+      (2L, Option("NewB"), Option(25.0), None),     // truthy wins; null sales keeps listing's null
+      (4L, None, Option(44.0), Option(0L)))         // null brand keeps; sales 0 IS non-null → wins
+      .toDF("product_id", "brand", "price", "sales_count")
+    val got = Merge.detailMerge(listing, detail, "product_id",
+      detailWins = Seq("brand", "price"), preferDetail = Seq("sales_count"),
+      requireCol = Some("brand"))
+      .orderBy("product_id")
+      .as[(Long, String, String, Double, Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (1L, "A", "BrandA", 10.0, Some(50L)),
+      (2L, "B", "NewB", 25.0, None),
+      (4L, "D", "BrandD", 44.0, Some(0L))))
+  }
+
+  test("categoryProductCounts: OR-match distinct count, leaf-only update-back (J3)") {
+    val cats = Seq(
+      ("c1", Option(100L), true, -1L),   // matched by url AND id (same products → distinct)
+      ("c2", None, true, -1L),           // url-match only (null id never id-matches)
+      ("c3", Option(300L), true, -1L),   // id-match only
+      ("c4", None, true, -1L),           // leaf, no products → 0
+      ("p0", None, false, -1L))          // non-leaf keeps old value
+      .toDF("url", "category_id", "is_leaf", "product_count")
+    val prods = Seq(
+      (1L, Option("c1"), Option(100L)),  // both arms hit c1 — counted once
+      (2L, Option("c1"), None),
+      (3L, Option("c2"), None),
+      (4L, None, Option(300L)),
+      (5L, Option("p0"), None))          // matches non-leaf → ignored
+      .toDF("product_id", "category_url", "category_id")
+    val got = Hierarchy.categoryProductCounts(cats, prods)
+      .orderBy("url").select("url", "product_count").as[(String, Long)].collect().toSeq
+    assert(got == Seq(("c1", 2L), ("c2", 1L), ("c3", 1L), ("c4", 0L), ("p0", -1L)))
+  }
+
+  test("enrichMetadata: missing_fields order, score ladder, label ladder (P6/A8)") {
+    import graft.functions.ColumnOps
+    val df = Seq(
+      ("all", true, true, true, true),
+      ("noSeller", true, false, true, true),     // 0.5 + 0.35·(1/2) + 0.15 = 0.825 → partial
+      ("noImp", true, false, false, false),      // 0.5 + 0 + 0 = 0.5 → incomplete
+      ("noCrit", false, true, true, true))       // critical missing → score 0; label still
+                                                 // 'complete' (ladder keys on important only,
+                                                 // faithful to data_validator.py:211-217)
+      .toDF("id", "crit_ok", "seller_ok", "brand_ok", "opt_ok")
+    val m = ColumnOps.enrichMetadata(
+      critical = Seq("name" -> col("crit_ok")),
+      important = Seq("seller_name" -> col("seller_ok"), "brand" -> col("brand_ok")),
+      optional = Seq("rating" -> col("opt_ok")),
+      retryCount = lit(1), crawlStatus = lit("success"))
+    val got = df.withColumn("_m", m).select(
+      col("id"), array_join(col("_m.missing_fields"), ",").as("mf"),
+      col("_m.data_completeness_score"), col("_m.data_quality"))
+      .as[(String, String, Double, String)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("all") == (("", 1.0, "complete")))
+    assert(got("noSeller") == (("seller_name", 0.825, "partial")))
+    assert(got("noImp") == (("seller_name,brand", 0.5, "incomplete")))
+    assert(got("noCrit") == (("", 0.0, "complete")))
+  }
+
   test("upsertMerge: new non-empty wins, empty string keeps old, new keys inserted (J6)") {
     val old  = Seq(("1", "a", 10), ("2", "b", 20)).toDF("k", "s", "n")
     val newD = Seq(("2", "", 99), ("3", "c", 30)).toDF("k", "s", "n")
