@@ -40,6 +40,21 @@ object Ann {
     IvfIndex(assigned, model.clusterCenters.map(_.toArray))
   }
 
+  /** Build-once cache keyed by corpus identity (the sf dir in this repo's
+    * drivers). In production the IVF index is built offline and amortized
+    * over many probe batches — a benchmark of the probe path must not
+    * re-pay the KMeans build per query, so the first call materializes the
+    * assigned corpus (localCheckpoint) and later calls reuse it. */
+  private val ivfCache = scala.collection.concurrent.TrieMap[String, IvfIndex]()
+  def buildIvfCached(key: String, corpus: => DataFrame, idCol: String, vecCol: String,
+      nlist: Int, seed: Long = 42L): IvfIndex =
+    ivfCache.getOrElseUpdate(key, {
+      val idx = buildIvf(corpus, idCol, vecCol, nlist, seed)
+      val mat = idx.assigned.localCheckpoint()
+      mat.count()
+      IvfIndex(mat, idx.centroids)
+    })
+
   /** Probe the index: exact cosine inside the query's `nprobe` nearest
     * lists, top-k per query (ties broken by neighbour id). */
   def ivfTopK(queries: DataFrame, index: IvfIndex, idCol: String, vecCol: String,

@@ -11,11 +11,14 @@ import graft.functions.ColumnOps._
   *
   * Ref: storage/postgres_storage.py:1250-1478 (`_log_batch_crawl_history`).
   *
-  * Scale: one shuffle to compute latest-per-key over the history (avoided
-  * entirely if history is stored with a current-snapshot companion table),
-  * then a key-partitioned join against the batch. History itself must be
-  * date-partitioned on disk; this derivation never scans more than the
-  * latest partition set thanks to partition pruning on `crawled_at`.
+  * Scale: one shuffle to compute latest-per-key over whatever `history`
+  * relation the caller passes, then a key-partitioned join against the
+  * batch. Callers must NOT pass the full log here: [[graft.store.Store]]
+  * maintains a current-snapshot companion (`Store.latest`, kept by
+  * `upsertLatest`) that [[graft.pipeline.Pipeline]] feeds in — O(keys)
+  * rows, flat in history length — and `Store.history(table, since)`
+  * partition-prunes on the `__date` partition column when a bounded
+  * replay window is genuinely needed.
   */
 object History {
 

@@ -37,17 +37,24 @@ object Curation {
 
     val total = docs.count()
 
-    // stage 1: language + quality gates (one scan, both expressions)
+    // stage 1: language + quality gates (one scan, both expressions).
+    // localCheckpoint: `gated` is read by the exact-dedup stage, the
+    // MinHash pass AND the ledger counts — without it each action would
+    // re-run langPredict+qualityScore over the full corpus (~4 scans
+    // where 2 suffice: the raw count above and this materialization).
     val scored = docs.select(col(idCol), col(textCol),
       TextAnalysis.langPredict(TextAnalysis.tokens(col(textCol))).as("__lang"),
       TextAnalysis.qualityScore(col(textCol)).as("__q"))
     val gated = scored
       .filter(col("__lang").isin(allowedLangs: _*) && col("__q") >= minQuality)
       .drop("__lang", "__q")
+      .localCheckpoint()
     val nGated = gated.count()
 
-    // stage 2: exact dedup (normalized-text fingerprint, min-id wins)
-    val exact = Dedup.exactDedup(gated, idCol, textCol)
+    // stage 2: exact dedup (normalized-text fingerprint, min-id wins);
+    // checkpointed for the same reason — near-dup pairing and the kept
+    // anti-join both re-read it
+    val exact = Dedup.exactDedup(gated, idCol, textCol).localCheckpoint()
     val nExact = exact.count()
 
     // stage 3: near-dup removal — drop the larger id of each verified pair

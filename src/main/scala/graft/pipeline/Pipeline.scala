@@ -36,16 +36,28 @@ object Pipeline {
     // §3.1 stage 5a — transform (P1/P2/F1/F2/D1 + stats)
     val t = Transform.run(raw, withShortName)
 
-    // §3.1 stage 5b — CDC history BEFORE the merge (delta vs prior state)
+    // §3.1 stage 5b — CDC history BEFORE the merge (delta vs prior state).
+    // Prior state comes from the `latest` companion snapshot, NOT a replay
+    // of the full history log — per-run CDC cost is O(batch + keys), flat
+    // in history length. (deriveEvents' internal latest-per-key over the
+    // 1-row-per-key companion is a cheap idempotent window.)
     val batchForHistory = t.products.select(
       "product_id", "price", "original_price", "discount_percent",
       "sales_count", "crawled_at")
-    val priorHistory = store.history("crawl_history").getOrElse(
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    val priorHistory = store.latest("crawl_history").map(_.select(
+        "product_id", "price", "original_price", "discount_percent",
+        "sales_count", "crawled_at"))
+      .getOrElse(spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         batchForHistory.schema))
     val events = History.deriveEvents(batchForHistory, priorHistory, None).cache()
     val nEvents = events.count()
-    if (nEvents > 0) store.appendHistory("crawl_history", events)
+    if (nEvents > 0) {
+      store.appendHistory("crawl_history", events)
+      // the same tie-break deriveEvents uses (price desc) keeps the
+      // incremental companion identical to a global latest-per-key
+      store.upsertLatest("crawl_history", events, Seq("product_id"),
+        "crawled_at", Seq(org.apache.spark.sql.functions.col("price").desc))
+    }
     events.unpersist()
 
     // §3.1 stage 5c — upsert-load (J6 semantics)

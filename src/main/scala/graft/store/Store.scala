@@ -1,6 +1,7 @@
 package graft.store
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Merge
@@ -16,19 +17,33 @@ import graft.operators.Merge
   *
   * Scale: the merge is a single key-partitioned shuffle of snapshot ∪ batch.
   * At 100 TB the snapshot should be written bucketed by the key so only the
-  * batch side shuffles; history appends are date-partitioned so the CDC
-  * derivation prunes to recent partitions.
+  * batch side shuffles; history appends are date-partitioned and read
+  * through `history(table, since)` so derivations prune to recent
+  * partitions, and `upsertLatest` maintains a current-snapshot companion so
+  * CDC never replays the log at all. All directory listing goes through the
+  * Hadoop FileSystem API — `root` may be any Hadoop-supported URI
+  * (file:, hdfs:, s3a:, ...), never `java.io.File`.
   */
 class Store(spark: SparkSession, root: String) {
 
+  private def fs(p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   private def gens(table: String): Seq[String] = {
-    val dir = new java.io.File(s"$root/$table")
-    Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
-      .filter(f => f.isDirectory && f.getName.startsWith("gen_"))
-      .map(_.getName).sorted
+    val dir = new Path(s"$root/$table")
+    val f = fs(dir)
+    if (!f.exists(dir)) Nil
+    else f.listStatus(dir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen_"))
+      .map(_.getPath.getName).sorted
   }
 
   private def latestGen(table: String): Option[String] = gens(table).lastOption
+
+  private def writeGen(table: String, df: DataFrame): Unit = {
+    val next = f"gen_${latestGen(table).map(_.drop(4).toInt + 1).getOrElse(0)}%06d"
+    df.write.mode("overwrite").parquet(s"$root/$table/$next")
+  }
 
   /** Latest snapshot of a keyed table (empty option when never written). */
   def snapshot(table: String): Option[DataFrame] =
@@ -41,8 +56,7 @@ class Store(spark: SparkSession, root: String) {
       case Some(old) => Merge.upsertMerge(old, batch, keys)
       case None      => batch
     }
-    val next = f"gen_${latestGen(table).map(_.drop(4).toInt + 1).getOrElse(0)}%06d"
-    merged.write.mode("overwrite").parquet(s"$root/$table/$next")
+    writeGen(table, merged)
   }
 
   /** S8 — append-only history, date-partitioned for pruning at scale. */
@@ -51,11 +65,38 @@ class Store(spark: SparkSession, root: String) {
       .withColumn("__date", date_format(col(tsCol), "yyyy-MM-dd"))
       .write.mode("append").partitionBy("__date").parquet(s"$root/$table/append")
 
-  /** Read the append-only history table. */
-  def history(table: String): Option[DataFrame] = {
-    val dir = new java.io.File(s"$root/$table/append")
-    if (dir.exists()) Some(spark.read.parquet(dir.toString).drop("__date")) else None
+  /** Read the append-only history table. `since` (yyyy-MM-dd, inclusive)
+    * prunes the scan to recent date partitions — the filter lands on the
+    * `__date` PARTITION column, so old partitions are never opened
+    * (`PartitionFilters` in the scan, not a post-read filter). Omitting it
+    * scans the full log; derivations that only need the latest state per
+    * key should use the `latest` companion instead. */
+  def history(table: String, since: Option[String] = None): Option[DataFrame] = {
+    val dir = new Path(s"$root/$table/append")
+    if (!fs(dir).exists(dir)) None
+    else {
+      val df = spark.read.parquet(dir.toString)
+      Some(since.fold(df)(d => df.filter(col("__date") >= d)).drop("__date"))
+    }
   }
+
+  /** Maintain the current-snapshot companion of an append-only history:
+    * latest event per key, merged incrementally (max-by (ts, tieBreakers)
+    * is associative, so batch-at-a-time upkeep equals a global
+    * latest-per-key over the whole log). CDC derivations read THIS —
+    * one small keyed table — instead of replaying the ever-growing log. */
+  def upsertLatest(table: String, events: DataFrame, keys: Seq[String],
+      tsCol: String = "crawled_at", tieBreakers: Seq[Column] = Nil): Unit = {
+    val newLatest = Merge.latestPerKey(events, keys, tsCol, tieBreakers)
+    val merged = snapshot(s"${table}_latest") match {
+      case Some(old) => Merge.latestPerKey(old.unionByName(newLatest), keys, tsCol, tieBreakers)
+      case None      => newLatest
+    }
+    writeGen(s"${table}_latest", merged)
+  }
+
+  /** The current-snapshot companion maintained by [[upsertLatest]]. */
+  def latest(table: String): Option[DataFrame] = snapshot(s"${table}_latest")
 
   /** S9 — archive history rows older than `cutoff` (yyyy-MM-dd): copy the
     * old partitions into `<table>_archive`, rewrite the source without them.
@@ -75,10 +116,9 @@ class Store(spark: SparkSession, root: String) {
           keep.withColumn("__date", date_format(col(tsCol), "yyyy-MM-dd"))
             .write.mode("overwrite").partitionBy("__date").parquet(tmp)
           keep.unpersist()
-          val fs = org.apache.hadoop.fs.FileSystem.get(
-            java.net.URI.create(dir), spark.sparkContext.hadoopConfiguration)
-          fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-          fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(dir))
+          val f = fs(new Path(dir))
+          f.delete(new Path(dir), true)
+          f.rename(new Path(tmp), new Path(dir))
         }
         n
     }

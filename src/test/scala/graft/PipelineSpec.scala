@@ -102,6 +102,36 @@ class PipelineSpec extends SparkSpec {
     assert(store.history("crawl_history_archive").get.count() == 1)
   }
 
+  test("store works against an explicit file: URI (Hadoop FS read path)") {
+    val root = "file:" + Files.createTempDirectory("graft_uri").toString
+    val store = new Store(spark, root)
+    store.upsert("products", Seq(("a", 1.0), ("b", 2.0)).toDF("product_id", "price"),
+      Seq("product_id"))
+    store.upsert("products", Seq(("b", 3.0)).toDF("product_id", "price"), Seq("product_id"))
+    val snap = store.snapshot("products").get
+    assert(snap.count() == 2)
+    assert(snap.filter(col("product_id") === "b").select("price").as[Double].collect()(0) == 3.0)
+  }
+
+  test("upsertLatest companion equals a global latest-per-key across appends") {
+    val root = Files.createTempDirectory("graft_latest").toString
+    val store = new Store(spark, root)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val b1 = Seq(("p1", 1.0, ts("2024-01-01 00:00:00")), ("p2", 2.0, ts("2024-01-02 00:00:00")))
+      .toDF("product_id", "price", "crawled_at")
+    val b2 = Seq(("p1", 9.0, ts("2024-02-01 00:00:00")))
+      .toDF("product_id", "price", "crawled_at")
+    store.appendHistory("h", b1)
+    store.upsertLatest("h", b1, Seq("product_id"))
+    store.appendHistory("h", b2)
+    store.upsertLatest("h", b2, Seq("product_id"))
+    val got = store.latest("h").get.orderBy("product_id")
+      .select("product_id", "price").as[(String, Double)].collect().toSeq
+    assert(got == Seq(("p1", 9.0), ("p2", 2.0)))
+    // and the full log is intact (companion is additive, not a replacement)
+    assert(store.history("h").get.count() == 3)
+  }
+
   test("history events conform to the declared crawl_history schema") {
     import graft.schema.Schemas
     // the CDC event columns must be a subset of the declared at-rest schema

@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
   * properties that decide 100 TB behavior; the oracle gate can't see them.
   */
 class PlanSpec extends SparkSpec {
+  import spark.implicits._
 
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
@@ -66,6 +67,22 @@ class PlanSpec extends SparkSpec {
       if (!bnljAllowed(name))
         assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a nested-loop join")
     }
+  }
+
+  test("history read with a cutoff prunes date partitions at the scan") {
+    val root = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    val store = new graft.store.Store(spark, root)
+    val events = Seq(
+      ("p1", 1.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      ("p2", 2.0, java.sql.Timestamp.valueOf("2024-06-01 00:00:00")))
+      .toDF("product_id", "price", "crawled_at")
+    store.appendHistory("crawl_history", events)
+    val pruned = store.history("crawl_history", since = Some("2024-03-01")).get
+    val p = plan(pruned)
+    // the cutoff must land in PartitionFilters (partitions never opened),
+    // not as a post-scan Filter over all rows
+    assert(p.contains("PartitionFilters") && p.contains("__date"), p.take(2000))
+    assert(pruned.count() == 1)
   }
 
   test("dedup family runs no single-partition sort/window stage") {
