@@ -743,6 +743,15 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // --- curation pipeline end-to-end: lang/quality gates → exact dedup →
+    //     MinHash near-dup removal; output = kept corpus ids --------------
+    "q50_curation" -> ((s, dir) => {
+      val res = pipeline.Curation.curate(t(s, dir, "documents"), "doc_id", "text",
+        allowedLangs = Seq("en", "vi"), minQuality = 0.5,
+        nearDupThreshold = 0.7, shingleN = 3)
+      res.kept.select("doc_id", "lang", "source", "n_chars").orderBy(col("doc_id"))
+    }),
+
     // --- H5: path-root repair — root name forced to index 1 of every path ---
     "q49_path_root" -> ((s, dir) => {
       val sup = t(s, dir, "supplier").join(t(s, dir, "nation"),
@@ -1472,6 +1481,58 @@ object SparkEntry {
         |       WHEN score >= 0.7 THEN 'partial' ELSE 'incomplete' END data_quality,
         |  CASE WHEN c_custkey % 2 = 0 THEN 'success' ELSE 'partial' END crawl_status
         |FROM scored ORDER BY c_custkey""".stripMargin,
+
+    "q50_curation" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, source, n_chars, text,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) t,
+        |    list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), x -> x != '') tk
+        |  FROM documents
+        |), langs AS (
+        |  SELECT * FROM (VALUES
+        |    ('de', ['der','die','das','und','ist','nicht','ein','mit','für','von']),
+        |    ('en', ['the','a','of','and','to','in','is','it','that','for']),
+        |    ('es', ['el','la','de','que','y','en','un','es','por','con']),
+        |    ('fr', ['le','la','de','et','est','un','une','pour','dans','que']),
+        |    ('vi', ['và','của','là','có','không','được','cho','với','này','các'])) AS v(l, sw)
+        |), pred AS (
+        |  SELECT doc_id, l lang_pred FROM (
+        |    SELECT b.doc_id, g.l,
+        |      CASE WHEN len(b.tk) > 0
+        |        THEN round(len(list_filter(b.tk, x -> list_contains(g.sw, x)))::DOUBLE / len(b.tk), 6)
+        |        ELSE 0.0 END s
+        |    FROM base b CROSS JOIN langs g)
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, l ASC) = 1
+        |), qual AS (
+        |  SELECT doc_id,
+        |    round((CASE WHEN length(t) >= 50 AND length(t) <= 100000 THEN 1.0 WHEN length(t) > 0 THEN 0.5 ELSE 0.0 END) * 0.3
+        |      + (CASE WHEN len(tk) > 0 AND length(t)::DOUBLE / len(tk) >= 3 AND length(t)::DOUBLE / len(tk) <= 12 THEN 1.0 ELSE 0.5 END) * 0.2
+        |      + (CASE WHEN length(t) > 0 THEN length(regexp_replace(t, '[^\p{L} ]', '', 'g'))::DOUBLE / length(t) ELSE 0.0 END) * 0.5, 6) q
+        |  FROM base
+        |), gated AS (
+        |  SELECT b.* FROM base b JOIN pred p USING (doc_id) JOIN qual u USING (doc_id)
+        |  WHERE p.lang_pred IN ('en', 'vi') AND u.q >= 0.5
+        |), exact AS (
+        |  SELECT * FROM gated
+        |  QUALIFY row_number() OVER (PARTITION BY md5(t) ORDER BY doc_id) = 1
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |    ELSE list_distinct([array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)]) END sh
+        |  FROM exact
+        |), sig AS (
+        |  SELECT doc_id, sh, [list_min([md5(i::VARCHAR || '|' || s) FOR s IN sh]) FOR i IN range(0, 12)] sg FROM sh
+        |), bands AS (
+        |  SELECT doc_id, unnest([b::VARCHAR || ':' || md5(array_to_string(sg[b*3+1:b*3+3], ',')) FOR b IN range(0, 4)]) bk FROM sig
+        |), cand AS (
+        |  SELECT DISTINCT x.doc_id id_a, y.doc_id id_b FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id
+        |), losers AS (
+        |  SELECT DISTINCT c.id_b FROM cand c
+        |  JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+        |  WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.7
+        |)
+        |SELECT doc_id, lang, source, n_chars FROM exact
+        |WHERE doc_id NOT IN (SELECT id_b FROM losers) ORDER BY doc_id""".stripMargin,
 
     "q49_path_root" ->
       """WITH p AS (

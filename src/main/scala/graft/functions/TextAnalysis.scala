@@ -107,16 +107,25 @@ object TextAnalysis {
     when(size(tokenArr) > 0, round(hits.cast(DoubleType) / size(tokenArr), 6)).otherwise(0.0)
   }
 
-  /** Predicted language: argmax score, alphabetic tie-break. */
+  /** Predicted language: argmax score, alphabetic tie-break.
+    *
+    * LINEAR-size expression tree: one struct per language inside a single
+    * `array_max`. (A foldLeft of `when(cand > acc, cand).otherwise(acc)`
+    * duplicates the accumulated subtree at every level — exponential tree
+    * size. Projections survive that via codegen subexpression elimination,
+    * but when the optimizer pushes this predicate into a Filter — e.g.
+    * `filter(langPredict(...).isin(...))` — FilterExec evaluates the raw
+    * tree and a 5-language fold costs ~20× the linear form; measured on
+    * the curation gate.) Struct comparison is (s, inv): max score first,
+    * then max inv = EARLIEST alphabetical language; the label field is
+    * never compared because inv is unique. */
   def langPredict(tokenArr: Column): Column = {
     val langs = stopwords.keys.toSeq.sorted
-    val scored = langs.map(l => struct(langScore(tokenArr, l).as("s"), lit(l).as("l")))
-    // array_max over (score, -lang) — ties broken by earliest alphabetical
-    val best = langs.foldLeft(struct(lit(-1.0).as("s"), lit("").as("l"))) { (acc, l) =>
-      val cand = struct(langScore(tokenArr, l).as("s"), lit(l).as("l"))
-      when(cand("s") > acc("s"), cand).otherwise(acc)
+    val scored = langs.zipWithIndex.map { case (l, i) =>
+      struct(langScore(tokenArr, l).as("s"),
+        lit(langs.size - 1 - i).as("inv"), lit(l).as("l"))
     }
-    best("l")
+    array_max(array(scored: _*)).getField("l")
   }
 
   // --- Quality scoring ------------------------------------------------------

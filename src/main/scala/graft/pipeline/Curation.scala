@@ -38,17 +38,22 @@ object Curation {
     val total = docs.count()
 
     // stage 1: language + quality gates (one scan, both expressions).
-    // localCheckpoint: `gated` is read by the exact-dedup stage, the
-    // MinHash pass AND the ledger counts — without it each action would
-    // re-run langPredict+qualityScore over the full corpus (~4 scans
-    // where 2 suffice: the raw count above and this materialization).
-    val scored = docs.select(col(idCol), col(textCol),
-      TextAnalysis.langPredict(TextAnalysis.tokens(col(textCol))).as("__lang"),
-      TextAnalysis.qualityScore(col(textCol)).as("__q"))
+    // localCheckpoint BEFORE the filter, for two reasons: (a) `gated` is
+    // read by the exact-dedup stage, the MinHash pass AND the ledger
+    // counts — without a checkpoint each action re-runs the gate
+    // expressions over the full corpus; (b) the checkpoint pins the gate
+    // expressions inside a PROJECTION, where codegen subexpression
+    // elimination applies — otherwise the optimizer substitutes them into
+    // the Filter condition (predicate pushdown through project), which
+    // evaluates the raw duplicated tree per row (measured ~6× slower).
+    // withColumn (not select) — callers keep their payload columns.
+    val scored = docs
+      .withColumn("__lang", TextAnalysis.langPredict(TextAnalysis.tokens(col(textCol))))
+      .withColumn("__q", TextAnalysis.qualityScore(col(textCol)))
+      .localCheckpoint()
     val gated = scored
       .filter(col("__lang").isin(allowedLangs: _*) && col("__q") >= minQuality)
       .drop("__lang", "__q")
-      .localCheckpoint()
     val nGated = gated.count()
 
     // stage 2: exact dedup (normalized-text fingerprint, min-id wins);
@@ -57,10 +62,13 @@ object Curation {
     val exact = Dedup.exactDedup(gated, idCol, textCol).localCheckpoint()
     val nExact = exact.count()
 
-    // stage 3: near-dup removal — drop the larger id of each verified pair
+    // stage 3: near-dup removal — drop the larger id of each verified pair.
+    // `losers` is checkpointed (it's tiny — one id per dropped doc) so the
+    // ledger's count AND the caller's materialization of `kept` don't each
+    // re-run the whole MinHash+verify pass.
     val pairs = Dedup.minhashDedupPairs(exact, idCol, textCol, nearDupThreshold,
       shingleN = shingleN)
-    val losers = pairs.select(col("id_b").as(idCol)).distinct()
+    val losers = pairs.select(col("id_b").as(idCol)).distinct().localCheckpoint()
     val kept = exact.join(losers, Seq(idCol), "left_anti")
     val nKept = kept.count()
 

@@ -1,0 +1,35 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.operators.Dedup
+
+/** Dev probe: per-stage wall time of the curation pipeline at sf0.1. */
+object CurationProbe {
+  def main(a: Array[String]): Unit = {
+    val spark = graft.GraftSession.create("local[32]", 32)
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[cprobe] $label%-16s ${(System.nanoTime() - t0) / 1e9}%6.2fs"); r
+    }
+    val scored0 = docs
+      .withColumn("__lang", TextAnalysis.langPredict(TextAnalysis.tokens(col("text"))))
+      .withColumn("__q", TextAnalysis.qualityScore(col("text")))
+    val total = time("total")(docs.count())
+    val scored = time("ckpt scored")(scored0.localCheckpoint())
+    val gated = scored.filter(col("__lang").isin("en", "vi") && col("__q") >= 0.5)
+      .drop("__lang", "__q")
+    val nGated = time("count gated")(gated.count())
+    val exact = time("ckpt exact")(Dedup.exactDedup(gated, "doc_id", "text").localCheckpoint())
+    val nExact = time("count exact")(exact.count())
+    val pairs = Dedup.minhashDedupPairs(exact, "doc_id", "text", 0.7, shingleN = 3)
+    val losers = time("ckpt losers")(pairs.select(col("id_b").as("doc_id")).distinct().localCheckpoint())
+    val kept = exact.join(losers, Seq("doc_id"), "left_anti")
+    val nKept = time("count kept")(kept.count())
+    println(s"[cprobe] counts: $total $nGated $nExact $nKept")
+    spark.stop()
+  }
+}
