@@ -19,9 +19,16 @@ object Merge {
     * Ref: storage/postgres_storage.py:984-1012 (products, key product_id);
     * :804-830 (categories, key url).
     *
-    * Scale: a shuffle on `keys` for both sides — at 100 TB the `oldDf`
-    * snapshot should be bucketed/partitioned by the key so only the delta
-    * shuffles; AQE handles skew. No driver-side state.
+    * Keys are PRIMARY keys and must be non-null (they are NOT NULL in the
+    * reference schema; F1 validation drops null-id rows upstream). The join
+    * uses plain equality, NOT `<=>`: Catalyst rewrites null-safe keys into
+    * coalesce/isnull expression pairs whose hash never matches a bucketed
+    * layout, which would force the snapshot side to re-shuffle and defeat
+    * [[graft.store.Store]]'s bucketed generations.
+    *
+    * Scale: one shuffle on `keys` for the batch side only when the snapshot
+    * is bucketed (Store with buckets > 0); both sides otherwise. AQE
+    * handles skew. No driver-side state.
     */
   def upsertMerge(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String]): DataFrame = {
     val valueCols = newDf.columns.filterNot(keys.contains)
@@ -29,7 +36,7 @@ object Merge {
       "old and new must share a schema")
     val n = newDf.select(newDf.columns.map(c => col(c).as(s"__n_$c")).toIndexedSeq: _*)
     val o = oldDf.select(oldDf.columns.map(c => col(c).as(s"__o_$c")).toIndexedSeq: _*)
-    val cond = keys.map(k => col(s"__n_$k") <=> col(s"__o_$k")).reduce(_ && _)
+    val cond = keys.map(k => col(s"__n_$k") === col(s"__o_$k")).reduce(_ && _)
     val joined = n.join(o, cond, "full_outer")
     val keyCols = keys.map(k => coalesce(col(s"__n_$k"), col(s"__o_$k")).as(k))
     val merged = valueCols.toIndexedSeq.map { c =>

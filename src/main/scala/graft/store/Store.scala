@@ -16,15 +16,20 @@ import graft.operators.Merge
   * no small-file accumulation).
   *
   * Scale: the merge is a single key-partitioned shuffle of snapshot ∪ batch.
-  * At 100 TB the snapshot should be written bucketed by the key so only the
-  * batch side shuffles; history appends are date-partitioned and read
-  * through `history(table, since)` so derivations prune to recent
-  * partitions, and `upsertLatest` maintains a current-snapshot companion so
-  * CDC never replays the log at all. All directory listing goes through the
-  * Hadoop FileSystem API — `root` may be any Hadoop-supported URI
-  * (file:, hdfs:, s3a:, ...), never `java.io.File`.
+  * With `buckets > 0` each generation is written `bucketBy(keys)` +
+  * `sortBy(keys)` through the session catalog, so the NEXT upsert's merge
+  * join reads the snapshot bucket-aligned and shuffles ONLY the batch side
+  * — at 100 TB that is the difference between re-shuffling the whole
+  * catalog per run and shuffling the day's delta. (Bucket metadata lives in
+  * the catalog; a fresh session without the metastore falls back to a plain
+  * parquet read of the same files — correct, just unbucketed.) History
+  * appends are date-partitioned and read through `history(table, since)`
+  * so derivations prune to recent partitions, and `upsertLatest` maintains
+  * a current-snapshot companion so CDC never replays the log at all. All
+  * directory listing goes through the Hadoop FileSystem API — `root` may be
+  * any Hadoop-supported URI (file:, hdfs:, s3a:, ...), never `java.io.File`.
   */
-class Store(spark: SparkSession, root: String) {
+class Store(spark: SparkSession, root: String, buckets: Int = 0) {
 
   private def fs(p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -40,14 +45,34 @@ class Store(spark: SparkSession, root: String) {
 
   private def latestGen(table: String): Option[String] = gens(table).lastOption
 
-  private def writeGen(table: String, df: DataFrame): Unit = {
+  private def catalogName(table: String, gen: String): String =
+    s"graft_${table}_$gen".replaceAll("[^a-zA-Z0-9_]", "_")
+
+  private def writeGen(table: String, df: DataFrame, keys: Seq[String] = Nil): Unit = {
     val next = f"gen_${latestGen(table).map(_.drop(4).toInt + 1).getOrElse(0)}%06d"
-    df.write.mode("overwrite").parquet(s"$root/$table/$next")
+    if (buckets > 0 && keys.nonEmpty) {
+      df.write.mode("overwrite")
+        .bucketBy(buckets, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+        .option("path", s"$root/$table/$next")
+        .saveAsTable(catalogName(table, next))
+      // the previous generation's catalog entry is now dead weight — drop
+      // the metadata only (files stay: snapshot() can still path-read them)
+      latestGen(table).filter(_ != next).foreach { prev =>
+        spark.sql(s"DROP TABLE IF EXISTS ${catalogName(table, prev)}")
+      }
+    } else df.write.mode("overwrite").parquet(s"$root/$table/$next")
   }
 
-  /** Latest snapshot of a keyed table (empty option when never written). */
+  /** Latest snapshot of a keyed table (empty option when never written).
+    * Prefers the catalog entry (carries bucket metadata → bucket-aligned
+    * joins); falls back to a plain parquet read of the generation path. */
   def snapshot(table: String): Option[DataFrame] =
-    latestGen(table).map(g => spark.read.parquet(s"$root/$table/$g"))
+    latestGen(table).map { g =>
+      if (buckets > 0 && spark.catalog.tableExists(catalogName(table, g)))
+        spark.table(catalogName(table, g))
+      else spark.read.parquet(s"$root/$table/$g")
+    }
 
   /** S6/S7/J6 — upsert a batch into a keyed table with the reference's
     * COALESCE(NULLIF(new,''), old) column semantics. */
@@ -56,7 +81,7 @@ class Store(spark: SparkSession, root: String) {
       case Some(old) => Merge.upsertMerge(old, batch, keys)
       case None      => batch
     }
-    writeGen(table, merged)
+    writeGen(table, merged, keys)
   }
 
   /** S8 — append-only history, date-partitioned for pruning at scale. */
@@ -92,7 +117,7 @@ class Store(spark: SparkSession, root: String) {
       case Some(old) => Merge.latestPerKey(old.unionByName(newLatest), keys, tsCol, tieBreakers)
       case None      => newLatest
     }
-    writeGen(s"${table}_latest", merged)
+    writeGen(s"${table}_latest", merged, keys)
   }
 
   /** The current-snapshot companion maintained by [[upsertLatest]]. */

@@ -35,6 +35,24 @@ class OperatorsSpec extends SparkSpec {
       (4L, "D", "BrandD", 44.0, Some(0L))))
   }
 
+  test("detailMerge: empty arrays/maps are not truthy, non-empty win (P4 images/specs)") {
+    val listing = Seq(
+      (1L, "b1", Seq("old.jpg"), Map("k" -> "v")),
+      (2L, "b2", Seq("keep.jpg"), Map("m" -> "n")))
+      .toDF("product_id", "brand", "images", "specifications")
+    val detail = Seq(
+      (1L, Seq("new1.jpg", "new2.jpg"), Map("x" -> "y")),  // non-empty → win
+      (2L, Seq.empty[String], Map.empty[String, String]))  // empty → keep listing
+      .toDF("product_id", "images", "specifications")
+    val got = Merge.detailMerge(listing, detail, "product_id",
+      detailWins = Seq("images", "specifications"))
+      .orderBy("product_id")
+      .as[(Long, String, Seq[String], Map[String, String])].collect().toSeq
+    assert(got == Seq(
+      (1L, "b1", Seq("new1.jpg", "new2.jpg"), Map("x" -> "y")),
+      (2L, "b2", Seq("keep.jpg"), Map("m" -> "n"))))
+  }
+
   test("categoryProductCounts: OR-match distinct count, leaf-only update-back (J3)") {
     val cats = Seq(
       ("c1", Option(100L), true, -1L),   // matched by url AND id (same products → distinct)

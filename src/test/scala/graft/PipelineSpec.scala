@@ -132,6 +132,29 @@ class PipelineSpec extends SparkSpec {
     assert(store.history("h").get.count() == 3)
   }
 
+  test("bucketed store: correct across runs, merge shuffles only the batch side") {
+    val root = Files.createTempDirectory("graft_bucket").toString
+    val store = new Store(spark, root, buckets = 4)
+    store.upsert("products",
+      Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)).toDF("product_id", "price"),
+      Seq("product_id"))
+    store.upsert("products",
+      Seq(("b", 9.0), ("d", 4.0)).toDF("product_id", "price"), Seq("product_id"))
+    val snap = store.snapshot("products").get
+    assert(snap.orderBy("product_id").select("product_id", "price")
+      .as[(String, Double)].collect().toSeq ==
+      Seq(("a", 1.0), ("b", 9.0), ("c", 3.0), ("d", 4.0)))
+    // the NEXT merge against the bucketed snapshot must shuffle only the
+    // batch side: exactly one Exchange in the plan (snapshot side reads
+    // bucket-aligned from the catalog entry)
+    val batch3 = Seq(("e", 5.0)).toDF("product_id", "price")
+    val plan = graft.operators.Merge
+      .upsertMerge(store.snapshot("products").get, batch3, Seq("product_id"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 Exchange (batch side only), got $exchanges:\n${plan.take(3000)}")
+  }
+
   test("history events conform to the declared crawl_history schema") {
     import graft.schema.Schemas
     // the CDC event columns must be a subset of the declared at-rest schema
