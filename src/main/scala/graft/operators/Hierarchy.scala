@@ -137,8 +137,10 @@ object Hierarchy {
       .select(col("__url"), col("__pid"))
     val counts = byUrl.unionByName(byId)
       .groupBy(col("__url")).agg(countDistinct(col("__pid")).as("__cnt"))
+    // counts has at most one row per leaf category — always dim-sized, so
+    // the update-back join broadcasts instead of shuffling the category table
     categories
-      .join(counts.withColumnRenamed("__url", "url"), Seq("url"), "left")
+      .join(broadcast(counts.withColumnRenamed("__url", "url")), Seq("url"), "left")
       .withColumn(countCol,
         when(col("is_leaf"), coalesce(col("__cnt"), lit(0L)))
           .otherwise(col(countCol)))

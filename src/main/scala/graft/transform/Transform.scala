@@ -94,7 +94,10 @@ object Transform {
   /** Full stage: flatten → normalize → validate(+rejects) → dedup → stats.
     * Optionally adds `short_name` via the X10 UDF. */
   def run(raw: DataFrame, withShortName: Boolean = false): TransformResult = {
-    val flat = normalize(flatten(raw))
+    // localCheckpoint: total/valid/dedup counts and both returned frames
+    // would otherwise each re-run the flatten+normalize projection over the
+    // raw input — one materialization feeds all five consumers
+    val flat = normalize(flatten(raw)).localCheckpoint()
     val validDf = flat.filter(validity)
     val rejects = flat.filter(!validity).withColumn("reject_reason", rejectReason)
     val deduped0 = dedup(validDf)
