@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.functions.ColumnOps
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, Hierarchy, History, Merge, Multimodal, Similarity}
+import graft.operators.{Corpus, Dedup, Hierarchy, History, Merge, Multimodal, Similarity}
 import graft.quality.Checks
 import graft.warehouse.StarSchema
 
@@ -750,6 +750,29 @@ object SparkEntry {
         allowedLangs = Seq("en", "vi"), minQuality = 0.5,
         nearDupThreshold = 0.7, shingleN = 3)
       res.kept.select("doc_id", "lang", "source", "n_chars").orderBy(col("doc_id"))
+    }),
+
+    // --- corpus prep: deterministic stratified sample per language ----------
+    "q51_stratified_sample" -> ((s, dir) => {
+      Corpus.stratifiedSample(t(s, dir, "documents"), "lang", "doc_id", n = 20)
+        .select("doc_id", "lang", "source")
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- corpus prep: per-language token-budget packing (data mixing) -------
+    "q52_token_budget" -> ((s, dir) => {
+      Corpus.tokenBudgetPack(t(s, dir, "documents"), "lang", "doc_id", "text",
+        budget = 5000L)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- corpus prep: fixed-size token chunking with overlap ----------------
+    "q53_chunking" -> ((s, dir) => {
+      Corpus.chunkDocs(t(s, dir, "documents"), "text", chunkTokens = 64, overlap = 16)
+        .select(col("doc_id"), col("chunk_id").cast(LongType).as("chunk_id"),
+          col("chunk_tokens"), md5(col("chunk_text")).as("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
     // --- H5: path-root repair — root name forced to index 1 of every path ---
@@ -1533,6 +1556,42 @@ object SparkEntry {
         |)
         |SELECT doc_id, lang, source, n_chars FROM exact
         |WHERE doc_id NOT IN (SELECT id_b FROM losers) ORDER BY doc_id""".stripMargin,
+
+    "q51_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) <= 20
+        |ORDER BY doc_id""".stripMargin,
+
+    "q52_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    len(list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), x -> x != '')) ntok
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    SUM(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum
+        |  FROM t
+        |)
+        |SELECT doc_id, lang, n_chars FROM c WHERE cum <= 5000 ORDER BY doc_id""".stripMargin,
+
+    "q53_chunking" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), x -> x != '') tk
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, tk,
+        |    greatest(1, CAST(ceil((len(tk) - 16)::DOUBLE / 48) AS INT)) nc
+        |  FROM toks
+        |), e AS (
+        |  SELECT doc_id, tk, unnest(range(0, nc)) cid FROM c
+        |)
+        |SELECT doc_id, CAST(cid AS BIGINT) chunk_id,
+        |  CAST(len(tk[cid*48+1:cid*48+64]) AS BIGINT) chunk_tokens,
+        |  md5(array_to_string(tk[cid*48+1:cid*48+64], ' ')) chunk_hash
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q49_path_root" ->
       """WITH p AS (

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** Corpus-preparation operators for training-data pipelines, beyond the
+  * reference's own surface: deterministic stratified sampling, per-group
+  * token-budget packing (data mixing), and fixed-size token chunking with
+  * overlap (context-window prep).
+  *
+  * All three are single-window or single-explode shapes: one hash-partition
+  * shuffle on the group key (sampling/packing) or a narrow per-row Generate
+  * (chunking). No driver-side state, no sort of the full corpus — the
+  * windows order WITHIN groups only.
+  */
+object Corpus {
+
+  /** Deterministic stratified sample: `n` rows per group, selected by a
+    * pseudo-random-but-stable order (md5 of the id, tie-broken by id).
+    * Reruns and engine changes pick the SAME sample — the property that
+    * matters for reproducible training mixes; `rand()`-based sampling
+    * can't give it. One shuffle on the group key; `WindowGroupLimit`
+    * prunes per-partition before the final window. */
+  def stratifiedSample(df: DataFrame, groupCol: String, idCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
+  /** Per-group token-budget packing: walk each group in `orderCol` order,
+    * keep rows while the RUNNING token total stays within `budget` — the
+    * standard "mix K tokens of each source/language" primitive. The running
+    * sum is a single window aggregate; rows are kept iff their inclusive
+    * prefix sum fits (so a row that overflows the budget is dropped, as are
+    * all rows after it in that group). */
+  def tokenBudgetPack(df: DataFrame, groupCol: String, orderCol: String,
+      textCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__ntok", TextAnalysis.tokenCount(col(textCol)).cast("long"))
+      .withColumn("__cum", sum(col("__ntok")).over(w))
+      .filter(col("__cum") <= budget)
+      .drop("__ntok", "__cum")
+  }
+
+  /** Split each document into fixed-size token chunks with overlap:
+    * chunk i covers tokens [i·stride, i·stride + chunkTokens) where
+    * stride = chunkTokens − overlap. Documents shorter than one chunk
+    * yield exactly one chunk (possibly empty). Pure per-row explode —
+    * embarrassingly parallel, no shuffle.
+    *
+    * Output: input columns + (chunk_id, chunk_text, chunk_tokens). */
+  def chunkDocs(df: DataFrame, textCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(overlap < chunkTokens, "overlap must be < chunkTokens")
+    val stride = chunkTokens - overlap
+    // stage the token array in its own projection: referencing tokens()
+    // inside the transform lambda would re-tokenize per chunk
+    val toks = df.withColumn("__tk", TextAnalysis.tokens(col(textCol)))
+    val nChunks = greatest(lit(1),
+      ceil((size(col("__tk")) - lit(overlap)).cast("double") / stride).cast("int"))
+    toks
+      .withColumn("chunk_id", explode(sequence(lit(0), nChunks - 1)))
+      .withColumn("__chunk", slice(col("__tk"), col("chunk_id") * stride + 1, lit(chunkTokens)))
+      .withColumn("chunk_text", array_join(col("__chunk"), " "))
+      .withColumn("chunk_tokens", size(col("__chunk")).cast("long"))
+      .drop("__tk", "__chunk")
+  }
+}

@@ -98,6 +98,44 @@ class OperatorsSpec extends SparkSpec {
     assert(got("noCrit") == (("", 0.0, "complete")))
   }
 
+  test("corpus: stratifiedSample takes n per group, deterministically") {
+    import graft.operators.Corpus
+    val df = (1L to 50L).map(i => (i, if (i % 2 == 0) "en" else "vi")).toDF("doc_id", "lang")
+    val a = Corpus.stratifiedSample(df, "lang", "doc_id", 5)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    val b = Corpus.stratifiedSample(df, "lang", "doc_id", 5)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(a == b, "sample must be stable across runs")
+    assert(a.count(_._2 == "en") == 5 && a.count(_._2 == "vi") == 5)
+  }
+
+  test("corpus: tokenBudgetPack keeps in-order prefix within budget per group") {
+    import graft.operators.Corpus
+    val df = Seq(
+      (1L, "en", "a b c"),        // 3 tokens, cum 3
+      (2L, "en", "d e f g"),      // 4 tokens, cum 7 > 5 → dropped
+      (3L, "en", "h"),            // after overflow → dropped too (cum 8)
+      (1L, "vi", "x y"),          // cum 2
+      (2L, "vi", "z w v")         // cum 5 ≤ 5 → kept
+    ).toDF("doc_id", "lang", "text")
+    val got = Corpus.tokenBudgetPack(df, "lang", "doc_id", "text", budget = 5L)
+      .select("lang", "doc_id").as[(String, Long)].collect().toSeq.sorted
+    assert(got == Seq(("en", 1L), ("vi", 1L), ("vi", 2L)))
+  }
+
+  test("corpus: chunkDocs strides with overlap, short/empty docs yield one chunk") {
+    import graft.operators.Corpus
+    val words = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
+    val df = Seq((1L, words), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    val got = Corpus.chunkDocs(df, "text", chunkTokens = 4, overlap = 1)
+      .select("doc_id", "chunk_id", "chunk_text")
+      .orderBy("doc_id", "chunk_id").as[(Long, Int, String)].collect().toSeq
+    // stride 3, 10 tokens → ceil(9/3)=3 chunks: [1..4],[4..7],[7..10]
+    assert(got == Seq(
+      (1L, 0, "w1 w2 w3 w4"), (1L, 1, "w4 w5 w6 w7"), (1L, 2, "w7 w8 w9 w10"),
+      (2L, 0, "a b"), (3L, 0, "")))
+  }
+
   test("upsertMerge: new non-empty wins, empty string keeps old, new keys inserted (J6)") {
     val old  = Seq(("1", "a", 10), ("2", "b", 20)).toDF("k", "s", "n")
     val newD = Seq(("2", "", 99), ("3", "c", 30)).toDF("k", "s", "n")
