@@ -775,6 +775,38 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    // --- corpus prep: PII detection + redaction (pure regexp expressions) ---
+    "q54_pii_scrub" -> ((s, dir) => {
+      import graft.functions.Scrub
+      val d = t(s, dir, "documents")
+      // plant deterministic PII so the scrub has something to find
+      val planted = d.withColumn("text2",
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" contact me at user"), col("doc_id"),
+            lit("@example.com or https://ex.com/p?id="), col("doc_id")))
+          .when(col("doc_id") % 7 === 0,
+            concat(lit("call +84 123 456 789 now "), col("text")))
+          .otherwise(col("text")))
+      planted.select(
+        col("doc_id"),
+        Scrub.emailCount(col("text2")).cast(LongType).as("n_emails"),
+        Scrub.urlCount(col("text2")).cast(LongType).as("n_urls"),
+        Scrub.phoneCount(col("text2")).cast(LongType).as("n_phones"),
+        Scrub.hasPii(col("text2")).as("has_pii"),
+        md5(Scrub.redactPii(col("text2"))).as("redacted_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- corpus prep: benchmark decontamination (shared-shingle semi-join) --
+    "q55_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") % 50 =!= 0)
+      val evalSet = d.filter(col("doc_id") % 50 === 0)
+      Corpus.decontaminate(corpus, evalSet, "doc_id", "text", shingleN = 5)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy(col("doc_id"))
+    }),
+
     // --- H5: path-root repair — root name forced to index 1 of every path ---
     "q49_path_root" -> ((s, dir) => {
       val sup = t(s, dir, "supplier").join(t(s, dir, "nation"),
@@ -1592,6 +1624,48 @@ object SparkEntry {
         |  CAST(len(tk[cid*48+1:cid*48+64]) AS BIGINT) chunk_tokens,
         |  md5(array_to_string(tk[cid*48+1:cid*48+64], ' ')) chunk_hash
         |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q54_pii_scrub" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN text || ' contact me at user' || doc_id || '@example.com or https://ex.com/p?id=' || doc_id
+        |    WHEN doc_id % 7 = 0 THEN 'call +84 123 456 789 now ' || text
+        |    ELSE text END t2
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) n_emails,
+        |  CAST(len(regexp_extract_all(t2, 'https?://[^\s]+')) AS BIGINT) n_urls,
+        |  CAST(len(regexp_extract_all(t2, '\+?[0-9][0-9 .-]{7,}[0-9]')) AS BIGINT) n_phones,
+        |  (len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) > 0
+        |   OR len(regexp_extract_all(t2, 'https?://[^\s]+')) > 0
+        |   OR len(regexp_extract_all(t2, '\+?[0-9][0-9 .-]{7,}[0-9]')) > 0) has_pii,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t2,
+        |    'https?://[^\s]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9 .-]{7,}[0-9]', '<PHONE>', 'g')) redacted_hash
+        |FROM planted ORDER BY doc_id""".stripMargin,
+
+    "q55_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), x -> x != '') l
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, lang, n_chars, CASE WHEN len(l) < 5 THEN [array_to_string(l, ' ')]
+        |    ELSE list_distinct([array_to_string(l[i:i+4], ' ') FOR i IN range(1, len(l) - 3)]) END sh
+        |  FROM toks
+        |), ev AS (
+        |  SELECT DISTINCT unnest(sh) s FROM sh WHERE doc_id % 50 = 0
+        |), contaminated AS (
+        |  SELECT DISTINCT c.doc_id FROM (
+        |    SELECT doc_id, unnest(sh) s FROM sh WHERE doc_id % 50 != 0) c
+        |  JOIN ev ON c.s = ev.s
+        |)
+        |SELECT doc_id, lang, n_chars FROM sh
+        |WHERE doc_id % 50 != 0 AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |ORDER BY doc_id""".stripMargin,
 
     "q49_path_root" ->
       """WITH p AS (

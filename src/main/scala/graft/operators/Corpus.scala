@@ -48,6 +48,25 @@ object Corpus {
       .drop("__ntok", "__cum")
   }
 
+  /** Benchmark decontamination: drop corpus documents sharing ANY word
+    * `shingleN`-gram with the evaluation set — the standard guard against
+    * test-set leakage into training data. The eval shingle set is tiny
+    * relative to the corpus (a benchmark, not a crawl), so it broadcasts:
+    * the check is a map-side LeftSemi probe per corpus shingle followed by
+    * one distinct on contaminated ids — the corpus never shuffles its
+    * text, only narrow (id, shingle) rows of matching docs. */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 5): DataFrame = {
+    def shingles(df: DataFrame) = df
+      .withColumn("__tk", TextAnalysis.tokens(col(textCol)))
+      .select(col(idCol), explode(TextAnalysis.shinglesFromTokens(col("__tk"), shingleN)).as("__s"))
+    val evalShingles = shingles(evalSet).select("__s").distinct()
+    val contaminated = shingles(corpus)
+      .join(broadcast(evalShingles), Seq("__s"), "left_semi")
+      .select(idCol).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Split each document into fixed-size token chunks with overlap:
     * chunk i covers tokens [i·stride, i·stride + chunkTokens) where
     * stride = chunkTokens − overlap. Documents shorter than one chunk

@@ -136,6 +136,31 @@ class OperatorsSpec extends SparkSpec {
       (2L, 0, "a b"), (3L, 0, "")))
   }
 
+  test("corpus: scrub redacts urls-then-emails-then-phones, counts match") {
+    import graft.functions.Scrub
+    val df = Seq(
+      (1L, "mail me at a.b@x.com or visit https://x.com/a?b=1 or call +84 123 456 789"),
+      (2L, "clean text, no pii here")).toDF("id", "t")
+    val got = df.select(col("id"),
+      Scrub.emailCount(col("t")).as("e"), Scrub.urlCount(col("t")).as("u"),
+      Scrub.phoneCount(col("t")).as("p"), Scrub.redactPii(col("t")).as("r"))
+      .orderBy("id").as[(Long, Int, Int, Int, String)].collect().toSeq
+    assert(got(0)._2 == 1 && got(0)._3 == 1 && got(0)._4 == 1)
+    assert(got(0)._5 == "mail me at <EMAIL> or visit <URL> or call <PHONE>")
+    assert(got(1) == ((2L, 0, 0, 0, "clean text, no pii here")))
+  }
+
+  test("corpus: decontaminate drops docs sharing an n-gram with the eval set") {
+    import graft.operators.Corpus
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the dog"),   // shares 5-gram with eval
+      (2L, "completely unrelated words appear here now")).toDF("doc_id", "text")
+    val evalSet = Seq((100L, "a b the quick brown fox jumps c d")).toDF("doc_id", "text")
+    val got = Corpus.decontaminate(corpus, evalSet, "doc_id", "text", shingleN = 5)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(2L))
+  }
+
   test("upsertMerge: new non-empty wins, empty string keeps old, new keys inserted (J6)") {
     val old  = Seq(("1", "a", 10), ("2", "b", 20)).toDF("k", "s", "n")
     val newD = Seq(("2", "", 99), ("3", "c", 30)).toDF("k", "s", "n")
