@@ -807,6 +807,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- near-dup clustering: MinHash pairs → connected components ----------
+    "q56_dup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashDedupPairs(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.3, shingleN = 3, numHashes = 12, bands = 4)
+      Dedup.clusterNearDups(pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- H5: path-root repair — root name forced to index 1 of every path ---
     "q49_path_root" -> ((s, dir) => {
       val sup = t(s, dir, "supplier").join(t(s, dir, "nation"),
@@ -1666,6 +1675,33 @@ object SparkEntry {
         |SELECT doc_id, lang, n_chars FROM sh
         |WHERE doc_id % 50 != 0 AND doc_id NOT IN (SELECT doc_id FROM contaminated)
         |ORDER BY doc_id""".stripMargin,
+
+    "q56_dup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), t -> t != '') l
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+        |    ELSE list_distinct([array_to_string(l[i:i+2], ' ') FOR i IN range(1, len(l) - 1)]) END sh
+        |  FROM toks
+        |), sig AS (
+        |  SELECT doc_id, sh, [list_min([md5(i::VARCHAR || '|' || s) FOR s IN sh]) FOR i IN range(0, 12)] sg FROM sh
+        |), bands AS (
+        |  SELECT doc_id, unnest([b::VARCHAR || ':' || md5(array_to_string(sg[b*3+1:b*3+3], ',')) FOR b IN range(0, 4)]) bk FROM sig
+        |), cand AS (
+        |  SELECT DISTINCT x.doc_id id_a, y.doc_id id_b FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id
+        |), p AS (
+        |  SELECT c.id_a, c.id_b FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+        |  WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.3
+        |), edges AS (
+        |  SELECT id_a a, id_b b FROM p UNION SELECT id_b, id_a FROM p
+        |), reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        |)
+        |SELECT a doc_id, least(a, min(b)) cluster_id FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
 
     "q49_path_root" ->
       """WITH p AS (

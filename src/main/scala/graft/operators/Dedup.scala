@@ -240,6 +240,44 @@ object Dedup {
     * at ~PairBlockRows² ≈ 16M popcount chains per block pair. */
   val PairBlockRows = 4096
 
+  /** Connected components over near-dup pairs: assign every document in
+    * `pairs` the MINIMUM doc id of its component — the cluster id and
+    * canonical-representative choice in one. Min-label propagation: each
+    * round every node takes the min of its own and its neighbors' labels;
+    * converges in O(component diameter) rounds (near-dup clusters are
+    * shallow — chains longer than `maxIter` hops would mean the threshold
+    * is effectively zero). Each round is one equi-join + groupBy on ids —
+    * no GraphX, no driver-side adjacency; the edge list is checkpointed
+    * once and labels stay narrow (id, label).
+    *
+    * The early-exit convergence check costs one count per round; rounds
+    * after convergence are skipped entirely. */
+  def clusterNearDups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbr = edges
+        .join(labels.select(col("id").as("b"), col("label").as("nl")), Seq("b"))
+        .groupBy(col("a").as("id")).agg(min(col("nl")).as("minNbr"))
+      val next = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("minNbr"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      i += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** SimHash near-dup candidates: the native
     * [[graft.expressions.SimHashExpr]] fingerprint (bit j of the
     * md5-derived token hash votes ±1; sign of the vote sum is bit j) —

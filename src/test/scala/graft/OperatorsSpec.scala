@@ -161,6 +161,15 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq(2L))
   }
 
+  test("clusterNearDups: min-id connected components across chained pairs") {
+    // components: {1,2,3,7} via 1-2, 2-3, 3-7 (a chain), {10,11}, singleton edges only
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 7L), (10L, 11L))
+      .toDF("id_a", "id_b").withColumn("jaccard", lit(1.0))
+    val got = Dedup.clusterNearDups(pairs).orderBy("id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 1L), (10L, 10L), (11L, 10L)))
+  }
+
   test("upsertMerge: new non-empty wins, empty string keeps old, new keys inserted (J6)") {
     val old  = Seq(("1", "a", 10), ("2", "b", 20)).toDF("k", "s", "n")
     val newD = Seq(("2", "", 99), ("3", "c", 30)).toDF("k", "s", "n")
