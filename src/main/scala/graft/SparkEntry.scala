@@ -807,6 +807,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- text quality: Gopher-style repetition scoring ----------------------
+    "q57_repetition" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("__tk", TextAnalysis.tokens(col("text")))
+      d.select(
+        col("doc_id"),
+        TextAnalysis.dupNgramFraction(col("__tk"), 1).as("dup_token_frac"),
+        TextAnalysis.dupNgramFraction(col("__tk"), 2).as("dup_bigram_frac"),
+        (TextAnalysis.dupNgramFraction(col("__tk"), 2) > 0.2).as("is_repetitive"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- near-dup clustering: MinHash pairs → connected components ----------
     "q56_dup_clusters" -> ((s, dir) => {
       val pairs = Dedup.minhashDedupPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -1675,6 +1687,24 @@ object SparkEntry {
         |SELECT doc_id, lang, n_chars FROM sh
         |WHERE doc_id % 50 != 0 AND doc_id NOT IN (SELECT doc_id FROM contaminated)
         |ORDER BY doc_id""".stripMargin,
+
+    "q57_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), x -> x != '') tk
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, tk,
+        |    CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+        |      ELSE [array_to_string(tk[i:i+1], ' ') FOR i IN range(1, len(tk))] END g2
+        |  FROM toks
+        |), f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) > 0 THEN round(1.0 - len(list_distinct(tk))::DOUBLE / len(tk), 6) ELSE 0.0 END dup_token_frac,
+        |    CASE WHEN len(g2) > 0 THEN round(1.0 - len(list_distinct(g2))::DOUBLE / len(g2), 6) ELSE 0.0 END dup_bigram_frac
+        |  FROM g
+        |)
+        |SELECT doc_id, dup_token_frac, dup_bigram_frac, dup_bigram_frac > 0.2 is_repetitive
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "q56_dup_clusters" ->
       """WITH RECURSIVE toks AS (

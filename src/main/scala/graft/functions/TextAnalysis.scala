@@ -145,6 +145,26 @@ object TextAnalysis {
     round(lenOk * 0.3 + wordOk * 0.2 + alpha * 0.5, 6)
   }
 
+  /** Word n-grams WITHOUT distinct — the unit for repetition measurement
+    * (distinct shingles would hide exactly what repetition scoring looks
+    * for). Documents shorter than `n` tokens yield a single n-gram. */
+  def rawNgrams(ts: Column, n: Int): Column =
+    when(size(ts) < n, array(array_join(ts, " ")))
+      .otherwise(transform(
+        sequence(lit(1), size(ts) - (n - 1)),
+        i => array_join(slice(ts, i, lit(n)), " ")))
+
+  /** Fraction of duplicated n-grams: 1 − distinct/total (0 for empty docs).
+    * The Gopher/C4-style repetition signal — high values mean boilerplate
+    * or looped text. Pure expression over a staged token array. */
+  def dupNgramFraction(ts: Column, n: Int): Column = {
+    val grams = rawNgrams(ts, n)
+    when(size(grams) > 0,
+      round(lit(1.0) - size(array_distinct(grams)).cast(DoubleType) /
+        size(grams).cast(DoubleType), 6))
+      .otherwise(0.0)
+  }
+
   /** Stopword ratio (any language) — a classic quality signal. */
   def stopwordRatio(tokenArr: Column): Column = {
     val all = stopwords.values.flatten.toSeq.distinct
