@@ -97,6 +97,58 @@ class PropertySpec extends SparkSpec {
     assert(df.filter(col("price").isNotNull && col("price") < 0).count() === 0)
   }
 
+  test("corpus operators hold structural invariants over generated batches") {
+    import spark.implicits._
+    import graft.operators.Corpus
+    val docs = Gen.listOfN(60, Gen.zip(
+      Gen.choose(1L, 1000L),
+      Gen.listOf(Gen.oneOf("a", "bb", "ccc", "dd", "e", "ffff")).map(_.mkString(" "))))
+      .map(_.distinctBy(_._1))
+    check("chunkDocs loses no tokens and respects overlap", Prop.forAll(docs) { rows =>
+      rows.isEmpty || {
+        val df = rows.toDF("doc_id", "text")
+        val chunks = Corpus.chunkDocs(df, "text", chunkTokens = 4, overlap = 1)
+          .select("doc_id", "chunk_id", "chunk_text")
+          .as[(Long, Int, String)].collect()
+          .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toList).toMap
+        rows.forall { case (id, text) =>
+          val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toList
+          val cs = chunks(id)
+          // stitched = first chunk + each later chunk minus its 1-token overlap
+          val stitched = (cs.head.split(" ").filter(_.nonEmpty).toList ::
+            cs.tail.map(_.split(" ").filter(_.nonEmpty).drop(1).toList)).flatten
+          stitched == toks
+        }
+      }
+    })
+    check("stratifiedSample ≤ n per group, deterministic subset", Prop.forAll(docs) { rows =>
+      rows.isEmpty || {
+        val df = rows.map { case (id, t) => (id, t.length % 3) }.toDF("doc_id", "g")
+        val s1 = Corpus.stratifiedSample(df, "g", "doc_id", 3)
+          .as[(Long, Int)].collect().toSet
+        val s2 = Corpus.stratifiedSample(df, "g", "doc_id", 3)
+          .as[(Long, Int)].collect().toSet
+        s1 == s2 && s1.subsetOf(rows.map { case (id, t) => (id, t.length % 3) }.toSet) &&
+          s1.groupBy(_._2).forall(_._2.size <= 3)
+      }
+    })
+    check("tokenBudgetPack equals the sequential takeWhile model", Prop.forAll(docs) { rows =>
+      rows.isEmpty || {
+        val withG = rows.map { case (id, t) => (id, t.length % 3, t) }
+        val df = withG.toDF("doc_id", "g", "text")
+        val kept = Corpus.tokenBudgetPack(df, "g", "doc_id", "text", budget = 6L)
+          .select("doc_id").as[Long].collect().toSet
+        val expect = withG.groupBy(_._2).values.flatMap { grp =>
+          var cum = 0L
+          grp.sortBy(_._1).takeWhile { case (_, _, t) =>
+            cum += t.split("\\s+").count(_.nonEmpty); cum <= 6L
+          }.map(_._1)
+        }.toSet
+        kept == expect
+      }
+    })
+  }
+
   test("upsertMerge is idempotent and exactDedup keeps the minimum id per fingerprint") {
     import spark.implicits._
     val old = Seq(("1", "a", 10.0), ("2", "b", 20.0)).toDF("product_id", "name", "price")
