@@ -39,8 +39,11 @@ object Dedup {
       .drop("__fp", "__rn")
   }
 
-  /** One row per (id, shingle): the working relation for MinHash/Jaccard.
-    * Shingles are distinct within a document (wordShingles distincts).
+  /** One row per (id, shingle), DISTINCT per doc: the working relation for
+    * MinHash/Jaccard. Per-doc dedup happens at the RELATION level
+    * (explode raw n-grams, then `.distinct()`) — `array_distinct` inside
+    * the projection is O(T²) string comparisons per document and measured
+    * 3× slower than the exploded hash-dedup at sf0.1.
     * The repartition spreads the normalize+shingle work across the cluster
     * even when the source has few splits (a 1-file local table would
     * otherwise tokenize on one core); at real scale the input has thousands
@@ -49,7 +52,8 @@ object Dedup {
   private def shingleRows(docs: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
     docs.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
       .repartition(col("id"))
-      .select(col("id"), explode(shinglesFromTokens(col("__toks"), shingleN)).as("s"))
+      .select(col("id"), explode(rawNgrams(col("__toks"), shingleN)).as("s"))
+      .distinct()
 
   /** Candidate near-dup pairs via MinHash + LSH banding. The signature is
     * the native [[graft.expressions.MinHashSignatureExpr]] — one codegen'd
