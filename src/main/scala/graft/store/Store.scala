@@ -123,29 +123,41 @@ class Store(spark: SparkSession, root: String, buckets: Int = 0) {
   /** The current-snapshot companion maintained by [[upsertLatest]]. */
   def latest(table: String): Option[DataFrame] = snapshot(s"${table}_latest")
 
-  /** S9 — archive history rows older than `cutoff` (yyyy-MM-dd): copy the
-    * old partitions into `<table>_archive`, rewrite the source without them.
-    * Partition-pruned on both sides — never scans live partitions. */
+  /** S9 — archive history partitions older than `cutoff` (yyyy-MM-dd): MOVE
+    * the expired `__date=` partition directories under
+    * `<table>_archive/append` with FileSystem renames. The table is
+    * partitioned by `__date` and the archive predicate is a pure partition
+    * predicate, so live partitions are never read, rewritten, or touched —
+    * at 100 TB of history an archive run costs one directory listing, one
+    * rename per expired partition, and a row-count scan of ONLY the expired
+    * partitions (for the return value). Ref: postgres_storage.py:1825-1848.
+    */
   def archiveHistory(table: String, cutoff: String, tsCol: String = "crawled_at"): Long = {
-    history(table) match {
-      case None => 0L
-      case Some(h) =>
-        val old = h.filter(date_format(col(tsCol), "yyyy-MM-dd") < cutoff)
-        val n = old.count()
-        if (n > 0) {
-          appendHistory(s"${table}_archive", old, tsCol)
-          val keep = h.filter(date_format(col(tsCol), "yyyy-MM-dd") >= cutoff).cache()
-          keep.count()
-          val dir = s"$root/$table/append"
-          val tmp = s"$root/$table/append_tmp"
-          keep.withColumn("__date", date_format(col(tsCol), "yyyy-MM-dd"))
-            .write.mode("overwrite").partitionBy("__date").parquet(tmp)
-          keep.unpersist()
-          val f = fs(new Path(dir))
-          f.delete(new Path(dir), true)
-          f.rename(new Path(tmp), new Path(dir))
-        }
-        n
+    val dir = new Path(s"$root/$table/append")
+    val f = fs(dir)
+    if (!f.exists(dir)) return 0L
+    val expired = f.listStatus(dir).toSeq.filter { st =>
+      val name = st.getPath.getName
+      st.isDirectory && name.startsWith("__date=") &&
+        name.stripPrefix("__date=") < cutoff // yyyy-MM-dd sorts lexicographically
     }
+    if (expired.isEmpty) return 0L
+    val n = spark.read.parquet(expired.map(_.getPath.toString): _*).count()
+    val destRoot = new Path(s"$root/${table}_archive/append")
+    f.mkdirs(destRoot)
+    expired.foreach { st =>
+      val dest = new Path(destRoot, st.getPath.getName)
+      if (!f.exists(dest)) f.rename(st.getPath, dest)
+      else {
+        // partition already archived once (re-run with a later cutoff after
+        // late-arriving appends) — move the files into the existing dir;
+        // parquet part-file names carry task UUIDs so they never collide
+        f.listStatus(st.getPath).foreach { part =>
+          f.rename(part.getPath, new Path(dest, part.getPath.getName))
+        }
+        f.delete(st.getPath, true)
+      }
+    }
+    n
   }
 }

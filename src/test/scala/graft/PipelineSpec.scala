@@ -96,10 +96,74 @@ class PipelineSpec extends SparkSpec {
       ("p2", 2.0, java.sql.Timestamp.valueOf("2024-06-01 00:00:00")))
       .toDF("product_id", "price", "crawled_at")
     store.appendHistory("crawl_history", events)
+    // snapshot the live (kept) partition's file list + modification times:
+    // archiving must MOVE expired partition dirs, never rewrite live ones
+    def liveFiles() = {
+      val dir = java.nio.file.Paths.get(root, "crawl_history", "append", "__date=2024-06-01")
+      import scala.jdk.CollectionConverters._
+      Files.list(dir).iterator().asScala
+        .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis).toMap
+    }
+    val before = liveFiles()
     val archived = store.archiveHistory("crawl_history", "2024-03-01")
     assert(archived == 1)
     assert(store.history("crawl_history").get.count() == 1)
     assert(store.history("crawl_history_archive").get.count() == 1)
+    assert(liveFiles() == before,
+      "live partition files were rewritten by archiveHistory")
+    // the expired partition dir is gone from the live table
+    assert(!Files.exists(java.nio.file.Paths.get(
+      root, "crawl_history", "append", "__date=2024-01-01")))
+    // re-archiving with a later cutoff into the SAME archive partition set
+    store.appendHistory("crawl_history",
+      Seq(("p3", 3.0, java.sql.Timestamp.valueOf("2024-01-01 12:00:00")))
+        .toDF("product_id", "price", "crawled_at"))
+    assert(store.archiveHistory("crawl_history", "2024-03-01") == 1)
+    assert(store.history("crawl_history_archive").get.count() == 2)
+    assert(store.archiveHistory("crawl_history", "2024-03-01") == 0) // idempotent
+  }
+
+  test("multi-batch store lifecycle: 3 days of upsert+history+latest+archive " +
+      "match a sequential model") {
+    val root = Files.createTempDirectory("graft_life").toString
+    val store = new Store(spark, root, buckets = 4)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // 3 daily batches; day2 carries a null price for p1 (upsert must keep old)
+    val days = Seq(
+      Seq(("p1", Some(1.0), ts("2024-01-01 08:00:00")),
+        ("p2", Some(2.0), ts("2024-01-01 09:00:00"))),
+      Seq(("p1", None, ts("2024-01-02 08:00:00")),
+        ("p2", Some(20.0), ts("2024-01-02 09:00:00")),
+        ("p3", Some(3.0), ts("2024-01-02 10:00:00"))),
+      Seq(("p1", Some(100.0), ts("2024-01-03 08:00:00")),
+        ("p4", Some(4.0), ts("2024-01-03 09:00:00"))))
+    days.foreach { batch =>
+      val df = batch.toDF("product_id", "price", "crawled_at")
+      store.upsert("products", df.drop("crawled_at"), Seq("product_id"))
+      store.appendHistory("crawl_history", df)
+      store.upsertLatest("crawl_history", df, Seq("product_id"))
+    }
+    // sequential model of the upsert: last non-null value per key wins
+    val model = days.flatten.foldLeft(Map.empty[String, Option[Double]]) {
+      case (m, (k, v, _)) => m.updated(k, v.orElse(m.getOrElse(k, None)))
+    }
+    val snap = store.snapshot("products").get
+      .select("product_id", "price").as[(String, Option[Double])]
+      .collect().toMap
+    assert(snap == model)
+    // latest companion = global latest-per-key over all appended events
+    val latestModel = days.flatten.groupBy(_._1).map { case (k, rows) =>
+      k -> rows.maxBy(_._3.getTime)._3
+    }
+    val latest = store.latest("crawl_history").get
+      .select("product_id", "crawled_at")
+      .as[(String, java.sql.Timestamp)].collect().toMap
+    assert(latest == latestModel)
+    // archive days 1-2, keep day 3; totals conserved across live + archive
+    val archived = store.archiveHistory("crawl_history", "2024-01-03")
+    assert(archived == 5)
+    assert(store.history("crawl_history").get.count() == 2)
+    assert(store.history("crawl_history_archive").get.count() == 5)
   }
 
   test("store works against an explicit file: URI (Hadoop FS read path)") {
