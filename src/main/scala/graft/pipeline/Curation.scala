@@ -38,22 +38,27 @@ object Curation {
     val total = docs.count()
 
     // stage 1: language + quality gates (one scan, both expressions).
-    // localCheckpoint BEFORE the filter, for two reasons: (a) `gated` is
-    // read by the exact-dedup stage, the MinHash pass AND the ledger
-    // counts — without a checkpoint each action re-runs the gate
-    // expressions over the full corpus; (b) the checkpoint pins the gate
-    // expressions inside a PROJECTION, where codegen subexpression
-    // elimination applies — otherwise the optimizer substitutes them into
-    // the Filter condition (predicate pushdown through project), which
-    // evaluates the raw duplicated tree per row (measured ~6× slower).
-    // withColumn (not select) — callers keep their payload columns.
+    // The gates are scored in a NARROW projection — (id, __lang, __q) only —
+    // and THAT is what gets localCheckpoint'd: a full-width checkpoint would
+    // hold a second copy of the corpus in executor-local storage (at 100 TB,
+    // a non-fault-tolerant cluster-memory copy of everything), while the
+    // narrow score relation is a few bytes per document. Scoring in a
+    // projection (never a Filter) still pins the gate expressions where
+    // codegen subexpression elimination applies — pushing them into the
+    // Filter condition evaluates the raw duplicated tree per row (measured
+    // ~6× slower). The gated corpus is then a semi-join of the source
+    // against surviving ids: downstream stages re-read the cheap columnar
+    // source scan instead of a corpus-wide checkpoint, and callers keep all
+    // payload columns.
     val scored = docs
-      .withColumn("__lang", TextAnalysis.langPredict(TextAnalysis.tokens(col(textCol))))
-      .withColumn("__q", TextAnalysis.qualityScore(col(textCol)))
+      .select(col(idCol),
+        TextAnalysis.langPredict(TextAnalysis.tokens(col(textCol))).as("__lang"),
+        TextAnalysis.qualityScore(col(textCol)).as("__q"))
       .localCheckpoint()
-    val gated = scored
+    val keepIds = scored
       .filter(col("__lang").isin(allowedLangs: _*) && col("__q") >= minQuality)
-      .drop("__lang", "__q")
+      .select(idCol)
+    val gated = docs.join(keepIds, Seq(idCol), "left_semi")
     val nGated = gated.count()
 
     // stage 2: exact dedup (normalized-text fingerprint, min-id wins);
