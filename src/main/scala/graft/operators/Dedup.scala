@@ -254,18 +254,26 @@ object Dedup {
     * no GraphX, no driver-side adjacency; the edge list is checkpointed
     * once and labels stay narrow (id, label).
     *
-    * The early-exit convergence check costs one count per round; rounds
-    * after convergence are skipped entirely. */
-  def clusterNearDups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    * Checkpoint hygiene: every round supersedes the previous label table —
+    * its storage blocks are unpersisted immediately (via
+    * [[org.apache.spark.sql.graftx.Bridge.unpersistCheckpoint]]), so at most
+    * TWO label generations are ever live regardless of iteration count.
+    * Convergence is checked every `convEvery` rounds against the last
+    * CHECKED generation (labels are monotone non-increasing, so equality
+    * over k rounds ⇔ a fixed point after each of them) — halving the
+    * action count vs a per-round check. */
+  def clusterNearDups(pairs: DataFrame, maxIter: Int = 20, convEvery: Int = 2): DataFrame = {
+    import org.apache.spark.sql.graftx.Bridge
     val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
       .distinct().localCheckpoint()
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
-    var changed = 1L
+    var lastChecked = labels
+    var converged = false
     var i = 0
-    while (changed > 0 && i < maxIter) {
+    while (!converged && i < maxIter) {
       val nbr = edges
         .join(labels.select(col("id").as("b"), col("label").as("nl")), Seq("b"))
         .groupBy(col("a").as("id")).agg(min(col("nl")).as("minNbr"))
@@ -273,12 +281,20 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("minNbr"), col("label"))).as("label"))
         .localCheckpoint()
-      changed = next
-        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
-        .filter(col("label") =!= col("old")).count()
+      if (labels ne lastChecked) Bridge.unpersistCheckpoint(labels)
       labels = next
       i += 1
+      if (i % convEvery == 0 || i == maxIter) {
+        converged = next
+          .join(lastChecked.select(col("id"), col("label").as("old")), Seq("id"))
+          .filter(col("label") =!= col("old")).isEmpty
+        if (lastChecked ne next) Bridge.unpersistCheckpoint(lastChecked)
+        lastChecked = next
+      }
     }
+    // labels is materialized (localCheckpoint is eager) — the edge list is
+    // no longer needed by anything downstream
+    Bridge.unpersistCheckpoint(edges)
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

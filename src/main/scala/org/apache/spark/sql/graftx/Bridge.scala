@@ -26,4 +26,16 @@ object Bridge {
     * `private[spark]`, hence the shim). */
   def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
+
+  /** Release the storage blocks behind a `localCheckpoint()`ed Dataset.
+    * The checkpoint lives as a persisted RDD inside the plan's `LogicalRDD`
+    * (`private[sql]`, hence the shim); iterative algorithms that checkpoint
+    * per round MUST free superseded generations or executor storage grows
+    * linearly with iteration count. Safe on any plan: non-LogicalRDD nodes
+    * are ignored. */
+  def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 }

@@ -165,9 +165,26 @@ class OperatorsSpec extends SparkSpec {
     // components: {1,2,3,7} via 1-2, 2-3, 3-7 (a chain), {10,11}, singleton edges only
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 7L), (10L, 11L))
       .toDF("id_a", "id_b").withColumn("jaccard", lit(1.0))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val got = Dedup.clusterNearDups(pairs).orderBy("id")
       .as[(Long, Long)].collect().toSeq
     assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 1L), (10L, 10L), (11L, 10L)))
+    // checkpoint hygiene: superseded per-round label generations AND the
+    // edge list are unpersisted — a bounded number of live checkpoints
+    // regardless of how many propagation rounds ran (leak = one per round)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 2,
+      s"clusterNearDups leaked ${leaked.size} persisted RDDs (expected ≤ 2)")
+  }
+
+  test("clusterNearDups converges on a long chain (needs many rounds)") {
+    // a 12-node path: diameter 11 — exercises the periodic convergence
+    // check and multi-round checkpoint rotation
+    val pairs = (0L until 11L).map(i => (i, i + 1))
+      .toDF("id_a", "id_b").withColumn("jaccard", lit(1.0))
+    val got = Dedup.clusterNearDups(pairs, maxIter = 20).orderBy("id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == (0L until 12L).map(i => (i, 0L)))
   }
 
   test("upsertMerge: new non-empty wins, empty string keeps old, new keys inserted (J6)") {
