@@ -55,8 +55,41 @@ object Ann {
       IvfIndex(mat, idx.centroids)
     })
 
+  /** Persist an index: the assigned corpus written PARTITIONED BY `list`
+    * plus the centroid vectors as a tiny companion table. This is the
+    * documented 100 TB layout — a probe's list filter lands on the `list`
+    * PARTITION column, so directory pruning skips everything outside the
+    * query batch's nprobe lists (`PartitionFilters` in the scan, asserted
+    * by AnnSpec), instead of scanning the full corpus. */
+  def writeIvf(index: IvfIndex, path: String): Unit = {
+    index.assigned.write.mode("overwrite").partitionBy("list")
+      .parquet(s"$path/assigned")
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load a persisted index. The corpus side is a lazy partitioned scan —
+    * pruning happens per probe inside [[ivfTopK]]. */
+  def readIvf(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy("list").collect()
+      .map(_.getSeq[Double](1).toArray)
+    IvfIndex(spark.read.parquet(s"$path/assigned"), centroids)
+  }
+
   /** Probe the index: exact cosine inside the query's `nprobe` nearest
-    * lists, top-k per query (ties broken by neighbour id). */
+    * lists, top-k per query (ties broken by neighbour id).
+    *
+    * The query batch's distinct probe lists (≤ nlist small integers) are
+    * collected and applied to the corpus side as a LITERAL `isin` filter
+    * before the join: against a [[writeIvf]] layout that is static
+    * partition pruning (only nprobe/nlist of the corpus directories are
+    * even listed), and it costs one driver-side collect of at most nlist
+    * ints — the deliberate exception to the no-collect rule. */
   def ivfTopK(queries: DataFrame, index: IvfIndex, idCol: String, vecCol: String,
       k: Int, nprobe: Int): DataFrame = {
     val centroids = index.centroids
@@ -74,8 +107,12 @@ object Ann {
         Similarity.norm(col(vecCol)).as("qn"))
       .withColumn("probe", explode(slice(array_sort(array(distCols: _*)), 1, nprobe)))
       .select(col("query_id"), col("qv"), col("qn"), col("probe.list").as("list"))
-    val corpus = index.assigned.select(col(idCol).as("neighbor_id"), col("list"),
-      col(vecCol).as("cv"), Similarity.norm(col(vecCol)).as("cn"))
+    val probeLists = probes.select("list").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val corpus = index.assigned
+      .filter(col("list").isin(probeLists: _*))
+      .select(col(idCol).as("neighbor_id"), col("list"),
+        col(vecCol).as("cv"), Similarity.norm(col(vecCol)).as("cn"))
     val scored = probes.join(corpus, Seq("list"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", round(

@@ -28,4 +28,26 @@ class AnnSpec extends SparkSpec {
     val counts = approx.groupBy(_._1).map(_._2.size)
     assert(counts.forall(_ <= 10))
   }
+
+  test("persisted IVF index: identical probe results, corpus scan partition-pruned on list") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val index = Ann.buildIvf(emb, "vec_id", "embedding", nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Ann.writeIvf(index, dir)
+    val disk = Ann.readIvf(spark, dir)
+    assert(disk.centroids.map(_.toSeq).toSeq == index.centroids.map(_.toSeq).toSeq)
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val mem = rows(Ann.ivfTopK(queries, index, "vec_id", "embedding", k = 10, nprobe = 4))
+    val dsk = Ann.ivfTopK(queries, disk, "vec_id", "embedding", k = 10, nprobe = 4)
+    // the probe's list filter must land on the PARTITION column of the
+    // persisted layout — directory pruning, not a post-read filter: at
+    // 100 TB this is what makes a probe read nprobe/nlist of the corpus
+    val plan = dsk.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*list".r.findFirstIn(plan).isDefined,
+      s"corpus scan is not partition-pruned on list:\n${plan.take(4000)}")
+    assert(rows(dsk) == mem)
+  }
 }
