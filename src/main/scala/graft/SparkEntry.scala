@@ -839,6 +839,95 @@ object SparkEntry {
       Hierarchy.fixPathRoot(withPath, "category_path", "Root")
         .select(col("s_suppkey"), array_join(col("category_path"), ">").as("path"))
         .orderBy(col("s_suppkey"))
+    }),
+
+    // --- H3: recursive JSON category tree → flat (name,url,parent,level) ----
+    //     trees assembled region→nation→supplier, flattened by the bounded
+    //     per-level explode loop (extract_categories.py:30-74) --------------
+    "q58_tree_flatten" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nk"),
+        struct(col("s_name").as("name"),
+          concat(lit("/s/"), col("s_suppkey")).as("url")).as("ch"))
+      val supByNation = sup.groupBy("nk")
+        .agg(sort_array(collect_list(col("ch"))).as("children"))
+      val nat = t(s, dir, "nation")
+        .join(supByNation, col("n_nationkey") === col("nk"), "left")
+        .select(col("n_regionkey").as("rk"),
+          struct(col("n_name").as("name"),
+            concat(lit("/n/"), col("n_nationkey")).as("url"),
+            col("children")).as("ch"))
+      val natByRegion = nat.groupBy("rk")
+        .agg(sort_array(collect_list(col("ch"))).as("children"))
+      val trees = t(s, dir, "region")
+        .join(natByRegion, col("r_regionkey") === col("rk"), "left")
+        .select(to_json(struct(col("r_name").as("name"),
+          concat(lit("/r/"), col("r_regionkey")).as("url"),
+          col("children"))).as("tree"))
+      Hierarchy.flattenTree(trees, "tree", maxDepth = 5)
+        .select(col("name"), col("url"), col("parent_url"),
+          col("level").cast(LongType).as("level"))
+        .orderBy(col("url"))
+    }),
+
+    // --- H6: missing-parent repair — orphans pulled from a reference dim,
+    //     the rest auto-created as slug-named placeholder roots; paths and
+    //     is_leaf re-derived (tasks/loader.py:21-219) ----------------------
+    "q59_parent_repair" -> ((s, dir) => {
+      val cats = t(s, dir, "nation")
+        .select(concat(lit("/c/n"), col("n_nationkey")).as("url"),
+          col("n_name").as("name"),
+          concat(lit("/c/r"), col("n_regionkey")).as("parent_url"))
+        .unionByName(t(s, dir, "region").filter(col("r_regionkey") % 2 === 0)
+          .select(concat(lit("/c/r"), col("r_regionkey")).as("url"),
+            col("r_name").as("name"),
+            lit(null).cast(StringType).as("parent_url")))
+      val refDim = t(s, dir, "region").filter(col("r_regionkey") === 1)
+        .select(concat(lit("/c/r"), col("r_regionkey")).as("url"),
+          concat(lit("REF "), col("r_name")).as("name"),
+          lit(null).cast(StringType).as("parent_url"))
+      Hierarchy.repairParents(cats, refDim)
+        .select(col("url"), col("name"), col("parent_url"),
+          array_join(col("category_path"), ">").as("path"),
+          col("level").cast(LongType).as("level"), col("is_leaf"))
+        .orderBy(col("url"))
+    }),
+
+    // --- A6/§2.8: transform-stats ledger — the full Transform.run stage over
+    //     a nested fixture, stats exposed as one deterministic row
+    //     (transformer.py:113-187) -----------------------------------------
+    "q60_transform_stats" -> ((s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val key = col("o_orderkey")
+      val raw = o.join(c, o("o_custkey") === c("c_custkey")).select(
+        when(key % 13 === 0, concat(lit("X"), key.cast(StringType)))
+          .otherwise((key % 4000).cast(StringType)).as("product_id"),
+        when(key % 17 === 0, lit("   "))
+          .otherwise(concat(lit("  Product  "), col("o_orderpriority"), lit("  "))).as("name"),
+        concat(lit("Thương hiệu: Brand"), (key % 5).cast(StringType)).as("brand"),
+        when(key % 19 === 0, lit("ftp://bad"))
+          .otherwise(concat(lit("https://shop.example/p/"), key)).as("url"),
+        when(key % 29 === 0, lit(null).cast(ArrayType(StringType)))
+          .otherwise(array(lit("Root"), col("o_orderpriority"))).as("category_path"),
+        struct(
+          col("o_totalprice").as("current_price"),
+          when(key % 23 === 0, col("o_totalprice") * 0.5)
+            .otherwise(col("o_totalprice") * 1.25).as("original_price"),
+          lit(null).cast(DoubleType).as("discount_percent")).as("price"),
+        struct(((key % 70) / 10.0).as("average"),
+          (key % 500).cast(LongType).as("total_reviews")).as("rating"),
+        struct(col("c_name").as("name"), (key % 2 === 0).as("is_official")).as("seller"),
+        struct((key % 3 === 0).as("available")).as("stock"),
+        when(key % 3 === 0, concat((key % 90).cast(StringType), lit("k")))
+          .when(key % 3 === 1, concat(lit("Đã bán "), (key % 50).cast(StringType)))
+          .otherwise((key % 1000).cast(StringType)).as("sales_count"),
+        concat(lit("2024-01-"), lpad(((key % 28) + 1).cast(StringType), 2, "0"),
+          lit(" 10:00:00")).as("crawled_at"))
+      val st = graft.transform.Transform.run(raw).stats
+      Seq((st.total, st.valid, st.invalid, st.duplicatesRemoved,
+        st.valid - st.duplicatesRemoved))
+        .toDF("total", "valid", "invalid", "duplicates_removed", "kept")
     })
   )
 
@@ -1745,6 +1834,74 @@ object SparkEntry {
         |  CASE WHEN path[1] != 'Root'
         |    THEN list_prepend('Root', list_filter(path, x -> x != 'Root'))
         |    ELSE path END, '>') AS path
-        |FROM p ORDER BY s_suppkey""".stripMargin
+        |FROM p ORDER BY s_suppkey""".stripMargin,
+
+    // independent reconstruction: the tree was assembled region→nation→
+    // supplier, so the flattened rows are exactly those three levels
+    "q58_tree_flatten" ->
+      """SELECT r_name AS "name", '/r/' || r_regionkey AS url,
+        |  CAST(NULL AS VARCHAR) parent_url, CAST(1 AS BIGINT) "level" FROM region
+        |UNION ALL
+        |SELECT n_name, '/n/' || n_nationkey, '/r/' || n_regionkey, 2 FROM nation
+        |UNION ALL
+        |SELECT s_name, '/s/' || s_suppkey, '/n/' || s_nationkey, 3 FROM supplier
+        |ORDER BY url""".stripMargin,
+
+    "q59_parent_repair" ->
+      """WITH cats AS (
+        |  SELECT '/c/n' || n_nationkey url, n_name "name", '/c/r' || n_regionkey parent_url FROM nation
+        |  UNION ALL
+        |  SELECT '/c/r' || r_regionkey, r_name, NULL FROM region WHERE r_regionkey % 2 = 0
+        |), refdim AS (
+        |  SELECT '/c/r' || r_regionkey url, 'REF ' || r_name "name",
+        |    CAST(NULL AS VARCHAR) parent_url FROM region WHERE r_regionkey = 1
+        |), missing AS (
+        |  SELECT DISTINCT parent_url url FROM cats
+        |  WHERE parent_url IS NOT NULL AND parent_url NOT IN (SELECT url FROM cats)
+        |), repaired AS (
+        |  SELECT * FROM cats
+        |  UNION ALL SELECT r.url, r."name", r.parent_url FROM missing m JOIN refdim r USING (url)
+        |  UNION ALL SELECT m.url,
+        |    upper(substr(regexp_extract(m.url, '/([^/]+)/?$', 1), 1, 1))
+        |      || substr(regexp_extract(m.url, '/([^/]+)/?$', 1), 2),
+        |    NULL
+        |  FROM missing m WHERE m.url NOT IN (SELECT url FROM refdim)
+        |), with_path AS (
+        |  SELECT c.url, c."name", c.parent_url,
+        |    CASE WHEN p."name" IS NOT NULL THEN p."name" || '>' || c."name" ELSE c."name" END path,
+        |    CAST(CASE WHEN p."name" IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) "level"
+        |  FROM repaired c LEFT JOIN repaired p ON c.parent_url = p.url
+        |)
+        |SELECT w.url, w."name", w.parent_url, w.path, w."level",
+        |  w.url NOT IN (SELECT parent_url FROM repaired WHERE parent_url IS NOT NULL) is_leaf
+        |FROM with_path w ORDER BY w.url""".stripMargin,
+
+    "q60_transform_stats" ->
+      """WITH raw AS (
+        |  SELECT o_orderkey k, o_totalprice, o_orderpriority
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |), flat AS (
+        |  SELECT
+        |    CASE WHEN k % 13 = 0 THEN 'X' || k ELSE CAST(k % 4000 AS VARCHAR) END product_id,
+        |    CASE WHEN k % 17 = 0 THEN ''
+        |      ELSE trim(regexp_replace('  Product  ' || o_orderpriority || '  ', '\s+', ' ', 'g')) END "name",
+        |    CASE WHEN k % 19 = 0 THEN 'ftp://bad' ELSE 'https://shop.example/p/' || k END url,
+        |    o_totalprice price,
+        |    CASE WHEN k % 23 = 0 THEN o_totalprice * 0.5 ELSE o_totalprice * 1.25 END original_price,
+        |    (k % 70) / 10.0 rating_average
+        |  FROM raw
+        |), v AS (
+        |  SELECT * FROM flat
+        |  WHERE regexp_matches(product_id, '^[0-9]+$')
+        |    AND "name" != ''
+        |    AND regexp_matches(url, '^https?://')
+        |    AND price >= 0 AND price <= original_price
+        |    AND rating_average >= 0 AND rating_average <= 5
+        |)
+        |SELECT (SELECT count(*) FROM flat)::BIGINT total,
+        |  (SELECT count(*) FROM v)::BIGINT "valid",
+        |  ((SELECT count(*) FROM flat) - (SELECT count(*) FROM v))::BIGINT invalid,
+        |  ((SELECT count(*) FROM v) - (SELECT count(DISTINCT product_id) FROM v))::BIGINT duplicates_removed,
+        |  (SELECT count(DISTINCT product_id) FROM v)::BIGINT kept""".stripMargin
   )
 }
