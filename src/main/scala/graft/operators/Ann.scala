@@ -102,11 +102,17 @@ object Ann {
       }.reduce(_ + _)
       struct(d.as("dist"), lit(i).as("list"))
     }
+    // localCheckpoint: the centroid-ranking tree is nlist × dim expression
+    // nodes — planning/codegen it is the expensive part at small batch
+    // sizes, and BOTH the probe-list collect and the join side would
+    // otherwise re-plan it. The checkpointed relation is batch-sized
+    // (queries × nprobe rows), never corpus-sized.
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         Similarity.norm(col(vecCol)).as("qn"))
       .withColumn("probe", explode(slice(array_sort(array(distCols: _*)), 1, nprobe)))
       .select(col("query_id"), col("qv"), col("qn"), col("probe.list").as("list"))
+      .localCheckpoint()
     val probeLists = probes.select("list").distinct()
       .collect().map(_.getInt(0)).toSeq
     val corpus = index.assigned

@@ -35,8 +35,6 @@ object Curation {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    val total = docs.count()
-
     // stage 1: language + quality gates (one scan, both expressions).
     // The gates are scored in a NARROW projection — (id, __lang, __q) only —
     // and THAT is what gets localCheckpoint'd: a full-width checkpoint would
@@ -59,7 +57,11 @@ object Curation {
       .filter(col("__lang").isin(allowedLangs: _*) && col("__q") >= minQuality)
       .select(idCol)
     val gated = docs.join(keepIds, Seq(idCol), "left_semi")
-    val nGated = gated.count()
+    // docs are id-keyed (one row per document id — the curation contract),
+    // so both ledger counts read the materialized narrow checkpoint instead
+    // of re-scanning the source
+    val total = scored.count()
+    val nGated = keepIds.count()
 
     // stage 2: exact dedup (normalized-text fingerprint, min-id wins);
     // checkpointed for the same reason — near-dup pairing and the kept

@@ -105,9 +105,16 @@ object Transform {
       deduped0.withColumn("short_name", NameCleaner.shortNameUdf(col("name")))
     else deduped0
 
-    val total = flat.count()
-    val nValid = validDf.count()
-    val nDedup = deduped.count()
+    // all four stats in ONE aggregation pass over the checkpoint: the
+    // dedup survivor count equals countDistinct(product_id) over valid rows
+    // (the window keeps exactly one row per key), so no separate action per
+    // stat — 2 jobs total (checkpoint + agg) instead of 4
+    val statsRow = flat.agg(
+      count(lit(1)).as("total"),
+      count(when(validity, 1)).as("valid"),
+      countDistinct(when(validity, col("product_id"))).as("kept")).head
+    val (total, nValid, nDedup) =
+      (statsRow.getLong(0), statsRow.getLong(1), statsRow.getLong(2))
     TransformResult(deduped, rejects,
       RunStats(total = total, valid = nValid,
         invalid = total - nValid, duplicatesRemoved = nValid - nDedup))
