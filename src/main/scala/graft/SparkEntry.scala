@@ -924,10 +924,28 @@ object SparkEntry {
           .otherwise((key % 1000).cast(StringType)).as("sales_count"),
         concat(lit("2024-01-"), lpad(((key % 28) + 1).cast(StringType), 2, "0"),
           lit(" 10:00:00")).as("crawled_at"))
-      val st = graft.transform.Transform.run(raw).stats
+      val st = graft.transform.Transform.run(raw, materialize = false).stats
       Seq((st.total, st.valid, st.invalid, st.duplicatesRemoved,
         st.valid - st.duplicatesRemoved))
         .toDF("total", "valid", "invalid", "duplicates_removed", "kept")
+    }),
+
+    // --- H2/K1: tree build — children grouped per parent, name-sorted ------
+    "q61_tree_build" -> ((s, dir) => {
+      val cats = t(s, dir, "nation")
+        .select(concat(lit("/c/n"), col("n_nationkey")).as("url"),
+          col("n_name").as("name"),
+          concat(lit("/c/r"), col("n_regionkey")).as("parent_url"))
+        .unionByName(t(s, dir, "region")
+          .select(concat(lit("/c/r"), col("r_regionkey")).as("url"),
+            col("r_name").as("name"),
+            lit(null).cast(StringType).as("parent_url")))
+      Hierarchy.childrenByParent(cats)
+        .select(col("parent_url"),
+          size(col("children")).cast(LongType).as("n_children"),
+          array_join(transform(col("children"), c => c.getField("name")), "|")
+            .as("child_names"))
+        .orderBy(col("parent_url"))
     })
   )
 
@@ -1902,6 +1920,16 @@ object SparkEntry {
         |  (SELECT count(*) FROM v)::BIGINT "valid",
         |  ((SELECT count(*) FROM flat) - (SELECT count(*) FROM v))::BIGINT invalid,
         |  ((SELECT count(*) FROM v) - (SELECT count(DISTINCT product_id) FROM v))::BIGINT duplicates_removed,
-        |  (SELECT count(DISTINCT product_id) FROM v)::BIGINT kept""".stripMargin
+        |  (SELECT count(DISTINCT product_id) FROM v)::BIGINT kept""".stripMargin,
+
+    "q61_tree_build" ->
+      """WITH cats AS (
+        |  SELECT '/c/n' || n_nationkey url, n_name "name", '/c/r' || n_regionkey parent_url FROM nation
+        |  UNION ALL
+        |  SELECT '/c/r' || r_regionkey, r_name, NULL FROM region
+        |)
+        |SELECT parent_url, count(*)::BIGINT n_children,
+        |  string_agg("name", '|' ORDER BY "name", url) child_names
+        |FROM cats GROUP BY parent_url ORDER BY parent_url""".stripMargin
   )
 }

@@ -92,12 +92,20 @@ object Transform {
   }
 
   /** Full stage: flatten → normalize → validate(+rejects) → dedup → stats.
-    * Optionally adds `short_name` via the X10 UDF. */
-  def run(raw: DataFrame, withShortName: Boolean = false): TransformResult = {
-    // localCheckpoint: total/valid/dedup counts and both returned frames
-    // would otherwise each re-run the flatten+normalize projection over the
-    // raw input — one materialization feeds all five consumers
-    val flat = normalize(flatten(raw)).localCheckpoint()
+    * Optionally adds `short_name` via the X10 UDF.
+    *
+    * `materialize = false` skips the checkpoint: the stats aggregate is then
+    * ONE streaming pass over the projection with nothing stored — the right
+    * mode for stats-only callers (audits, the q60 ledger query); callers
+    * that consume `products`/`rejects` should keep the default so the
+    * flatten+normalize projection runs once, not once per consumer. */
+  def run(raw: DataFrame, withShortName: Boolean = false,
+      materialize: Boolean = true): TransformResult = {
+    // localCheckpoint: the stats aggregate and both returned frames would
+    // otherwise each re-run the flatten+normalize projection over the raw
+    // input — one materialization feeds all three consumers
+    val flat0 = normalize(flatten(raw))
+    val flat = if (materialize) flat0.localCheckpoint() else flat0
     val validDf = flat.filter(validity)
     val rejects = flat.filter(!validity).withColumn("reject_reason", rejectReason)
     val deduped0 = dedup(validDf)
