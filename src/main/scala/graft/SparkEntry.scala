@@ -946,6 +946,20 @@ object SparkEntry {
           array_join(transform(col("children"), c => c.getField("name")), "|")
             .as("child_names"))
         .orderBy(col("parent_url"))
+    }),
+
+    // --- data mixing: hash-threshold mixture sampling (shuffle-free) --------
+    "q62_mixture_sample" -> ((s, dir) => {
+      Corpus.mixtureSample(t(s, dir, "documents"), "lang", "doc_id",
+        Map("en" -> 0.5, "de" -> 0.3))
+        .select("doc_id", "lang", "source")
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- vocabulary build: top-k tokens by frequency (tokenizer prep) -------
+    "q63_top_tokens" -> ((s, dir) => {
+      Corpus.topTokens(t(s, dir, "documents"), "text", 100)
+        .orderBy(col("n").desc, col("token"))
     })
   )
 
@@ -1930,6 +1944,20 @@ object SparkEntry {
         |)
         |SELECT parent_url, count(*)::BIGINT n_children,
         |  string_agg("name", '|' ORDER BY "name", url) child_names
-        |FROM cats GROUP BY parent_url ORDER BY parent_url""".stripMargin
+        |FROM cats GROUP BY parent_url ORDER BY parent_url""".stripMargin,
+
+    // thresholds: floor(w * 2^32) as 8 lowercase hex chars (0.5 -> 80000000,
+    // 0.3 -> 4ccccccc); fixed-width hex compares lexicographically
+    "q62_mixture_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE (lang = 'en' AND substr(md5(doc_id::VARCHAR), 1, 8) < '80000000')
+        |   OR (lang = 'de' AND substr(md5(doc_id::VARCHAR), 1, 8) < '4ccccccc')
+        |ORDER BY doc_id""".stripMargin,
+
+    "q63_top_tokens" ->
+      """SELECT token, count(*)::BIGINT n FROM (
+        |  SELECT unnest(list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), x -> x != '')) token
+        |  FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin
   )
 }

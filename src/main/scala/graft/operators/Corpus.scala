@@ -67,6 +67,45 @@ object Corpus {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Deterministic hash-threshold mixture sampling: keep a ~`weight`
+    * fraction of each group (language/source), selecting rows whose
+    * `md5(id)` prefix falls below a per-group threshold. This is the
+    * 100 TB shape for data mixing: a pure stateless filter — no shuffle,
+    * no window, and crucially no per-group ranking (rank-based fractional
+    * sampling funnels each group through ONE task; a whole language of a
+    * web corpus in one partition is a scale-killer). The kept SET is
+    * deterministic under any partitioning, engine, or rerun — the
+    * reproducible-training-mix property — at the cost of the kept COUNT
+    * being binomial around weight·n rather than exact (the standard
+    * trade; exact counts need [[stratifiedSample]]'s ranked form).
+    * Groups absent from `weights` are dropped (weight 0); weight ≥ 1
+    * keeps the whole group. */
+  def mixtureSample(df: DataFrame, groupCol: String, idCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    // threshold = weight mapped onto the first 8 hex chars of md5:
+    // fixed-width lowercase hex compares lexicographically as numerically
+    val hashCol = substring(md5(col(idCol).cast("string")), 1, 8)
+    val keep = weights.foldLeft(lit(false)) { case (acc, (g, w)) =>
+      val cond =
+        if (w >= 1.0) lit(true)
+        else if (w <= 0.0) lit(false)
+        else hashCol < lit(f"${(w * 4294967296.0).toLong}%08x")
+      when(col(groupCol) === g, cond).otherwise(acc)
+    }
+    df.filter(keep)
+  }
+
+  /** Corpus vocabulary: the `k` most frequent tokens with a deterministic
+    * tie-break — the counting primitive behind tokenizer/BPE training and
+    * stop-word derivation. One explode + one hash-partitioned aggregate
+    * with map-side partial counts; the top-k is a TakeOrderedAndProject
+    * (per-partition heaps, no global sort of the vocabulary). */
+  def topTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).cast("long").as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+
   /** Split each document into fixed-size token chunks with overlap:
     * chunk i covers tokens [i·stride, i·stride + chunkTokens) where
     * stride = chunkTokens − overlap. Documents shorter than one chunk

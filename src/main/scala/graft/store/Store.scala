@@ -123,6 +123,26 @@ class Store(spark: SparkSession, root: String, buckets: Int = 0) {
   /** The current-snapshot companion maintained by [[upsertLatest]]. */
   def latest(table: String): Option[DataFrame] = snapshot(s"${table}_latest")
 
+  /** Drop all but the newest `keep` generations of a keyed table. The
+    * generation design trades write simplicity for one obsolete snapshot
+    * dir per upsert — without GC that is unbounded storage growth (at
+    * 100 TB, a full dead copy per run). Deleting is a directory remove per
+    * dropped generation via the FileSystem API (no data read), plus the
+    * catalog entry if one is still registered. The newest `keep`
+    * generations are never touched, so concurrent readers of the current
+    * snapshot are safe; `keep ≥ 2` also protects a reader that resolved
+    * the previous generation just before an in-flight upsert committed. */
+  def vacuum(table: String, keep: Int = 2): Int = {
+    require(keep >= 1, "keep must be >= 1")
+    val dropGens = gens(table).dropRight(keep)
+    dropGens.foreach { g =>
+      spark.sql(s"DROP TABLE IF EXISTS ${catalogName(table, g)}")
+      val p = new Path(s"$root/$table/$g")
+      fs(p).delete(p, true)
+    }
+    dropGens.size
+  }
+
   /** S9 — archive history partitions older than `cutoff` (yyyy-MM-dd): MOVE
     * the expired `__date=` partition directories under
     * `<table>_archive/append` with FileSystem renames. The table is

@@ -161,6 +161,35 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq(2L))
   }
 
+  test("mixtureSample: deterministic hash-threshold fraction per group") {
+    val df = (0L until 400L).map(i => (i, if (i % 2 == 0) "en" else "vi"))
+      .toDF("id", "lang")
+    val got = graft.operators.Corpus
+      .mixtureSample(df, "lang", "id", Map("en" -> 0.5, "vi" -> 1.0))
+      .select("id").as[Long].collect().toSet
+    // sequential model of the same hash rule
+    def hex8(id: Long): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 8)
+    val thrEn = f"${(0.5 * 4294967296.0).toLong}%08x"
+    val want = (0L until 400L).filter { i =>
+      if (i % 2 == 1) true else hex8(i) < thrEn
+    }.toSet
+    assert(got == want)
+    // weight-1 group kept whole, absent group dropped entirely
+    assert(got.count(_ % 2 == 1) == 200)
+    assert(graft.operators.Corpus
+      .mixtureSample(df, "lang", "id", Map("vi" -> 0.3))
+      .filter($"lang" === "en").count() == 0)
+  }
+
+  test("topTokens: frequency counts with deterministic tie-break") {
+    val docs = Seq("b a a", "c b a", "d d").toDF("text")
+    val got = graft.operators.Corpus.topTokens(docs, "text", 3)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 3L), ("b", 2L), ("d", 2L)))
+  }
+
   test("clusterNearDups: min-id connected components across chained pairs") {
     // components: {1,2,3,7} via 1-2, 2-3, 3-7 (a chain), {10,11}, singleton edges only
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 7L), (10L, 11L))

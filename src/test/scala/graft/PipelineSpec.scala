@@ -166,6 +166,24 @@ class PipelineSpec extends SparkSpec {
     assert(store.history("crawl_history_archive").get.count() == 5)
   }
 
+  test("vacuum drops old generations, keeps the newest, snapshot intact") {
+    val root = Files.createTempDirectory("graft_vac").toString
+    val store = new Store(spark, root)
+    store.upsert("products", Seq(("a", 1.0)).toDF("product_id", "price"), Seq("product_id"))
+    store.upsert("products", Seq(("b", 2.0)).toDF("product_id", "price"), Seq("product_id"))
+    store.upsert("products", Seq(("a", 9.0)).toDF("product_id", "price"), Seq("product_id"))
+    import scala.jdk.CollectionConverters._
+    def genDirs() = Files.list(java.nio.file.Paths.get(root, "products"))
+      .iterator().asScala.map(_.getFileName.toString).filter(_.startsWith("gen_")).toSeq.sorted
+    assert(genDirs().size == 3)
+    assert(store.vacuum("products", keep = 1) == 2)
+    assert(genDirs() == Seq("gen_000002"))
+    val snap = store.snapshot("products").get.orderBy("product_id")
+      .select("product_id", "price").as[(String, Double)].collect().toSeq
+    assert(snap == Seq(("a", 9.0), ("b", 2.0)))
+    assert(store.vacuum("products", keep = 1) == 0) // idempotent
+  }
+
   test("store works against an explicit file: URI (Hadoop FS read path)") {
     val root = "file:" + Files.createTempDirectory("graft_uri").toString
     val store = new Store(spark, root)
