@@ -56,6 +56,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "hierarchy rounds must not shuffle-join a dim")
   }
 
+  test("mixture sampling is a shuffle-free stateless filter") {
+    // the 100 TB contract of hash-threshold sampling: no Exchange anywhere —
+    // a rank-based formulation would shuffle and single-task each group
+    val df = operators.Corpus.mixtureSample(
+      Tables.documents(spark, sfDir), "lang", "doc_id", Map("en" -> 0.5))
+    val p = plan(df)
+    assert(!p.contains("Exchange"), s"mixtureSample must not shuffle:\n${p.take(2000)}")
+  }
+
   test("no query plans a cartesian product or an unintended nested-loop join") {
     // BNLJ is legitimate ONLY where the algorithm is genuinely all-pairs
     // against a broadcast side: brute-force ANN and single-row
