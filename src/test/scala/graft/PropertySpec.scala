@@ -132,6 +132,33 @@ class PropertySpec extends SparkSpec {
           s1.groupBy(_._2).forall(_._2.size <= 3)
       }
     })
+    check("mixtureSample is partitioning-invariant and row-stable", Prop.forAll(docs) { rows =>
+      rows.isEmpty || {
+        val withG = rows.map { case (id, t) => (id, if (t.length % 2 == 0) "en" else "de") }
+        val df = withG.toDF("doc_id", "g")
+        val w = Map("en" -> 0.5, "de" -> 0.25)
+        val s1 = Corpus.mixtureSample(df, "g", "doc_id", w)
+          .as[(Long, String)].collect().toSet
+        // same SET under a different physical partitioning (the 100 TB
+        // determinism property rank-based sampling cannot give)
+        val s2 = Corpus.mixtureSample(df.repartition(7), "g", "doc_id", w)
+          .as[(Long, String)].collect().toSet
+        // and membership is per-row stable: a row's fate ignores the rest
+        val s3 = Corpus.mixtureSample(df.limit(rows.size / 2 + 1), "g", "doc_id", w)
+          .as[(Long, String)].collect().toSet
+        s1 == s2 && s3.subsetOf(s1) && s1.subsetOf(withG.toSet)
+      }
+    })
+    check("topTokens equals the sequential frequency model", Prop.forAll(docs) { rows =>
+      rows.isEmpty || {
+        val df = rows.toDF("doc_id", "text")
+        val got = Corpus.topTokens(df, "text", 4).as[(String, Long)].collect().toSeq
+        val freq = rows.flatMap(_._2.toLowerCase.split("\\s+").filter(_.nonEmpty))
+          .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        val expect = freq.sortBy { case (t, n) => (-n, t) }.take(4)
+        got == expect
+      }
+    })
     check("tokenBudgetPack equals the sequential takeWhile model", Prop.forAll(docs) { rows =>
       rows.isEmpty || {
         val withG = rows.map { case (id, t) => (id, t.length % 3, t) }
