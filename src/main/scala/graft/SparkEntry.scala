@@ -960,6 +960,34 @@ object SparkEntry {
     "q63_top_tokens" -> ((s, dir) => {
       Corpus.topTokens(t(s, dir, "documents"), "text", 100)
         .orderBy(col("n").desc, col("token"))
+    }),
+
+    // --- S5: raw JSON payload → typed nested product (schema-first parse;
+    //     payload assembled from part, absent fields must surface as null) --
+    "q64_payload_parse" -> ((s, dir) => {
+      val key = col("p_partkey")
+      val raw = t(s, dir, "part").select(to_json(struct(
+        key.cast(StringType).as("product_id"),
+        col("p_name").as("name"),
+        when(key % 3 === 0, lit(null).cast(StringType))
+          .otherwise(col("p_brand")).as("brand"),
+        concat(lit("https://shop.example/p/"), key).as("url"),
+        struct(col("p_retailprice").as("current_price"),
+          lit(null).cast(DoubleType).as("discount_percent"),
+          lit("VND").as("currency")).as("price"),
+        array(lit("img-1"), concat(lit("img-"), key)).as("images"),
+        map(lit("container"), col("p_type")).as("specifications"),
+        (key % 1000).cast(StringType).as("sales_count"))).as("payload"))
+      graft.sources.Sources.parseRawProducts(raw, "payload")
+        .select(col("product_id"), col("name"), col("brand"),
+          col("price.current_price").as("current_price"),
+          col("price.currency").as("currency"),
+          col("price.original_price").as("original_price"), // absent -> null
+          col("rating.average").as("rating_average"),       // absent -> null
+          size(col("images")).cast(LongType).as("n_images"),
+          element_at(col("specifications"), "container").as("spec_container"),
+          col("sales_count"))
+        .orderBy(col("product_id").cast(LongType))
     })
   )
 
@@ -1958,6 +1986,19 @@ object SparkEntry {
       """SELECT token, count(*)::BIGINT n FROM (
         |  SELECT unnest(list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), x -> x != '')) token
         |  FROM documents)
-        |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin
+        |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+
+    // the payload was assembled from part, so the parsed rows reconstruct
+    // directly; fields absent from the payload must come back NULL
+    "q64_payload_parse" ->
+      """SELECT CAST(p_partkey AS VARCHAR) product_id, p_name "name",
+        |  CASE WHEN p_partkey % 3 = 0 THEN NULL ELSE p_brand END brand,
+        |  p_retailprice current_price, 'VND' currency,
+        |  CAST(NULL AS DOUBLE) original_price,
+        |  CAST(NULL AS DOUBLE) rating_average,
+        |  CAST(2 AS BIGINT) n_images,
+        |  p_type spec_container,
+        |  CAST(p_partkey % 1000 AS VARCHAR) sales_count
+        |FROM part ORDER BY p_partkey""".stripMargin
   )
 }
