@@ -80,6 +80,29 @@ class StreamsSpec extends SparkSpec {
     assert(hist == Seq(("p1", 100.0, "price_change", null), ("p1", 110.0, "price_change", 10.0)))
   }
 
+  test("curation gates and mixture sampling run unchanged on a stream") {
+    // the corpus gate expressions and the hash-threshold mixture filter are
+    // stateless column expressions — the SAME code is streaming-safe with
+    // no watermark, state store, or mode restrictions (the Spark-native
+    // payoff of expressions-over-UDF-pipelines)
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.TextAnalysis
+    val mem = MemoryStream[(Long, String, String)]
+    val docs = mem.toDF.toDF("doc_id", "lang", "text")
+    val gated = graft.operators.Corpus
+      .mixtureSample(docs, "lang", "doc_id", Map("en" -> 1.0))
+      .withColumn("q", TextAnalysis.qualityScore(col("text")))
+      .filter(col("q") >= 0.0)
+    val q = gated.writeStream.format("memory").queryName("stream_gate")
+      .outputMode("append").start()
+    mem.addData((1L, "en", "the quick brown fox"), (2L, "de", "der schnelle fuchs"),
+      (3L, "en", "another english document here"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("stream_gate").select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L)) // weight-1 en kept, absent de dropped
+  }
+
   test("statefulCdc keeps previous values in group state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Streams.ProductObs]
