@@ -988,6 +988,34 @@ object SparkEntry {
           element_at(col("specifications"), "container").as("spec_container"),
           col("sales_count"))
         .orderBy(col("product_id").cast(LongType))
+    }),
+
+    // --- S6-S9/J6: the Store write path END-TO-END as an oracle-checked
+    //     query — 3 daily keyed batches upserted + appended + archived in a
+    //     fresh temp store, final snapshot returned with live/archived
+    //     history totals (deterministic: same fixture every run) -----------
+    "q65_store_lifecycle" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_q65").toString
+      val store = new graft.store.Store(s, root)
+      val o = t(s, dir, "orders")
+      for (d <- 0 to 2) {
+        val batch = o.filter(col("o_orderkey") % 3 === d)
+          .select((col("o_orderkey") % 500).cast(StringType).as("product_id"),
+            col("o_totalprice").as("price"),
+            lit(f"2024-01-0${d + 1}%d 10:00:00").cast(TimestampType).as("crawled_at"),
+            col("o_orderkey").as("event_id"))
+        val keyed = Merge.latestPerKey(batch, Seq("product_id"), "crawled_at",
+          Seq(col("event_id").desc)).drop("event_id")
+        store.upsert("products", keyed.drop("crawled_at"), Seq("product_id"))
+        store.appendHistory("hist", keyed)
+      }
+      val archived = store.archiveHistory("hist", "2024-01-03")
+      val totals = store.history("hist").get
+        .agg(count(lit(1)).cast(LongType).as("n_live"))
+        .withColumn("n_archived", lit(archived))
+      store.snapshot("products").get
+        .crossJoin(broadcast(totals))
+        .orderBy(col("product_id"))
     })
   )
 
@@ -1999,6 +2027,28 @@ object SparkEntry {
         |  CAST(2 AS BIGINT) n_images,
         |  p_type spec_container,
         |  CAST(p_partkey % 1000 AS VARCHAR) sales_count
-        |FROM part ORDER BY p_partkey""".stripMargin
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    // sequential model of the store lifecycle: per (day, product) the
+    // max-orderkey row wins the day (latest-per-key tiebreak), the latest
+    // day wins the upsert; history totals split at the archive cutoff
+    "q65_store_lifecycle" ->
+      """WITH b AS (
+        |  SELECT o_orderkey % 3 d, CAST(o_orderkey % 500 AS VARCHAR) product_id,
+        |    o_totalprice price, o_orderkey
+        |  FROM orders
+        |), per_day AS (
+        |  SELECT * FROM b
+        |  QUALIFY row_number() OVER (PARTITION BY d, product_id ORDER BY o_orderkey DESC) = 1
+        |), final AS (
+        |  SELECT * FROM per_day
+        |  QUALIFY row_number() OVER (PARTITION BY product_id ORDER BY d DESC) = 1
+        |), t AS (
+        |  SELECT
+        |    (SELECT count(*) FROM per_day WHERE d = 2)::BIGINT n_live,
+        |    (SELECT count(*) FROM per_day WHERE d < 2)::BIGINT n_archived
+        |)
+        |SELECT f.product_id, f.price, t.n_live, t.n_archived
+        |FROM final f CROSS JOIN t ORDER BY f.product_id""".stripMargin
   )
 }
