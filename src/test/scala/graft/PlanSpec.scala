@@ -69,7 +69,8 @@ class PlanSpec extends SparkSpec {
     // BNLJ is legitimate ONLY where the algorithm is genuinely all-pairs
     // against a broadcast side: brute-force ANN and single-row
     // reference-time joins
-    val bnljAllowed = Set("q29_ann_topk", "q41_staleness_skip", "q42_crawl_coverage")
+    val bnljAllowed = Set("q29_ann_topk", "q41_staleness_skip", "q42_crawl_coverage",
+      "q65_store_lifecycle") // single-row totals broadcast-cross-joined onto the snapshot
     SparkEntry.queries.foreach { case (name, fn) =>
       val p = plan(fn(spark, sfDir))
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
