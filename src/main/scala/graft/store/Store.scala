@@ -98,7 +98,12 @@ class Store(spark: SparkSession, root: String, buckets: Int = 0) {
     * key should use the `latest` companion instead. */
   def history(table: String, since: Option[String] = None): Option[DataFrame] = {
     val dir = new Path(s"$root/$table/append")
-    if (!fs(dir).exists(dir)) None
+    val f = fs(dir)
+    // a fully-archived table leaves the append dir with no partition dirs —
+    // schema inference over it would fail, so treat it as never-written
+    if (!f.exists(dir) ||
+        !f.listStatus(dir).exists(st => st.isDirectory && st.getPath.getName.startsWith("__date=")))
+      None
     else {
       val df = spark.read.parquet(dir.toString)
       Some(since.fold(df)(d => df.filter(col("__date") >= d)).drop("__date"))

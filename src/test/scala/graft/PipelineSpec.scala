@@ -164,6 +164,10 @@ class PipelineSpec extends SparkSpec {
     assert(archived == 5)
     assert(store.history("crawl_history").get.count() == 2)
     assert(store.history("crawl_history_archive").get.count() == 5)
+    // archiving EVERYTHING leaves an empty live table, read as never-written
+    assert(store.archiveHistory("crawl_history", "2024-02-01") == 2)
+    assert(store.history("crawl_history").isEmpty)
+    assert(store.history("crawl_history_archive").get.count() == 7)
   }
 
   test("vacuum drops old generations, keeps the newest, snapshot intact") {
