@@ -1016,6 +1016,27 @@ object SparkEntry {
       store.snapshot("products").get
         .crossJoin(broadcast(totals))
         .orderBy(col("product_id"))
+    }),
+
+    // --- §7.4#3: batch → cache → DB precedence merge as one relational pass -
+    "q66_precedence_merge" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val batch = n.filter(col("n_nationkey") % 2 === 0).select(
+        col("n_nationkey").as("k"),
+        when(col("n_nationkey") % 4 === 0, lit("")).otherwise(concat(lit("B-"), col("n_name"))).as("name"),
+        when(col("n_nationkey") % 6 === 0, lit(null).cast(LongType))
+          .otherwise(col("n_nationkey") * 10).as("pop"))
+      val cache = n.filter(col("n_nationkey") % 3 === 0).select(
+        col("n_nationkey").as("k"),
+        concat(lit("C-"), col("n_name")).as("name"),
+        (col("n_nationkey") * 100).as("pop"))
+      val db = n.select(
+        col("n_nationkey").as("k"),
+        concat(lit("D-"), col("n_name")).as("name"),
+        when(col("n_nationkey") % 5 === 0, lit(null).cast(LongType))
+          .otherwise(col("n_nationkey") * 1000).as("pop"))
+      Merge.precedenceMerge(Seq(batch, cache, db), "k")
+        .orderBy(col("k"))
     })
   )
 
@@ -2049,6 +2070,29 @@ object SparkEntry {
         |    (SELECT count(*) FROM per_day WHERE d < 2)::BIGINT n_archived
         |)
         |SELECT f.product_id, f.price, t.n_live, t.n_archived
-        |FROM final f CROSS JOIN t ORDER BY f.product_id""".stripMargin
+        |FROM final f CROSS JOIN t ORDER BY f.product_id""".stripMargin,
+
+    // the precedence chain as coalesce over left joins from the key universe
+    "q66_precedence_merge" ->
+      """WITH b AS (
+        |  SELECT n_nationkey k,
+        |    CASE WHEN n_nationkey % 4 = 0 THEN '' ELSE 'B-' || n_name END "name",
+        |    CASE WHEN n_nationkey % 6 = 0 THEN NULL ELSE n_nationkey * 10 END pop
+        |  FROM nation WHERE n_nationkey % 2 = 0
+        |), c AS (
+        |  SELECT n_nationkey k, 'C-' || n_name "name", n_nationkey * 100 pop
+        |  FROM nation WHERE n_nationkey % 3 = 0
+        |), d AS (
+        |  SELECT n_nationkey k, 'D-' || n_name "name",
+        |    CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey * 1000 END pop
+        |  FROM nation
+        |), u AS (
+        |  SELECT k FROM b UNION SELECT k FROM c UNION SELECT k FROM d
+        |)
+        |SELECT u.k,
+        |  coalesce(nullif(b."name", ''), nullif(c."name", ''), nullif(d."name", '')) "name",
+        |  coalesce(b.pop, c.pop, d.pop) pop
+        |FROM u LEFT JOIN b ON u.k = b.k LEFT JOIN c ON u.k = c.k LEFT JOIN d ON u.k = d.k
+        |ORDER BY u.k""".stripMargin
   )
 }

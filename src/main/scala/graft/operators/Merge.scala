@@ -106,6 +106,37 @@ object Merge {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Precedence merge across N same-schema sources: one output row per key
+    * (union of all sources' keys), each value column taken from the FIRST
+    * source, in argument order, holding a truthy value for that key
+    * (non-null; non-empty for strings) — the reference's batch → cache → DB
+    * lookup chain (SURVEY §7.4 #3) as ONE relational pass instead of
+    * per-row fallback lookups. Ref: postgres_storage.py:520-560.
+    *
+    * Scale: sources are tagged with their precedence rank and unioned, then
+    * one hash-partitioned groupBy(key) takes `min(struct(rank, value))` per
+    * column over truthy rows — a single shuffle regardless of source count
+    * (a join-chain formulation would shuffle once per source). */
+  def precedenceMerge(sources: Seq[DataFrame], key: String): DataFrame = {
+    require(sources.nonEmpty, "precedenceMerge needs at least one source")
+    val valueCols = sources.head.columns.filterNot(_ == key).toIndexedSeq
+    sources.foreach(s => require(
+      s.columns.filterNot(_ == key).toIndexedSeq == valueCols,
+      "all sources must share a schema"))
+    def truthy(c: String): Column = sources.head.schema(c).dataType match {
+      case org.apache.spark.sql.types.StringType => col(c).isNotNull && col(c) =!= ""
+      case _                                      => col(c).isNotNull
+    }
+    val tagged = sources.zipWithIndex.map { case (df, i) =>
+      df.select((col(key) +: valueCols.map(col) :+ lit(i).as("__rank")): _*)
+    }.reduce(_ unionByName _)
+    val picks = valueCols.map { c =>
+      min(when(truthy(c), struct(col("__rank"), col(c).as("v"))))
+        .getField("v").as(c)
+    }
+    tagged.groupBy(col(key)).agg(picks.head, picks.tail: _*)
+  }
+
   /** As-of join: for every left row, the latest right row with the same key
     * and rightTime <= leftTime. Single shuffle, no per-key cross product:
     * union both sides tagged, then `last(value, ignoreNulls)` over a window

@@ -216,6 +216,20 @@ class OperatorsSpec extends SparkSpec {
     assert(got == (0L until 12L).map(i => (i, 0L)))
   }
 
+  test("precedenceMerge: first truthy source wins per column, keys unioned") {
+    val batch = Seq(("1", "", Some(10)), ("2", "b2", None)).toDF("k", "s", "n")
+    val cache = Seq(("1", "c1", Some(100)), ("3", "c3", Some(300))).toDF("k", "s", "n")
+    val db    = Seq(("1", "d1", Some(1000)), ("2", "d2", Some(2000)),
+      ("3", "d3", None), ("4", "d4", Some(4000))).toDF("k", "s", "n")
+    val got = Merge.precedenceMerge(Seq(batch, cache, db), "k").orderBy("k")
+      .as[(String, String, Option[Int])].collect().toSeq
+    assert(got == Seq(
+      ("1", "c1", Some(10)),   // batch name blank -> cache; batch n wins
+      ("2", "b2", Some(2000)), // batch name wins; batch n null -> db
+      ("3", "c3", Some(300)),  // absent from batch -> cache
+      ("4", "d4", Some(4000)))) // only in db
+  }
+
   test("upsertMerge: new non-empty wins, empty string keeps old, new keys inserted (J6)") {
     val old  = Seq(("1", "a", 10), ("2", "b", 20)).toDF("k", "s", "n")
     val newD = Seq(("2", "", 99), ("3", "c", 30)).toDF("k", "s", "n")
