@@ -1037,6 +1037,24 @@ object SparkEntry {
           .otherwise(col("n_nationkey") * 1000).as("pop"))
       Merge.precedenceMerge(Seq(batch, cache, db), "k")
         .orderBy(col("k"))
+    }),
+
+    // --- skew handling: salted agg + salted join, result-identical to the
+    //     unsalted forms (the oracle IS the unsalted SQL) ------------------
+    "q67_skew_salted" -> ((s, dir) => {
+      import operators.SkewJoin
+      // lineitem's l_suppkey plays the skewed fact key; supplier is the dim
+      val li = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier").select(col("s_suppkey").as("l_suppkey"),
+        col("s_name"), col("s_nationkey"))
+      val agg = SkewJoin.saltedSumCount(
+        li.select(col("l_suppkey"), dec(col("l_quantity")).as("q")),
+        "l_suppkey", "q", buckets = 8, saltFrom = Seq("l_suppkey", "q"))
+        .select(col("l_suppkey"), col("sum_q").cast(DoubleType).as("sum_qty"), col("n"))
+      SkewJoin.saltedJoin(agg, sup, "l_suppkey",
+        buckets = 8, saltFrom = Seq("l_suppkey", "n"))
+        .select(col("l_suppkey"), col("sum_qty"), col("n"), col("s_name"), col("s_nationkey"))
+        .orderBy(col("l_suppkey"))
     })
   )
 
@@ -2093,6 +2111,14 @@ object SparkEntry {
         |  coalesce(nullif(b."name", ''), nullif(c."name", ''), nullif(d."name", '')) "name",
         |  coalesce(b.pop, c.pop, d.pop) pop
         |FROM u LEFT JOIN b ON u.k = b.k LEFT JOIN c ON u.k = c.k LEFT JOIN d ON u.k = d.k
-        |ORDER BY u.k""".stripMargin
+        |ORDER BY u.k""".stripMargin,
+
+    // salting is a physical rewrite: the oracle is the UNSALTED query
+    "q67_skew_salted" ->
+      """SELECT l_suppkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) sum_qty,
+        |  count(*)::BIGINT n, s_name, s_nationkey
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY l_suppkey, s_name, s_nationkey
+        |ORDER BY l_suppkey""".stripMargin
   )
 }
