@@ -176,6 +176,26 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("precedenceMerge equals the sequential first-truthy model") {
+    import spark.implicits._
+    val rows = Gen.listOfN(30, Gen.zip(Gen.choose(1, 8),
+      Gen.oneOf("", "x", "yy", "zzz"), Gen.option(Gen.choose(1, 99))))
+    check("3-source precedence", Prop.forAll(rows, rows, rows) { (a, b, c) =>
+      val srcs = Seq(a, b, c).map(_.distinctBy(_._1))
+      val dfs = srcs.map(_.toDF("k", "s", "n"))
+      val got = Merge.precedenceMerge(dfs, "k")
+        .as[(Int, Option[String], Option[Int])].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      val keys = srcs.flatMap(_.map(_._1)).toSet
+      val model = keys.map { k =>
+        val hits = srcs.flatMap(_.find(_._1 == k))
+        k -> (hits.collectFirst { case (_, s, _) if s != null && s.nonEmpty => s },
+          hits.collectFirst { case (_, _, Some(n)) => n })
+      }.toMap
+      got == model
+    })
+  }
+
   test("upsertMerge is idempotent and exactDedup keeps the minimum id per fingerprint") {
     import spark.implicits._
     val old = Seq(("1", "a", 10.0), ("2", "b", 20.0)).toDF("product_id", "name", "price")
