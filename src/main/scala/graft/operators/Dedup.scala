@@ -109,7 +109,7 @@ object Dedup {
     * in a candidate pair: at corpus scale candidates are a tiny fraction of
     * documents, so the two intersection joins and the size aggregate run
     * over candidate shingles only — verify cost is ∝ candidate docs, not
-    * corpus size (measured 59.7 → 31.9 s on the 320 k-doc ScaleProbe). */
+    * corpus size (measured 59.7 → 32-39 s on the 320 k-doc ScaleProbe). */
   private def verifyJaccard(cands: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
     val candIds = cands.select(col("id_a").as("id"))
       .unionByName(cands.select(col("id_b").as("id"))).distinct()
