@@ -53,8 +53,17 @@ object ScaleProbe {
       val (nEmb, tEmb) = time(
         Dedup.embeddingNearDupPairs(docs, "doc_id", "embedding", threshold = 0.99,
           planes = 16, bands = 2).count()) // bands x planes must fit the 32 dims
+      // connected components over the near-dup pairs: validates the label
+      // propagation + checkpoint rotation at n-proportional pair counts
+      val pairs = Dedup.minhashDedupPairs(docs, "doc_id", "text", threshold = 0.7)
+        .localCheckpoint()
+      val before = spark.sparkContext.getPersistentRDDs.size
+      val (nCc, tCc) = time(
+        Dedup.clusterNearDups(pairs).select(countDistinct(col("cluster_id"))).head.getLong(0))
+      val leaked = spark.sparkContext.getPersistentRDDs.size - before
       println(f"[scale] n=$n%7d exact=$tExact%6.2fs ($nExact%d kept)  " +
-        f"minhash=$tMh%6.2fs ($nPairs%d pairs)  embed=$tEmb%6.2fs ($nEmb%d pairs)")
+        f"minhash=$tMh%6.2fs ($nPairs%d pairs)  embed=$tEmb%6.2fs ($nEmb%d pairs)  " +
+        f"cc=$tCc%6.2fs ($nCc%d clusters, +$leaked%d live RDDs)")
       // release this size's corpus checkpoint and nudge ContextCleaner to
       // reap the operators' internal (now-unreferenced) checkpoints before
       // the next, 4x larger, corpus
