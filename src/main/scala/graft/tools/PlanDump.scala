@@ -9,7 +9,9 @@ object PlanDump {
     val names = if (a.nonEmpty) a.toSeq
       else Seq("q01_pricing_summary", "q05_enrich_join", "q07_latest_per_key",
         "q25_minhash_pairs", "q31_hierarchy_paths", "q39_star_fact",
-        "q46_detail_merge", "q47_category_counts", "q28_embed_neardup")
+        "q46_detail_merge", "q47_category_counts", "q28_embed_neardup",
+        "q58_tree_flatten", "q62_mixture_sample", "q63_top_tokens",
+        "q66_precedence_merge", "q67_skew_salted")
     names.foreach { n =>
       println(s"===== $n =====")
       val df = graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
