@@ -1055,6 +1055,14 @@ object SparkEntry {
         buckets = 8, saltFrom = Seq("l_suppkey", "n"))
         .select(col("l_suppkey"), col("sum_qty"), col("n"), col("s_name"), col("s_nationkey"))
         .orderBy(col("l_suppkey"))
+    }),
+
+    // --- data mixing: deterministic hash-range train/val/test split ---------
+    "q68_split_assign" -> ((s, dir) => {
+      Corpus.assignSplits(t(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "lang", "split")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2119,6 +2127,14 @@ object SparkEntry {
         |  count(*)::BIGINT n, s_name, s_nationkey
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY l_suppkey, s_name, s_nationkey
-        |ORDER BY l_suppkey""".stripMargin
+        |ORDER BY l_suppkey""".stripMargin,
+
+    // cumulative hash ranges: 0.8 -> cccccccc, 0.9 -> e6666666
+    "q68_split_assign" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN substr(md5(doc_id::VARCHAR), 1, 8) < 'cccccccc' THEN 'train'
+        |       WHEN substr(md5(doc_id::VARCHAR), 1, 8) < 'e6666666' THEN 'val'
+        |       ELSE 'test' END split
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

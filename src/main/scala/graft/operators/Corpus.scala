@@ -95,6 +95,28 @@ object Corpus {
     df.filter(keep)
   }
 
+  /** Deterministic train/val/test split assignment: each row gets the first
+    * label whose cumulative hash range contains its `md5(id)` prefix — the
+    * standard leakage-safe split (a document's split never depends on the
+    * rest of the corpus, survives reruns, engine changes, and corpus
+    * growth). Same stateless no-shuffle shape as [[mixtureSample]]; the
+    * last label absorbs rounding, so weights should sum to ~1. */
+  def assignSplits(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)], splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "assignSplits needs at least one label")
+    val hashCol = substring(md5(col(idCol).cast("string")), 1, 8)
+    val cums = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+    val label = splits.zip(cums).init.foldRight(lit(splits.last._1): Column) {
+      case (((name, _), cum), acc) =>
+        // a cumulative weight >= 1 catches everything (an 8-hex-digit hash
+        // cannot compare below a 9-digit literal lexicographically)
+        if (cum >= 1.0) when(lit(true), name).otherwise(acc)
+        else when(hashCol < lit(f"${(math.max(cum, 0.0) * 4294967296.0).toLong}%08x"), name)
+          .otherwise(acc)
+    }
+    df.withColumn(splitCol, label)
+  }
+
   /** Corpus vocabulary: the `k` most frequent tokens with a deterministic
     * tie-break — the counting primitive behind tokenizer/BPE training and
     * stop-word derivation. One explode + one hash-partitioned aggregate

@@ -183,6 +183,21 @@ class OperatorsSpec extends SparkSpec {
       .filter($"lang" === "en").count() == 0)
   }
 
+  test("assignSplits: exhaustive, deterministic, membership is per-row stable") {
+    val df = (0L until 500L).map(i => (i, s"d$i")).toDF("id", "v")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = graft.operators.Corpus.assignSplits(df, "id", splits)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(got.size == 500 && got.values.toSet.subsetOf(Set("train", "val", "test")))
+    // rerun on a shuffled subset assigns identical labels
+    val sub = graft.operators.Corpus.assignSplits(df.filter($"id" % 3 === 0).repartition(5), "id", splits)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(sub.forall { case (k, v) => got(k) == v })
+    // rough proportions (binomial around the weights)
+    val train = got.values.count(_ == "train").toDouble / 500
+    assert(train > 0.7 && train < 0.9, s"train fraction $train")
+  }
+
   test("topTokens: frequency counts with deterministic tie-break") {
     val docs = Seq("b a a", "c b a", "d d").toDF("text")
     val got = graft.operators.Corpus.topTokens(docs, "text", 3)
