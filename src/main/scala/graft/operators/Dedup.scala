@@ -157,7 +157,12 @@ object Dedup {
     // dense ids exist only on the dense path below, where the vocab is
     // <= denseVocabBits rows and is collected + rebuilt driver-side.
     val vocabSize = sh.agg(count_distinct(col("s"))).head.getLong(0)
-    if (vocabSize <= denseVocabBits) {
+    if (vocabSize == 0) {
+      // no shingles at all (empty corpus / all-empty docs) -> no pairs; the
+      // dense path would otherwise build a zero-word bitmap (empty reduce)
+      sh.select(col("id").as("id_a"), col("id").as("id_b"),
+        lit(0.0).as("jaccard")).limit(0)
+    } else if (vocabSize <= denseVocabBits) {
       val spark = sh.sparkSession
       import spark.implicits._
       val vocab = sh.select("s").distinct().as[String].collect().sorted

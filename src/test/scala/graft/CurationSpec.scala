@@ -26,4 +26,26 @@ class CurationSpec extends SparkSpec {
     val fps = r.kept.select(md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
     assert(fps.count() === fps.distinct().count())
   }
+
+  test("empty and fully-filtered corpora flow through every stage without error") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val r0 = Curation.curate(empty, "doc_id", "text")
+    assert(r0.kept.count() === 0)
+    assert(r0.ledger.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      .forall(_._2 == 0L))
+    // every doc fails the quality gate -> later stages see empty input
+    val junk = Seq((1L, ""), (2L, "!!! ??? !!!")).toDF("doc_id", "text")
+    val r1 = Curation.curate(junk, "doc_id", "text", minQuality = 0.9)
+    assert(r1.kept.count() === 0)
+    val l1 = r1.ledger.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(l1("input") === 2 && l1("dropped_lang_or_quality") === 2 && l1("kept") === 0)
+    // the dedup/corpus operators individually tolerate empty input too
+    import graft.operators.{Corpus, Dedup}
+    assert(Dedup.ngramJaccardPairs(empty, "doc_id", "text", 3, 0.5).count() === 0)
+    assert(Dedup.simhashPairs(empty, "doc_id", "text").count() === 0)
+    assert(Corpus.topTokens(empty, "text", 5).count() === 0)
+    assert(Corpus.mixtureSample(empty, "text", "doc_id", Map("en" -> 0.5)).count() === 0)
+    assert(Corpus.assignSplits(empty, "doc_id", Seq("train" -> 1.0)).count() === 0)
+  }
 }
