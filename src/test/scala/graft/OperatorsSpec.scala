@@ -304,6 +304,43 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq((1L, 2L)))
   }
 
+  test("resolvePaths cycle guards: self-parent and two-node cycles terminate") {
+    val cats = Seq(
+      ("A", "NodeA", "A"),          // self-parent
+      ("B", "NodeB", "C"),          // 2-cycle B <-> C
+      ("C", "NodeC", "B"),
+      ("D", "NodeD", null)).toDF("url", "name", "parent_url")
+    val got = graft.operators.Hierarchy.resolvePaths(cats)
+      .select("url", "category_path").as[(String, Seq[String])]
+      .collect().toMap
+    assert(got("A") == Seq("NodeA"))          // cycle stops immediately
+    assert(got("B") == Seq("NodeC", "NodeB")) // one hop then guard fires
+    assert(got("C") == Seq("NodeB", "NodeC"))
+    assert(got("D") == Seq("NodeD"))
+    // empty input flows through the bounded join loop
+    assert(graft.operators.Hierarchy.resolvePaths(
+      Seq.empty[(String, String, String)].toDF("url", "name", "parent_url")).count() === 0)
+  }
+
+  test("transform and upsert tolerate empty inputs") {
+    val emptyRaw = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      Seq(FxRaw("x", "x", "x", "x", Seq(), FxPrice(0, 0, 0), FxRating(0, 0),
+        FxSeller("x", false), FxStock(false), "0", "2024-01-01 00:00:00"))
+        .toDF().schema)
+    val t = graft.transform.Transform.run(emptyRaw)
+    assert(t.stats == graft.transform.Transform.RunStats(0, 0, 0, 0))
+    assert(t.products.count() === 0 && t.rejects.count() === 0)
+    val old  = Seq(("1", 1.0)).toDF("k", "v")
+    val none = Seq.empty[(String, Double)].toDF("k", "v")
+    assert(Merge.upsertMerge(old, none, Seq("k")).as[(String, Double)]
+      .collect().toSeq == Seq(("1", 1.0)))
+    assert(Merge.upsertMerge(none, old, Seq("k")).as[(String, Double)]
+      .collect().toSeq == Seq(("1", 1.0)))
+    assert(Merge.precedenceMerge(Seq(none, old), "k").as[(String, Option[Double])]
+      .collect().toSeq == Seq(("1", Some(1.0))))
+  }
+
   test("hierarchy resolvePaths builds root-first paths with cycle guard (H1)") {
     val cats = Seq(
       ("r", "Root", null.asInstanceOf[String]),
