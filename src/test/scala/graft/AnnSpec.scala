@@ -29,6 +29,20 @@ class AnnSpec extends SparkSpec {
     assert(counts.forall(_ <= 10))
   }
 
+  test("buildIvf handles a corpus smaller than nlist") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val idx = Ann.buildIvf(tiny, "vec_id", "embedding", nlist = 8)
+    // every vector still lands in exactly one (possibly degenerate) list
+    assert(idx.assigned.count() === 3)
+    assert(idx.assigned.filter(col("list").isNull).count() === 0)
+    val got = Ann.ivfTopK(tiny, idx, "vec_id", "embedding", k = 2,
+      nprobe = math.min(4, idx.centroids.length))
+    assert(got.count() > 0)
+  }
+
   test("persisted IVF index: identical probe results, corpus scan partition-pruned on list") {
     val emb = Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 10)

@@ -239,6 +239,10 @@ class PipelineSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges == 1, s"expected 1 Exchange (batch side only), got $exchanges:\n${plan.take(3000)}")
+    // vacuum on a bucketed store: old generation dirs (and any catalog
+    // entries) go; the live bucketed snapshot still reads correctly
+    assert(store.vacuum("products", keep = 1) == 1)
+    assert(store.snapshot("products").get.count() == 4)
   }
 
   test("history events conform to the declared crawl_history schema") {
