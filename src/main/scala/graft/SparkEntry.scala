@@ -1063,6 +1063,18 @@ object SparkEntry {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "lang", "split")
         .orderBy(col("doc_id"))
+    }),
+
+    // --- incremental dedup: a new batch vs an already-indexed corpus --------
+    //     (every 5th doc plays the incoming batch; the rest are the corpus)
+    "q69_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      Dedup.dedupAgainstCorpus(batch, corpus, "doc_id", "text",
+        threshold = 0.3, shingleN = 3, numHashes = 12, bands = 4)
+        .select(col("id").as("doc_id"), col("is_dup"), col("dup_of"), col("jaccard"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2135,6 +2147,37 @@ object SparkEntry {
         |  CASE WHEN substr(md5(doc_id::VARCHAR), 1, 8) < 'cccccccc' THEN 'train'
         |       WHEN substr(md5(doc_id::VARCHAR), 1, 8) < 'e6666666' THEN 'val'
         |       ELSE 'test' END split
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same banding + signature family as q25, but candidates cross from the
+    // batch (doc_id % 5 = 0) into the corpus (the rest); best verified match
+    // per batch doc, ties to the lowest corpus id
+    "q69_incremental_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), t -> t != '') l
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+        |    ELSE list_distinct([array_to_string(l[i:i+2], ' ') FOR i IN range(1, len(l) - 1)]) END sh
+        |  FROM toks
+        |), sig AS (
+        |  SELECT doc_id, sh, [list_min([md5(i::VARCHAR || '|' || s) FOR s IN sh]) FOR i IN range(0, 12)] sg FROM sh
+        |), bands AS (
+        |  SELECT doc_id, unnest([b::VARCHAR || ':' || md5(array_to_string(sg[b*3+1:b*3+3], ',')) FOR b IN range(0, 4)]) bk FROM sig
+        |), cand AS (
+        |  SELECT DISTINCT x.doc_id id_a, y.doc_id id_b FROM bands x JOIN bands y ON x.bk = y.bk
+        |  WHERE x.doc_id % 5 = 0 AND y.doc_id % 5 != 0
+        |), sj AS (
+        |  SELECT c.id_a, c.id_b,
+        |    round(len(list_intersect(a.sh, b.sh))::DOUBLE
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) jaccard
+        |  FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+        |), best AS (
+        |  SELECT id_a, id_b, jaccard FROM sj WHERE jaccard >= 0.3
+        |  QUALIFY row_number() OVER (PARTITION BY id_a ORDER BY jaccard DESC, id_b ASC) = 1
+        |)
+        |SELECT d.doc_id, (h.id_b IS NOT NULL) AS is_dup, h.id_b AS dup_of, h.jaccard
+        |FROM documents d LEFT JOIN best h ON h.id_a = d.doc_id
+        |WHERE d.doc_id % 5 = 0 ORDER BY d.doc_id""".stripMargin
   )
 }

@@ -55,14 +55,14 @@ object Dedup {
       .select(col("id"), explode(rawNgrams(col("__toks"), shingleN)).as("s"))
       .distinct()
 
-  /** Candidate near-dup pairs via MinHash + LSH banding. The signature is
+  /** One row per (id, bandkey): the LSH banding relation. The signature is
     * the native [[graft.expressions.MinHashSignatureExpr]] — one codegen'd
     * call per document, NO explode and NO shuffle on the signature path
-    * (the hash family — lexicographic-min md5(i || "|" || shingle) hex — is
-    * unchanged and oracle-identical). Band keys are flat expressions over
-    * the signature column.
-    * Returns (id_a, id_b) with id_a < id_b, distinct. */
-  def minhashLshCandidates(
+    * (the hash family — lexicographic-min md5(i || "|" || shingle) hex —
+    * is unchanged and oracle-identical). Band key b = md5 of the band's
+    * hashes joined with "," prefixed with the band index. Not checkpointed
+    * — callers decide (self-joins must, a one-pass write needn't). */
+  def minhashBandKeys(
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4): DataFrame = {
     val rows = numHashes / bands
@@ -70,16 +70,22 @@ object Dedup {
       .repartition(col("id"))
       .select(col("id"), graft.expressions.HashExpressions.minhashSignature(
         shinglesFromTokens(col("__toks"), shingleN), numHashes).as("sig"))
-    // band key b = md5 of the band's hashes joined with "," (same bytes the
-    // array-formulation produced), prefixed with the band index
     val bandCols = (0 until bands).map { b =>
       concat(lit(s"$b:"),
         md5(concat_ws(",", (b * rows until (b + 1) * rows).map(i => element_at(col("sig"), i + 1)): _*)))
     }
+    sig.select(col("id"), explode(array(bandCols: _*)).as("bandkey"))
+  }
+
+  /** Candidate near-dup pairs via MinHash + LSH banding (self-join form of
+    * [[minhashBandKeys]]). Returns (id_a, id_b) with id_a < id_b, distinct. */
+  def minhashLshCandidates(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4): DataFrame = {
     // localCheckpoint: without it the self-join computes the full signature
     // pass once PER SIDE (no shuffle ⇒ no exchange reuse); the banded
     // relation is tiny (bands × docs rows of (key, id))
-    val withBands = sig.select(col("id"), explode(array(bandCols: _*)).as("bandkey"))
+    val withBands = minhashBandKeys(docs, idCol, textCol, shingleN, numHashes, bands)
       .localCheckpoint()
     val a = withBands.select(col("bandkey"), col("id").as("id_a"))
     val b = withBands.select(col("bandkey"), col("id").as("id_b"))
@@ -101,6 +107,82 @@ object Dedup {
     val cands = minhashLshCandidates(docs, idCol, textCol, shingleN, numHashes, bands)
     verifyJaccard(cands, sh, threshold)
   }
+
+  /** A reusable MinHash corpus index: the banding relation (id, bandkey)
+    * for candidate generation and the exploded shingle relation (id, s) for
+    * exact-Jaccard verification. At corpus scale both are computed ONCE per
+    * corpus generation and persisted ([[writeMinhashIndex]]); every incoming
+    * batch then dedups against the index ([[dedupAgainstIndex]]) without
+    * ever re-reading, re-tokenizing, or re-sketching the corpus — the
+    * incremental shape that makes near-dup dedup tractable at 100 TB
+    * (re-running the all-pairs form per ingest batch is quadratic in
+    * ingest count). */
+  final case class MinhashIndex(bands: DataFrame, shingles: DataFrame)
+
+  /** Build the in-memory index relations for a corpus (no persistence —
+    * see [[writeMinhashIndex]] for the production artifact). */
+  def buildMinhashIndex(
+      corpus: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4): MinhashIndex =
+    MinhashIndex(
+      minhashBandKeys(corpus, idCol, textCol, shingleN, numHashes, bands),
+      shingleRows(corpus, idCol, textCol, shingleN))
+
+  /** Persist an index under `path` (`bands/` + `shingles/` parquet). Both
+    * relations are narrow (id + one string column); the corpus text itself
+    * is NOT stored. One linear corpus scan produces both. */
+  def writeMinhashIndex(idx: MinhashIndex, path: String): Unit = {
+    idx.bands.write.mode("overwrite").parquet(s"$path/bands")
+    idx.shingles.write.mode("overwrite").parquet(s"$path/shingles")
+  }
+
+  def readMinhashIndex(spark: org.apache.spark.sql.SparkSession, path: String): MinhashIndex =
+    MinhashIndex(spark.read.parquet(s"$path/bands"), spark.read.parquet(s"$path/shingles"))
+
+  /** Incremental near-dup dedup: annotate each document of a NEW batch with
+    * its best near-dup match in an already-indexed corpus. Returns one row
+    * per batch document: (id, is_dup, dup_of, jaccard) where `dup_of` is
+    * the corpus document with the highest verified Jaccard (ties broken by
+    * min corpus id), null when no corpus match reaches `threshold`.
+    *
+    * Contract: batch ids and corpus ids are globally distinct (batch rows
+    * are new documents). Batch-internal duplicates are a separate concern —
+    * run [[minhashDedupPairs]]/[[exactDedup]] within the batch first.
+    *
+    * Scale shape: the batch is assumed ≪ corpus, so the batch's banding
+    * relation BROADCASTS against the corpus index — candidate generation is
+    * a map-side probe of the index scan, no shuffle of corpus data; the
+    * verify join then touches only candidate documents' shingles
+    * ([[verifyJaccard]] semi-joins the shingle relation down first). Cost
+    * per ingest is ∝ batch size + candidate fan-out, independent of corpus
+    * size beyond the one linear index scan. */
+  def dedupAgainstIndex(
+      batch: DataFrame, idx: MinhashIndex, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4): DataFrame = {
+    val bBands = minhashBandKeys(batch, idCol, textCol, shingleN, numHashes, bands)
+      .localCheckpoint()
+    val cands = broadcast(bBands.as("x")).join(idx.bands.as("y"), Seq("bandkey"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    // ids are disjoint by contract, so one unioned shingle relation serves
+    // both sides of the verify join
+    val sh = shingleRows(batch, idCol, textCol, shingleN).unionByName(idx.shingles)
+    val verified = verifyJaccard(cands, sh, threshold)
+    val w = Window.partitionBy(col("id_a")).orderBy(col("jaccard").desc, col("id_b").asc)
+    val best = verified.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("id_a").as("id"), col("id_b").as("dup_of"), col("jaccard"))
+    batch.select(col(idCol).as("id")).join(best, Seq("id"), "left")
+      .withColumn("is_dup", col("dup_of").isNotNull)
+      .select("id", "is_dup", "dup_of", "jaccard")
+  }
+
+  /** [[dedupAgainstIndex]] with the index built inline from `corpus` —
+    * the one-shot form for corpora not worth persisting an index for. */
+  def dedupAgainstCorpus(
+      batch: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4): DataFrame =
+    dedupAgainstIndex(batch,
+      buildMinhashIndex(corpus, idCol, textCol, shingleN, numHashes, bands),
+      idCol, textCol, threshold, shingleN, numHashes, bands)
 
   /** Join candidate (id_a,id_b) pairs against the exploded shingle relation,
     * count intersections, attach set sizes, filter on 6-dp-rounded Jaccard.

@@ -304,6 +304,39 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq((1L, 2L)))
   }
 
+  test("dedupAgainstCorpus flags batch near-dups of the corpus, passes fresh docs") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "an entirely unrelated corpus document about spark physical plans")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"), // dup of 1
+      (11L, "fresh new content that matches nothing in the corpus today")).toDF("doc_id", "text")
+    val got = Dedup.dedupAgainstCorpus(batch, corpus, "doc_id", "text", threshold = 0.5)
+      .orderBy("id")
+      .select("id", "is_dup", "dup_of").as[(Long, Boolean, Option[Long])].collect().toSeq
+    assert(got == Seq((10L, true, Some(1L)), (11L, false, None)))
+  }
+
+  test("dedupAgainstIndex on a written+read index matches the inline form") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "an entirely unrelated corpus document about spark physical plans"),
+      (3L, "another filler document padding out the tiny corpus for the test")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "fresh new content that matches nothing in the corpus today")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mhidx").toString
+    Dedup.writeMinhashIndex(Dedup.buildMinhashIndex(corpus, "doc_id", "text"), dir)
+    val viaIndex = Dedup.dedupAgainstIndex(batch, Dedup.readMinhashIndex(spark, dir),
+      "doc_id", "text", threshold = 0.5).orderBy("id")
+      .select("id", "is_dup", "dup_of").as[(Long, Boolean, Option[Long])].collect().toSeq
+    val inline = Dedup.dedupAgainstCorpus(batch, corpus, "doc_id", "text", threshold = 0.5)
+      .orderBy("id")
+      .select("id", "is_dup", "dup_of").as[(Long, Boolean, Option[Long])].collect().toSeq
+    assert(viaIndex == inline)
+    assert(viaIndex == Seq((10L, true, Some(1L)), (11L, false, None)))
+  }
+
   test("resolvePaths cycle guards: self-parent and two-node cycles terminate") {
     val cats = Seq(
       ("A", "NodeA", "A"),          // self-parent
