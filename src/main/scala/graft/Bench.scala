@@ -32,7 +32,21 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"run_totals":[${r1.values.sum},${r2.values.sum}]}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"run_totals":[${r1.values.sum},${r2.values.sum}]}"""
+    // stop Spark BEFORE emitting the JSON line, then quiesce both streams:
+    // sbt reads stdout and stderr on separate threads and interleaves them
+    // by arrival, so a JSON line printed while per-query stderr lines are
+    // still queued can land mid-log and fall outside the captured tail
+    // (this lost the round-3 bench line). Flushing stderr, pausing, and
+    // printing the JSON on BOTH streams as the final output makes it the
+    // last line of the combined log regardless of interleaving.
     spark.stop()
+    System.err.flush(); System.out.flush()
+    Thread.sleep(2000)
+    println(json)
+    System.out.flush()
+    Thread.sleep(500)
+    System.err.println(json)
+    System.err.flush()
   }
 }

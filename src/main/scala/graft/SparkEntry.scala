@@ -2062,11 +2062,12 @@ object SparkEntry {
         |FROM cats GROUP BY parent_url ORDER BY parent_url""".stripMargin,
 
     // thresholds: floor(w * 2^32) as 8 lowercase hex chars (0.5 -> 80000000,
-    // 0.3 -> 4ccccccc); fixed-width hex compares lexicographically
+    // 0.3 -> 4ccccccc); fixed-width hex compares lexicographically. The
+    // 'mix||' prefix is the operator's domain separation vs assignSplits.
     "q62_mixture_sample" ->
       """SELECT doc_id, lang, source FROM documents
-        |WHERE (lang = 'en' AND substr(md5(doc_id::VARCHAR), 1, 8) < '80000000')
-        |   OR (lang = 'de' AND substr(md5(doc_id::VARCHAR), 1, 8) < '4ccccccc')
+        |WHERE (lang = 'en' AND substr(md5('mix||' || doc_id::VARCHAR), 1, 8) < '80000000')
+        |   OR (lang = 'de' AND substr(md5('mix||' || doc_id::VARCHAR), 1, 8) < '4ccccccc')
         |ORDER BY doc_id""".stripMargin,
 
     "q63_top_tokens" ->
@@ -2141,11 +2142,12 @@ object SparkEntry {
         |GROUP BY l_suppkey, s_name, s_nationkey
         |ORDER BY l_suppkey""".stripMargin,
 
-    // cumulative hash ranges: 0.8 -> cccccccc, 0.9 -> e6666666
+    // cumulative hash ranges: 0.8 -> cccccccc, 0.9 -> e6666666; the
+    // 'split||' prefix is the operator's domain separation vs mixtureSample
     "q68_split_assign" ->
       """SELECT doc_id, lang,
-        |  CASE WHEN substr(md5(doc_id::VARCHAR), 1, 8) < 'cccccccc' THEN 'train'
-        |       WHEN substr(md5(doc_id::VARCHAR), 1, 8) < 'e6666666' THEN 'val'
+        |  CASE WHEN substr(md5('split||' || doc_id::VARCHAR), 1, 8) < 'cccccccc' THEN 'train'
+        |       WHEN substr(md5('split||' || doc_id::VARCHAR), 1, 8) < 'e6666666' THEN 'val'
         |       ELSE 'test' END split
         |FROM documents ORDER BY doc_id""".stripMargin,
 

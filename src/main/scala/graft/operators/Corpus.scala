@@ -79,12 +79,18 @@ object Corpus {
     * being binomial around weight·n rather than exact (the standard
     * trade; exact counts need [[stratifiedSample]]'s ranked form).
     * Groups absent from `weights` are dropped (weight 0); weight ≥ 1
-    * keeps the whole group. */
+    * keeps the whole group.
+    *
+    * The hash is domain-separated from [[assignSplits]] (and salted by
+    * `salt`): each operator hashes `"<domain>|<salt>|<id>"`, so composing
+    * mix-then-split keeps the two decisions independent. Without that,
+    * every row surviving weight w would satisfy hash < hex(w) and a
+    * subsequent 0.8/0.1/0.1 split would assign ALL of them 'train'. */
   def mixtureSample(df: DataFrame, groupCol: String, idCol: String,
-      weights: Map[String, Double]): DataFrame = {
+      weights: Map[String, Double], salt: String = ""): DataFrame = {
     // threshold = weight mapped onto the first 8 hex chars of md5:
     // fixed-width lowercase hex compares lexicographically as numerically
-    val hashCol = substring(md5(col(idCol).cast("string")), 1, 8)
+    val hashCol = substring(md5(concat(lit(s"mix|$salt|"), col(idCol).cast("string"))), 1, 8)
     val keep = weights.foldLeft(lit(false)) { case (acc, (g, w)) =>
       val cond =
         if (w >= 1.0) lit(true)
@@ -100,11 +106,15 @@ object Corpus {
     * standard leakage-safe split (a document's split never depends on the
     * rest of the corpus, survives reruns, engine changes, and corpus
     * growth). Same stateless no-shuffle shape as [[mixtureSample]]; the
-    * last label absorbs rounding, so weights should sum to ~1. */
+    * last label absorbs rounding, so weights should sum to ~1. The hash is
+    * domain-separated from [[mixtureSample]] (prefix `"split|<salt>|"`) so
+    * the standard mix-then-split composition keeps the sample decision and
+    * the split label statistically independent. */
   def assignSplits(df: DataFrame, idCol: String,
-      splits: Seq[(String, Double)], splitCol: String = "split"): DataFrame = {
+      splits: Seq[(String, Double)], splitCol: String = "split",
+      salt: String = ""): DataFrame = {
     require(splits.nonEmpty, "assignSplits needs at least one label")
-    val hashCol = substring(md5(col(idCol).cast("string")), 1, 8)
+    val hashCol = substring(md5(concat(lit(s"split|$salt|"), col(idCol).cast("string"))), 1, 8)
     val cums = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
     val label = splits.zip(cums).init.foldRight(lit(splits.last._1): Column) {
       case (((name, _), cum), acc) =>

@@ -167,9 +167,9 @@ class OperatorsSpec extends SparkSpec {
     val got = graft.operators.Corpus
       .mixtureSample(df, "lang", "id", Map("en" -> 0.5, "vi" -> 1.0))
       .select("id").as[Long].collect().toSet
-    // sequential model of the same hash rule
+    // sequential model of the same hash rule (domain-separated prefix)
     def hex8(id: Long): String = java.security.MessageDigest.getInstance("MD5")
-      .digest(id.toString.getBytes("UTF-8"))
+      .digest(s"mix||$id".getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString.substring(0, 8)
     val thrEn = f"${(0.5 * 4294967296.0).toLong}%08x"
     val want = (0L until 400L).filter { i =>
@@ -196,6 +196,23 @@ class OperatorsSpec extends SparkSpec {
     // rough proportions (binomial around the weights)
     val train = got.values.count(_ == "train").toDouble / 500
     assert(train > 0.7 && train < 0.9, s"train fraction $train")
+  }
+
+  test("mixtureSample then assignSplits: decisions are independent (domain-separated hashes)") {
+    // without domain separation, every row surviving weight 0.5 has
+    // hash < 80000000 and an 0.8/0.1/0.1 split would label ALL of them
+    // 'train', leaving val/test empty
+    val df = (0L until 2000L).map(i => (i, "en")).toDF("id", "lang")
+    val mixed = graft.operators.Corpus.mixtureSample(df, "lang", "id", Map("en" -> 0.5))
+    val labeled = graft.operators.Corpus.assignSplits(
+      mixed, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val byLabel = labeled.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    val n = byLabel.values.sum.toDouble
+    assert(byLabel.getOrElse("val", 0L) > 0 && byLabel.getOrElse("test", 0L) > 0,
+      s"val/test must be non-empty after mix-then-split: $byLabel")
+    val trainFrac = byLabel.getOrElse("train", 0L) / n
+    assert(trainFrac > 0.7 && trainFrac < 0.9, s"train fraction $trainFrac of $byLabel")
   }
 
   test("topTokens: frequency counts with deterministic tie-break") {
