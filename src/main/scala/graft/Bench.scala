@@ -10,8 +10,9 @@ object Bench {
     // so the first measured query reports its own cost, not JVM init
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
     // pre-build the IVF index (an offline artifact in production) so
-    // q45's bench number reflects the probe path, not the KMeans build
-    graft.operators.Ann.buildIvfCached(sfDir,
+    // q45's bench number reflects the probe path — against the persisted
+    // list-partitioned layout, not a localCheckpoint — not the KMeans build
+    graft.operators.Ann.persistedIvfCached(sfDir,
       Tables.load(spark, sfDir, "embeddings"), "vec_id", "embedding", nlist = 16)
     // two passes per query, report the min — bounds the localCheckpoint/GC
     // run-to-run variance (measured 35-57s spread on identical code) so the
@@ -29,24 +30,29 @@ object Bench {
       System.err.println(f"[bench] $name%-26s $sec%8.2fs  (r1 ${r1(name)}%.2f r2 ${r2(name)}%.2f)")
       name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(v: Double) = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // per-run per-query values go INTO the JSON (not just stderr) so a
+    // run-to-run anomaly on one query can be adjudicated from the artifact
+    val runs = Seq(r1, r2).map { r =>
+      r.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+    }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"run_totals":[${r1.values.sum},${r2.values.sum}]}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"run_totals":[${fmt(r1.values.sum)},${fmt(r2.values.sum)}],"per_run":$runs}"""
     // stop Spark BEFORE emitting the JSON line, then quiesce both streams:
     // sbt reads stdout and stderr on separate threads and interleaves them
     // by arrival, so a JSON line printed while per-query stderr lines are
     // still queued can land mid-log and fall outside the captured tail
-    // (this lost the round-3 bench line). Flushing stderr, pausing, and
-    // printing the JSON on BOTH streams as the final output makes it the
-    // last line of the combined log regardless of interleaving.
+    // (this lost the round-3 bench line). Flush stderr first and pause so
+    // the stdout JSON line is the last line of the combined log. The JSON
+    // is emitted on stdout ONLY — a duplicate stderr copy would double-count
+    // in any consumer that greps all JSON lines rather than taking the last.
     spark.stop()
     System.err.flush(); System.out.flush()
     Thread.sleep(2000)
     println(json)
     System.out.flush()
-    Thread.sleep(500)
-    System.err.println(json)
-    System.err.flush()
   }
 }

@@ -639,8 +639,10 @@ object SparkEntry {
     "q45_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       // build-once semantics: the index is an offline artifact; the query
-      // measures the probe (Bench pre-builds it in warmup)
-      val index = operators.Ann.buildIvfCached(dir, emb, "vec_id", "embedding", nlist = 16)
+      // measures the probe (Bench pre-builds it in warmup). Served from the
+      // PERSISTED list-partitioned layout so the measured probe includes the
+      // partition-pruned scan — the 100 TB read path, not a checkpoint.
+      val index = operators.Ann.persistedIvfCached(dir, emb, "vec_id", "embedding", nlist = 16)
       operators.Ann.ivfTopK(emb.filter(col("vec_id") < 20), index,
         "vec_id", "embedding", k = 10, nprobe = 4)
         .withColumn("rank", col("rank").cast(LongType))
@@ -993,9 +995,19 @@ object SparkEntry {
     // --- S6-S9/J6: the Store write path END-TO-END as an oracle-checked
     //     query — 3 daily keyed batches upserted + appended + archived in a
     //     fresh temp store, final snapshot returned with live/archived
-    //     history totals (deterministic: same fixture every run) -----------
+    //     history totals (deterministic: same fixture every run).
+    //     NOTE for plan-only tooling: building this query RUNS the store
+    //     writes (upserts + archive are imperative; only the final read is
+    //     a plan). The scratch dir is a FIXED path wiped at entry, so
+    //     repeated builds (bench passes, PlanSpec sweeps, plan dumps) reuse
+    //     one directory instead of leaking a tree per construction. --------
     "q65_store_lifecycle" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_q65").toString
+      val root = {
+        val p = java.nio.file.Paths.get(
+          sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_q65_scratch")
+        org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
+        java.nio.file.Files.createDirectories(p).toString
+      }
       val store = new graft.store.Store(s, root)
       val o = t(s, dir, "orders")
       for (d <- 0 to 2) {
@@ -1029,7 +1041,7 @@ object SparkEntry {
       val cache = n.filter(col("n_nationkey") % 3 === 0).select(
         col("n_nationkey").as("k"),
         concat(lit("C-"), col("n_name")).as("name"),
-        (col("n_nationkey") * 100).as("pop"))
+        (col("n_nationkey") * 100).cast(LongType).as("pop"))
       val db = n.select(
         col("n_nationkey").as("k"),
         concat(lit("D-"), col("n_name")).as("name"),
@@ -1075,6 +1087,54 @@ object SparkEntry {
         threshold = 0.3, shingleN = 3, numHashes = 12, bands = 4)
         .select(col("id").as("doc_id"), col("is_dup"), col("dup_of"), col("jaccard"))
         .orderBy(col("doc_id"))
+    }),
+
+    // --- S1+S4 END-TO-END: crawl-envelope JSON files (assembled
+    //     deterministically from `part`) read schema-first through
+    //     Sources.readEnvelope, flattened, written through the atomic sink,
+    //     re-read, and digested per envelope. The JSON+parquet round-trip is
+    //     identity on the constructed fields, so the oracle reproduces the
+    //     digest straight from `part` — any envelope-schema, explode, or
+    //     committer bug breaks the hash match. Like q65 this RUNS file
+    //     writes at construction; fixed scratch dir wiped at entry. --------
+    "q70_envelope_roundtrip" -> ((s, dir) => {
+      val scratch = {
+        val p = java.nio.file.Paths.get(
+          sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_q70_scratch")
+        org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
+        p.toString
+      }
+      val part = t(s, dir, "part")
+      // 20 envelope files, each {crawled_at, total_products, products:[...]}
+      val envelopes = part
+        .select((col("p_partkey") % 20).as("env"),
+          struct(
+            col("p_partkey").cast(StringType).as("product_id"),
+            col("p_name").as("name"),
+            col("p_brand").as("brand"),
+            concat(lit("https://shop.example/p/"), col("p_partkey")).as("url"),
+            struct(col("p_retailprice").cast(DoubleType).as("current_price"),
+              lit("VND").as("currency")).as("price")).as("p"))
+        .groupBy("env")
+        .agg(to_json(struct(
+          concat(lit("2024-01-01T00:00:"),
+            lpad(col("env").cast(StringType), 2, "0")).as("crawled_at"),
+          count(lit(1)).as("total_products"),
+          array_sort(collect_list(col("p"))).as("products"))).as("value"))
+      envelopes.select("value").write.mode("overwrite").text(s"$scratch/envelopes")
+      val flat = graft.sources.Sources.readEnvelope(s, s"$scratch/envelopes")
+      graft.sources.Sources.writeAtomic(
+        flat.select(col("envelope_crawled_at"), col("product_id"), col("name"),
+          col("brand"), col("price.current_price").as("current_price")),
+        s"$scratch/out")
+      s.read.parquet(s"$scratch/out")
+        .groupBy(col("envelope_crawled_at"))
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          countDistinct(col("brand")).cast(LongType).as("n_brands"),
+          dsum(col("current_price")).as("sum_price"),
+          min(col("product_id")).as("min_pid"),
+          max(col("product_id")).as("max_pid"))
+        .orderBy(col("envelope_crawled_at"))
     })
   )
 
@@ -2180,6 +2240,17 @@ object SparkEntry {
         |)
         |SELECT d.doc_id, (h.id_b IS NOT NULL) AS is_dup, h.id_b AS dup_of, h.jaccard
         |FROM documents d LEFT JOIN best h ON h.id_a = d.doc_id
-        |WHERE d.doc_id % 5 = 0 ORDER BY d.doc_id""".stripMargin
+        |WHERE d.doc_id % 5 = 0 ORDER BY d.doc_id""".stripMargin,
+
+    // q70: the envelope JSON + atomic-sink round-trip is identity on the
+    // constructed fields, so the digest is computable straight from `part`
+    "q70_envelope_roundtrip" ->
+      """SELECT '2024-01-01T00:00:' || lpad(CAST(p_partkey % 20 AS VARCHAR), 2, '0') AS envelope_crawled_at,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS n_brands,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  MIN(CAST(p_partkey AS VARCHAR)) AS min_pid,
+        |  MAX(CAST(p_partkey AS VARCHAR)) AS max_pid
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -55,6 +55,25 @@ object Ann {
       IvfIndex(mat, idx.centroids)
     })
 
+  /** Build-once cache serving the PERSISTED layout: first call builds the
+    * index, writes it via [[writeIvf]] to a fixed scratch dir keyed by the
+    * corpus identity, and re-reads it via [[readIvf]]; later calls reuse the
+    * loaded index. Probes served from THIS cache run against the
+    * `list`-partitioned parquet layout — the documented 100 TB path — so a
+    * benchmarked probe includes the partition-pruned scan
+    * (`PartitionFilters` on `list`), not a localCheckpoint shortcut. */
+  private val ivfDiskCache = scala.collection.concurrent.TrieMap[String, IvfIndex]()
+  def persistedIvfCached(key: String, corpus: => DataFrame, idCol: String, vecCol: String,
+      nlist: Int, seed: Long = 42L): IvfIndex =
+    ivfDiskCache.getOrElseUpdate(key, {
+      val df = corpus
+      val path = java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+        "graft_ivf_" + key.replaceAll("[^a-zA-Z0-9._-]", "_")).toString
+      writeIvf(buildIvf(df, idCol, vecCol, nlist, seed), path)
+      readIvf(df.sparkSession, path)
+    })
+
   /** Persist an index: the assigned corpus written PARTITIONED BY `list`
     * plus the centroid vectors as a tiny companion table. This is the
     * documented 100 TB layout — a probe's list filter lands on the `list`

@@ -88,6 +88,9 @@ object Corpus {
     * subsequent 0.8/0.1/0.1 split would assign ALL of them 'train'. */
   def mixtureSample(df: DataFrame, groupCol: String, idCol: String,
       weights: Map[String, Double], salt: String = ""): DataFrame = {
+    // '|' is the domain-separator — a salt containing it could alias another
+    // (salt, id) pair's hash input (e.g. ("a|b","c") vs ("a","b|c"))
+    require(!salt.contains("|"), "salt must not contain '|'")
     // threshold = weight mapped onto the first 8 hex chars of md5:
     // fixed-width lowercase hex compares lexicographically as numerically
     val hashCol = substring(md5(concat(lit(s"mix|$salt|"), col(idCol).cast("string"))), 1, 8)
@@ -114,6 +117,7 @@ object Corpus {
       splits: Seq[(String, Double)], splitCol: String = "split",
       salt: String = ""): DataFrame = {
     require(splits.nonEmpty, "assignSplits needs at least one label")
+    require(!salt.contains("|"), "salt must not contain '|'")
     val hashCol = substring(md5(concat(lit(s"split|$salt|"), col(idCol).cast("string"))), 1, 8)
     val cums = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
     val label = splits.zip(cums).init.foldRight(lit(splits.last._1): Column) {

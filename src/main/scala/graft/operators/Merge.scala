@@ -120,9 +120,19 @@ object Merge {
   def precedenceMerge(sources: Seq[DataFrame], key: String): DataFrame = {
     require(sources.nonEmpty, "precedenceMerge needs at least one source")
     val valueCols = sources.head.columns.filterNot(_ == key).toIndexedSeq
-    sources.foreach(s => require(
-      s.columns.filterNot(_ == key).toIndexedSeq == valueCols,
-      "all sources must share a schema"))
+    sources.zipWithIndex.foreach { case (s, i) =>
+      require(s.columns.filterNot(_ == key).toIndexedSeq == valueCols,
+        s"all sources must share a schema (source $i has columns ${s.columns.mkString(",")})")
+      // names alone aren't enough: truthy() resolves each column's type from
+      // sources.head, so a non-string head column would silently disable the
+      // empty-string-is-falsy rule for a string column in a later source,
+      // and genuinely mismatched types die as an opaque unionByName error.
+      (key +: valueCols).foreach { c =>
+        require(s.schema(c).dataType == sources.head.schema(c).dataType,
+          s"precedenceMerge: column '$c' has type ${s.schema(c).dataType.simpleString} " +
+            s"in source $i but ${sources.head.schema(c).dataType.simpleString} in source 0")
+      }
+    }
     def truthy(c: String): Column = sources.head.schema(c).dataType match {
       case org.apache.spark.sql.types.StringType => col(c).isNotNull && col(c) =!= ""
       case _                                      => col(c).isNotNull

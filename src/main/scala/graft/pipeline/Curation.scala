@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
-import graft.operators.Dedup
+import graft.operators.{Corpus, Dedup}
 
 /** Corpus curation — the training-data pipeline composed end-to-end over a
   * documents table: language/quality gates (pure expressions), exact
@@ -88,4 +88,18 @@ object Curation {
     ).toDF("reason", "n")
     CurationResult(kept, ledger)
   }
+
+  /** Mixture-sample then split-assign a curated corpus with ONE experiment
+    * salt threaded through both decisions. The two hashes are
+    * domain-separated inside [[Corpus]] ("mix|salt|id" vs "split|salt|id"),
+    * so sharing the salt keeps the decisions independent while a new salt
+    * re-rolls the whole experiment (sample AND splits) atomically — the
+    * property you want when ablating a training mix. Stateless filter +
+    * projection: no shuffle, composes with [[curate]]'s output directly. */
+  def mixAndSplit(docs: DataFrame, groupCol: String, idCol: String,
+      weights: Map[String, Double], splits: Seq[(String, Double)],
+      splitCol: String = "split", salt: String = ""): DataFrame =
+    Corpus.assignSplits(
+      Corpus.mixtureSample(docs, groupCol, idCol, weights, salt),
+      idCol, splits, splitCol, salt)
 }

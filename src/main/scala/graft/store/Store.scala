@@ -169,18 +169,26 @@ class Store(spark: SparkSession, root: String, buckets: Int = 0) {
     if (expired.isEmpty) return 0L
     val n = spark.read.parquet(expired.map(_.getPath.toString): _*).count()
     val destRoot = new Path(s"$root/${table}_archive/append")
-    f.mkdirs(destRoot)
+    // FileSystem.mkdirs/rename report failure as `false`, not an exception,
+    // on several implementations (object stores especially) — an unchecked
+    // false here would leave the partition live while the returned count
+    // already includes it. Fail loudly instead: the caller can re-run, the
+    // move is idempotent (already-moved partitions hit the merge branch).
+    def checked(ok: Boolean, what: String): Unit =
+      if (!ok) throw new java.io.IOException(s"archiveHistory: $what failed (filesystem returned false)")
+    checked(f.mkdirs(destRoot), s"mkdirs($destRoot)")
     expired.foreach { st =>
       val dest = new Path(destRoot, st.getPath.getName)
-      if (!f.exists(dest)) f.rename(st.getPath, dest)
+      if (!f.exists(dest)) checked(f.rename(st.getPath, dest), s"rename(${st.getPath} -> $dest)")
       else {
         // partition already archived once (re-run with a later cutoff after
         // late-arriving appends) — move the files into the existing dir;
         // parquet part-file names carry task UUIDs so they never collide
         f.listStatus(st.getPath).foreach { part =>
-          f.rename(part.getPath, new Path(dest, part.getPath.getName))
+          val pdest = new Path(dest, part.getPath.getName)
+          checked(f.rename(part.getPath, pdest), s"rename(${part.getPath} -> $pdest)")
         }
-        f.delete(st.getPath, true)
+        checked(f.delete(st.getPath, true), s"delete(${st.getPath})")
       }
     }
     n

@@ -11,7 +11,9 @@ object PlanDump {
         "q25_minhash_pairs", "q31_hierarchy_paths", "q39_star_fact",
         "q46_detail_merge", "q47_category_counts", "q28_embed_neardup",
         "q58_tree_flatten", "q62_mixture_sample", "q63_top_tokens",
-        "q66_precedence_merge", "q67_skew_salted")
+        "q66_precedence_merge", "q67_skew_salted",
+        "q45_ivf_topk", "q64_payload_parse", "q65_store_lifecycle",
+        "q68_split_assign", "q69_incremental_dedup", "q70_envelope_roundtrip")
     names.foreach { n =>
       println(s"===== $n =====")
       val df = graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")

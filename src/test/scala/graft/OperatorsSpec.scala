@@ -215,6 +215,51 @@ class OperatorsSpec extends SparkSpec {
     assert(trainFrac > 0.7 && trainFrac < 0.9, s"train fraction $trainFrac of $byLabel")
   }
 
+  test("salt re-rolls mixture and split decisions; '|' salts rejected") {
+    import graft.operators.Corpus
+    val docs = (1L to 400L).map(i => (i, if (i % 2 == 0) "en" else "vi"))
+      .toDF("doc_id", "lang")
+    val w = Map("en" -> 0.5, "vi" -> 0.5)
+    def ids(salt: String) = Corpus.mixtureSample(docs, "lang", "doc_id", w, salt)
+      .select("doc_id").as[Long].collect().toSet
+    val s0 = ids(""); val s1 = ids("exp1"); val s2 = ids("exp2")
+    // a new salt re-rolls the kept set (each still ~half of 400 rows)
+    assert(s1 != s0 && s2 != s0 && s1 != s2)
+    Seq(s0, s1, s2).foreach(s => assert(s.size > 120 && s.size < 280))
+    val sp = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    def labels(salt: String) = Corpus.assignSplits(docs, "doc_id", sp, salt = salt)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(labels("exp1") != labels("exp2"))
+    intercept[IllegalArgumentException](
+      Corpus.mixtureSample(docs, "lang", "doc_id", w, "a|b"))
+    intercept[IllegalArgumentException](
+      Corpus.assignSplits(docs, "doc_id", sp, salt = "a|b"))
+  }
+
+  test("Curation.mixAndSplit threads one salt through both decisions") {
+    import graft.operators.Corpus
+    val docs = (1L to 400L).map(i => (i, if (i % 2 == 0) "en" else "vi"))
+      .toDF("doc_id", "lang")
+    val w = Map("en" -> 0.5, "vi" -> 0.5)
+    val sp = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "lang", "split").as[(Long, String, String)].collect().toSet
+    val got = canon(graft.pipeline.Curation.mixAndSplit(docs, "lang", "doc_id", w, sp, salt = "exp1"))
+    val want = canon(Corpus.assignSplits(
+      Corpus.mixtureSample(docs, "lang", "doc_id", w, "exp1"), "doc_id", sp, salt = "exp1"))
+    assert(got == want && got.nonEmpty)
+    // a different salt re-rolls the whole experiment
+    assert(got != canon(graft.pipeline.Curation.mixAndSplit(docs, "lang", "doc_id", w, sp, salt = "exp2")))
+  }
+
+  test("precedenceMerge rejects type-mismatched sources with a clear error") {
+    val a = Seq((1L, "x")).toDF("k", "name")
+    val b = Seq((1L, 2L)).toDF("k", "name")
+    val e = intercept[IllegalArgumentException](Merge.precedenceMerge(Seq(a, b), "k"))
+    assert(e.getMessage.contains("'name'") && e.getMessage.contains("bigint")
+      && e.getMessage.contains("string"), e.getMessage)
+  }
+
   test("topTokens: frequency counts with deterministic tie-break") {
     val docs = Seq("b a a", "c b a", "d d").toDF("text")
     val got = graft.operators.Corpus.topTokens(docs, "text", 3)

@@ -15,6 +15,18 @@ case class FxRaw(product_id: String, name: String, brand: String, url: String,
     category_path: Seq[String], price: FxPrice, rating: FxRating, seller: FxSeller,
     stock: FxStock, sales_count: String, crawled_at: String)
 
+/** Local filesystem whose renames INTO `*_archive` paths fail by returning
+  * `false` without throwing — the non-exceptional failure mode several
+  * object-store Hadoop connectors exhibit. Used to assert that
+  * `Store.archiveHistory` checks rename's boolean result instead of
+  * counting a partition as archived while it silently stayed live. */
+class FailArchiveRenameFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "failrename"
+  override def getUri: java.net.URI = java.net.URI.create("failrename:///")
+  override def rename(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Boolean =
+    if (dst.toString.contains("_archive")) false else super.rename(src, dst)
+}
+
 /** End-to-end pipeline spec mirroring the reference's
   * tests/test_transform_load.py fixture (2 valid nested products + invalid
   * price + missing id + duplicate), driven through transform → store upsert
@@ -121,6 +133,23 @@ class PipelineSpec extends SparkSpec {
     assert(store.archiveHistory("crawl_history", "2024-03-01") == 1)
     assert(store.history("crawl_history_archive").get.count() == 2)
     assert(store.archiveHistory("crawl_history", "2024-03-01") == 0) // idempotent
+  }
+
+  test("archiveHistory surfaces a rename that fails non-exceptionally " +
+      "and leaves the partition live") {
+    spark.sparkContext.hadoopConfiguration.set("fs.failrename.impl",
+      classOf[FailArchiveRenameFs].getName)
+    val root = "failrename://" + Files.createTempDirectory("graft_archfail").toString
+    val store = new Store(spark, root)
+    store.appendHistory("hist", Seq(
+      ("p1", 1.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      ("p2", 2.0, java.sql.Timestamp.valueOf("2024-06-01 00:00:00")))
+      .toDF("product_id", "price", "crawled_at"))
+    val e = intercept[java.io.IOException](store.archiveHistory("hist", "2024-03-01"))
+    assert(e.getMessage.contains("rename"), e.getMessage)
+    // nothing was counted as archived AND the partition is still live
+    assert(store.history("hist").get.count() == 2)
+    assert(store.history("hist_archive").isEmpty)
   }
 
   test("multi-batch store lifecycle: 3 days of upsert+history+latest+archive " +
