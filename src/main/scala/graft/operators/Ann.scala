@@ -100,6 +100,41 @@ object Ann {
     IvfIndex(spark.read.parquet(s"$path/assigned"), centroids)
   }
 
+  /** Per-centroid (squared-L2-distance, list-id) structs against `vec` —
+    * the small flat expression tree (nlist × dim nodes) shared by the
+    * probe side and the incremental-append assignment. */
+  private def centroidDistStructs(centroids: Array[Array[Double]],
+      vec: org.apache.spark.sql.Column): Array[org.apache.spark.sql.Column] =
+    centroids.zipWithIndex.map { case (c, i) =>
+      val d = c.indices.map { j =>
+        val diff = element_at(vec, j + 1).cast("double") - lit(c(j))
+        diff * diff
+      }.reduce(_ + _)
+      struct(d.as("dist"), lit(i).as("list"))
+    }
+
+  /** Incrementally add a batch to a [[writeIvf]] layout WITHOUT a rebuild:
+    * each new vector is assigned to its nearest EXISTING centroid (same
+    * expression tree the probe side ranks with) and the assigned rows are
+    * appended into the `list`-partitioned directory tree. This is the
+    * 100 TB ingest path — per-batch cost ∝ batch × nlist, the corpus is
+    * never re-read, and probes see the new vectors immediately through the
+    * same partition-pruned scan. Centroid drift under sustained ingest is
+    * handled by periodic offline rebuilds (standard IVF practice); recall
+    * degrades gracefully, never correctness (assignment stays
+    * nearest-centroid by construction). Parquet part-file names carry task
+    * UUIDs, so appends never collide with existing generation files. */
+  def appendToIvf(batch: DataFrame, path: String, idCol: String, vecCol: String): Unit = {
+    val spark = batch.sparkSession
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy("list").collect().map(_.getSeq[Double](1).toArray)
+    val dist = centroidDistStructs(centroids, col(vecCol))
+    batch
+      .select(col(idCol), col(vecCol),
+        element_at(array_sort(array(dist.toIndexedSeq: _*)), 1).getField("list").as("list"))
+      .write.mode("append").partitionBy("list").parquet(s"$path/assigned")
+  }
+
   /** Probe the index: exact cosine inside the query's `nprobe` nearest
     * lists, top-k per query (ties broken by neighbour id).
     *
@@ -111,16 +146,8 @@ object Ann {
     * ints — the deliberate exception to the no-collect rule. */
   def ivfTopK(queries: DataFrame, index: IvfIndex, idCol: String, vecCol: String,
       k: Int, nprobe: Int): DataFrame = {
-    val centroids = index.centroids
-    // rank centroids per query by squared L2 distance — a small flat
-    // expression tree (nlist terms), evaluated once per query row
-    val distCols = centroids.zipWithIndex.map { case (c, i) =>
-      val d = c.indices.map { j =>
-        val diff = element_at(col("qv"), j + 1).cast("double") - lit(c(j))
-        diff * diff
-      }.reduce(_ + _)
-      struct(d.as("dist"), lit(i).as("list"))
-    }
+    // rank centroids per query by squared L2 distance
+    val distCols = centroidDistStructs(index.centroids, col("qv"))
     // localCheckpoint: the centroid-ranking tree is nlist × dim expression
     // nodes — planning/codegen it is the expensive part at small batch
     // sizes, and BOTH the probe-list collect and the join side would

@@ -143,7 +143,12 @@ class Store(spark: SparkSession, root: String, buckets: Int = 0) {
     dropGens.foreach { g =>
       spark.sql(s"DROP TABLE IF EXISTS ${catalogName(table, g)}")
       val p = new Path(s"$root/$table/$g")
-      fs(p).delete(p, true)
+      // like archiveHistory's renames: FileSystem.delete reports failure as
+      // `false` on some implementations — an unchecked false would return a
+      // dropped-count that includes a generation still on disk
+      if (!fs(p).delete(p, true))
+        throw new java.io.IOException(
+          s"vacuum: delete($p) failed (filesystem returned false)")
     }
     dropGens.size
   }

@@ -64,4 +64,35 @@ class AnnSpec extends SparkSpec {
       s"corpus scan is not partition-pruned on list:\n${plan.take(4000)}")
     assert(rows(dsk) == mem)
   }
+
+  test("appendToIvf: incremental ingest assigns nearest centroid, no rebuild, probes see new rows") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val initial = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    Ann.writeIvf(Ann.buildIvf(initial, "vec_id", "embedding", nlist = 8), dir)
+    Ann.appendToIvf(batch, dir, "vec_id", "embedding")
+    val updated = Ann.readIvf(spark, dir)
+    // nothing lost, nothing duplicated
+    assert(updated.assigned.count() === emb.count())
+    assert(updated.assigned.select("vec_id").distinct().count() === emb.count())
+    // every appended vector sits in its true nearest existing centroid list
+    val cents = updated.centroids
+    val appended = updated.assigned
+      .join(batch.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .select("vec_id", "embedding", "list")
+      .collect()
+    appended.foreach { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      val best = cents.indices.minBy(i =>
+        cents(i).indices.map(j => { val d = v(j) - cents(i)(j); d * d }).sum)
+      assert(r.getInt(2) === best, s"vec ${r.getLong(0)} assigned ${r.getInt(2)}, nearest $best")
+    }
+    // a probe against the updated layout returns appended ids as neighbors
+    val probeRes = Ann.ivfTopK(emb.filter(col("vec_id") < 10), updated,
+      "vec_id", "embedding", k = 10, nprobe = 8)
+    assert(probeRes.join(batch.select(col("vec_id").as("neighbor_id")),
+      Seq("neighbor_id"), "left_semi").count() > 0,
+      "no appended vector ever surfaced as a neighbor")
+  }
 }

@@ -27,6 +27,16 @@ class FailArchiveRenameFs extends org.apache.hadoop.fs.RawLocalFileSystem {
     if (dst.toString.contains("_archive")) false else super.rename(src, dst)
 }
 
+/** Same idea for deletes: refuse to delete EXISTING generation dirs by
+  * returning `false` — asserts `Store.vacuum` checks delete's result. */
+class FailDeleteGenFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "faildelete"
+  override def getUri: java.net.URI = java.net.URI.create("faildelete:///")
+  override def delete(p: org.apache.hadoop.fs.Path, recursive: Boolean): Boolean =
+    if (p.getName.startsWith("gen_") && exists(p)) false
+    else super.delete(p, recursive)
+}
+
 /** End-to-end pipeline spec mirroring the reference's
   * tests/test_transform_load.py fixture (2 valid nested products + invalid
   * price + missing id + duplicate), driven through transform → store upsert
@@ -150,6 +160,19 @@ class PipelineSpec extends SparkSpec {
     // nothing was counted as archived AND the partition is still live
     assert(store.history("hist").get.count() == 2)
     assert(store.history("hist_archive").isEmpty)
+  }
+
+  test("vacuum surfaces a delete that fails non-exceptionally") {
+    spark.sparkContext.hadoopConfiguration.set("fs.faildelete.impl",
+      classOf[FailDeleteGenFs].getName)
+    val root = "faildelete://" + Files.createTempDirectory("graft_vacfail").toString
+    val store = new Store(spark, root)
+    for (i <- 1 to 3)
+      store.upsert("t", Seq(("p1", i.toDouble)).toDF("product_id", "price"), Seq("product_id"))
+    val e = intercept[java.io.IOException](store.vacuum("t", keep = 1))
+    assert(e.getMessage.contains("vacuum"), e.getMessage)
+    // the generation is still on disk and the newest snapshot still reads
+    assert(store.snapshot("t").get.count() == 1)
   }
 
   test("multi-batch store lifecycle: 3 days of upsert+history+latest+archive " +

@@ -127,6 +127,18 @@ class PlanSpec extends SparkSpec {
     assert(bad.isEmpty, s"single-partition sort/window stage:\n${bad.headOption.getOrElse("").take(2000)}")
   }
 
+  test("driver contract: every oracle key names a query; rows-only set is exactly q37/q45") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    val orphanOracles = o -- q
+    assert(orphanOracles.isEmpty,
+      s"oracleSql keys without a matching query (typo?): $orphanOracles")
+    // q37 (Unicode word-boundary UDF) and q45 (KMeans) are deliberately
+    // rows-only — anything else missing an oracle is a gate regression
+    assert((q -- o) == Set("q37_name_cleaning", "q45_ivf_topk"),
+      s"queries without an oracle: ${(q -- o).toSeq.sorted}")
+  }
+
   test("minhash signature path has no shuffle between scan and band explode") {
     // the sketch is a scalar expression: scan → repartition → project(sig)
     // → generate. A groupBy/Window on the path would add an extra Exchange.
