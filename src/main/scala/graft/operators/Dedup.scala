@@ -139,6 +139,23 @@ object Dedup {
   def readMinhashIndex(spark: org.apache.spark.sql.SparkSession, path: String): MinhashIndex =
     MinhashIndex(spark.read.parquet(s"$path/bands"), spark.read.parquet(s"$path/shingles"))
 
+  /** Append a batch's relations to a persisted index — the ingest loop's
+    * closing step: after [[dedupAgainstIndex]] marks duplicates, the
+    * SURVIVING documents are appended so the next batch dedups against
+    * corpus ∪ batch. Cost ∝ batch size (two linear batch scans, one per
+    * relation); the corpus is never re-read or rewritten, and parquet
+    * part-file names carry task UUIDs so appends never collide. Callers
+    * must filter the batch to survivors first — appending dropped dups
+    * would make them future match targets. */
+  def appendToMinhashIndex(
+      batch: DataFrame, path: String, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4): Unit = {
+    minhashBandKeys(batch, idCol, textCol, shingleN, numHashes, bands)
+      .write.mode("append").parquet(s"$path/bands")
+    shingleRows(batch, idCol, textCol, shingleN)
+      .write.mode("append").parquet(s"$path/shingles")
+  }
+
   /** Incremental near-dup dedup: annotate each document of a NEW batch with
     * its best near-dup match in an already-indexed corpus. Returns one row
     * per batch document: (id, is_dup, dup_of, jaccard) where `dup_of` is

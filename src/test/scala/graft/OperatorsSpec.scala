@@ -399,6 +399,38 @@ class OperatorsSpec extends SparkSpec {
     assert(viaIndex == Seq((10L, true, Some(1L)), (11L, false, None)))
   }
 
+  test("appendToMinhashIndex: ingest loop — next batch dedups against corpus plus survivors") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "an entirely unrelated corpus document about spark physical plans"))
+      .toDF("doc_id", "text")
+    val b1 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"), // dup of 1
+      (11L, "completely novel text that joins the corpus as a survivor now"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mhidx_app").toString
+    Dedup.writeMinhashIndex(Dedup.buildMinhashIndex(corpus, "doc_id", "text"), dir)
+    val r1 = Dedup.dedupAgainstIndex(b1, Dedup.readMinhashIndex(spark, dir),
+      "doc_id", "text", threshold = 0.5)
+    val survivors = b1.join(
+      r1.filter(!col("is_dup")).select(col("id").as("doc_id")), Seq("doc_id"), "left_semi")
+    Dedup.appendToMinhashIndex(survivors, dir, "doc_id", "text")
+    // batch 2 contains a dup of the APPENDED survivor (11) and of the
+    // original corpus (2) — both must be caught by the updated index
+    val b2 = Seq(
+      (20L, "completely novel text that joins the corpus as a survivor now"),
+      (21L, "an entirely unrelated corpus document about spark physical plans"),
+      (22L, "nothing like anything stored before in any generation at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupAgainstIndex(b2, Dedup.readMinhashIndex(spark, dir),
+      "doc_id", "text", threshold = 0.5).orderBy("id")
+      .select("id", "is_dup", "dup_of").as[(Long, Boolean, Option[Long])].collect().toSeq
+    assert(got == Seq((20L, true, Some(11L)), (21L, true, Some(2L)), (22L, false, None)))
+    // the dropped dup (10) was never appended — it is nobody's match target
+    assert(Dedup.readMinhashIndex(spark, dir).bands
+      .filter(col("id") === 10L).count() === 0)
+  }
+
   test("resolvePaths cycle guards: self-parent and two-node cycles terminate") {
     val cats = Seq(
       ("A", "NodeA", "A"),          // self-parent
