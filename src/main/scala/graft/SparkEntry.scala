@@ -1135,6 +1135,35 @@ object SparkEntry {
           min(col("product_id")).as("min_pid"),
           max(col("product_id")).as("max_pid"))
         .orderBy(col("envelope_crawled_at"))
+    }),
+
+    // --- the FULL incremental-dedup ingest cycle, oracle-gated: index the
+    //     corpus, dedup batch 1 against it, append batch 1's survivors,
+    //     dedup batch 2 against corpus ∪ survivors — batch 2's verdicts
+    //     depend on the append being exactly right. Like q65/q70 this RUNS
+    //     index writes at construction; fixed scratch dir wiped at entry. --
+    "q71_ingest_cycle" -> ((s, dir) => {
+      val scratch = {
+        val p = java.nio.file.Paths.get(
+          sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_q71_scratch")
+        org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
+        p.toString
+      }
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 5 >= 2)
+      val b1 = docs.filter(col("doc_id") % 5 === 0)
+      val b2 = docs.filter(col("doc_id") % 5 === 1)
+      Dedup.writeMinhashIndex(
+        Dedup.buildMinhashIndex(corpus, "doc_id", "text"), scratch)
+      val r1 = Dedup.dedupAgainstIndex(b1, Dedup.readMinhashIndex(s, scratch),
+        "doc_id", "text", threshold = 0.3)
+      val survivors = b1.join(
+        r1.filter(!col("is_dup")).select(col("id").as("doc_id")), Seq("doc_id"), "left_semi")
+      Dedup.appendToMinhashIndex(survivors, scratch, "doc_id", "text")
+      Dedup.dedupAgainstIndex(b2, Dedup.readMinhashIndex(s, scratch),
+        "doc_id", "text", threshold = 0.3)
+        .select(col("id").as("doc_id"), col("is_dup"), col("dup_of"), col("jaccard"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2251,6 +2280,48 @@ object SparkEntry {
         |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |  MIN(CAST(p_partkey AS VARCHAR)) AS min_pid,
         |  MAX(CAST(p_partkey AS VARCHAR)) AS max_pid
-        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q71: q69's MinHash model extended to the two-batch ingest cycle —
+    // batch 2's corpus is the original corpus PLUS batch 1's survivors
+    // (batch-1 docs with no verified match >= 0.3 in the original corpus)
+    "q71_ingest_cycle" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), t -> t != '') l
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+        |    ELSE list_distinct([array_to_string(l[i:i+2], ' ') FOR i IN range(1, len(l) - 1)]) END sh
+        |  FROM toks
+        |), sig AS (
+        |  SELECT doc_id, sh, [list_min([md5(i::VARCHAR || '|' || s) FOR s IN sh]) FOR i IN range(0, 12)] sg FROM sh
+        |), bands AS (
+        |  SELECT doc_id, unnest([b::VARCHAR || ':' || md5(array_to_string(sg[b*3+1:b*3+3], ',')) FOR b IN range(0, 4)]) bk FROM sig
+        |), cand1 AS (
+        |  SELECT DISTINCT x.doc_id id_a, y.doc_id id_b FROM bands x JOIN bands y ON x.bk = y.bk
+        |  WHERE x.doc_id % 5 = 0 AND y.doc_id % 5 >= 2
+        |), sj1 AS (
+        |  SELECT c.id_a, c.id_b,
+        |    round(len(list_intersect(a.sh, b.sh))::DOUBLE
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) jaccard
+        |  FROM cand1 c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+        |), dup1 AS (
+        |  SELECT DISTINCT id_a FROM sj1 WHERE jaccard >= 0.3
+        |), cand2 AS (
+        |  SELECT DISTINCT x.doc_id id_a, y.doc_id id_b FROM bands x JOIN bands y ON x.bk = y.bk
+        |  WHERE x.doc_id % 5 = 1 AND (y.doc_id % 5 >= 2 OR
+        |    (y.doc_id % 5 = 0 AND y.doc_id NOT IN (SELECT id_a FROM dup1)))
+        |), sj2 AS (
+        |  SELECT c.id_a, c.id_b,
+        |    round(len(list_intersect(a.sh, b.sh))::DOUBLE
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) jaccard
+        |  FROM cand2 c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+        |), best2 AS (
+        |  SELECT id_a, id_b, jaccard FROM sj2 WHERE jaccard >= 0.3
+        |  QUALIFY row_number() OVER (PARTITION BY id_a ORDER BY jaccard DESC, id_b ASC) = 1
+        |)
+        |SELECT d.doc_id, (h.id_b IS NOT NULL) AS is_dup, h.id_b AS dup_of, h.jaccard
+        |FROM documents d LEFT JOIN best2 h ON h.id_a = d.doc_id
+        |WHERE d.doc_id % 5 = 1 ORDER BY d.doc_id""".stripMargin
   )
 }
