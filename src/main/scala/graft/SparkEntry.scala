@@ -1164,6 +1164,41 @@ object SparkEntry {
         "doc_id", "text", threshold = 0.3)
         .select(col("id").as("doc_id"), col("is_dup"), col("dup_of"), col("jaccard"))
         .orderBy(col("doc_id"))
+    }),
+
+    // --- S2 + F6/H4: flat category-list JSON (assembled from region/nation
+    //     as a 2-level hierarchy) read schema-first through
+    //     Sources.readCategories, is_leaf computed by the REAL operator
+    //     (anti-join on parent urls), digested. Construction writes the
+    //     JSON fixture; fixed scratch dir wiped at entry. -------------------
+    "q72_category_roundtrip" -> ((s, dir) => {
+      val scratch = {
+        val p = java.nio.file.Paths.get(
+          sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_q72_scratch")
+        org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
+        p.toString
+      }
+      val roots = t(s, dir, "region").select(
+        concat(lit("https://shop.example/c/r"), col("r_regionkey")).as("url"),
+        col("r_name").as("name"),
+        lit(null).cast(StringType).as("parent_url"),
+        concat(lit("c"), col("r_regionkey")).as("category_id"),
+        lit(1).as("level"))
+      val kids = t(s, dir, "nation").select(
+        concat(lit("https://shop.example/c/n"), col("n_nationkey")).as("url"),
+        col("n_name").as("name"),
+        concat(lit("https://shop.example/c/r"), col("n_regionkey")).as("parent_url"),
+        concat(lit("c"), col("n_regionkey") * 100 + col("n_nationkey")).as("category_id"),
+        lit(2).as("level"))
+      roots.unionByName(kids)
+        .select(to_json(struct(col("url"), col("name"), col("parent_url"),
+          col("category_id"), col("level"))).as("value"))
+        .write.mode("overwrite").text(s"$scratch/categories")
+      val cats = graft.sources.Sources.readCategories(s, s"$scratch/categories")
+      Hierarchy.withIsLeaf(cats)
+        .select(col("url"), col("name"), col("parent_url"),
+          col("category_id"), col("level"), col("is_leaf"))
+        .orderBy(col("url"))
     })
   )
 
@@ -2322,6 +2357,21 @@ object SparkEntry {
         |)
         |SELECT d.doc_id, (h.id_b IS NOT NULL) AS is_dup, h.id_b AS dup_of, h.jaccard
         |FROM documents d LEFT JOIN best2 h ON h.id_a = d.doc_id
-        |WHERE d.doc_id % 5 = 1 ORDER BY d.doc_id""".stripMargin
+        |WHERE d.doc_id % 5 = 1 ORDER BY d.doc_id""".stripMargin,
+
+    // q72: the category JSON round-trip is identity on the constructed
+    // fields; is_leaf = url not referenced as any parent_url
+    "q72_category_roundtrip" ->
+      """SELECT 'https://shop.example/c/n' || n_nationkey AS url,
+        |  n_name AS name,
+        |  'https://shop.example/c/r' || n_regionkey AS parent_url,
+        |  'c' || (n_regionkey * 100 + n_nationkey) AS category_id,
+        |  CAST(2 AS INTEGER) AS level, true AS is_leaf
+        |FROM nation
+        |UNION ALL
+        |SELECT 'https://shop.example/c/r' || r_regionkey, r_name, NULL,
+        |  'c' || r_regionkey, CAST(1 AS INTEGER), false
+        |FROM region
+        |ORDER BY url""".stripMargin
   )
 }
