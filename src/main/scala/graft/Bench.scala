@@ -1,6 +1,38 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Locale-independent fixed-point format: the f-interpolator uses the JVM
+    * default locale, and a comma-decimal locale (de_DE) would emit invalid
+    * JSON and break the driver's tail-parse. */
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  /** One machine-environment snapshot: the 3 loadavg fields plus total
+    * sectors read/written summed over physical block devices (loop/ram
+    * excluded). Deltas across a pass make an environmentally contaminated
+    * window — a co-tenant I/O storm inflating scan-heavy queries while
+    * CPU-bound ones measure clean — adjudicable from the bench artifact
+    * alone, with no re-run (this was needed in rounds 3, 4 and 5). */
+  private def envSnapshot(): (String, Long, Long) = {
+    def slurp(p: String): String =
+      try new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
+      catch { case _: Throwable => "" }
+    val load = slurp("/proc/loadavg").trim.split("\\s+").take(3).mkString(" ")
+    var rd = 0L; var wr = 0L
+    slurp("/proc/diskstats").split("\n").foreach { line =>
+      val t = line.trim.split("\\s+")
+      // fields: major minor name reads .. sectors_read(6) .. sectors_written(10)
+      // partitions double-count their parent device, but the sum is taken
+      // identically before and after, so the DELTA stays a proportional
+      // I/O-pressure signal — good enough to adjudicate a window
+      if (t.length > 10 && !t(2).startsWith("loop") && !t(2).startsWith("ram")) {
+        rd += t(5).toLong; wr += t(9).toLong
+      }
+    }
+    (load, rd, wr)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -27,19 +59,33 @@ object Bench {
         // so with a large heap dead blocks from 70 queries accumulate in the
         // block manager and later queries pay eviction churn (measured: q26
         // 10.5s -> 120s+ min-of-2 at -Xmx24g without this). No cross-query
-        // cache needs to survive — q45 reads the disk-persisted IVF layout.
+        // cache may survive — q45 reads the disk-persisted IVF layout, and
+        // the require below enforces that no query ever repopulates the
+        // localCheckpoint-backed buildIvfCached (whose blocks this unpersist
+        // would destroy, with lost-checkpoint errors later instead of a
+        // recompute).
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
+        require(graft.operators.Ann.memIvfCacheEmpty,
+          s"$name populated Ann.buildIvfCached: localCheckpoint-backed caches " +
+            "must not cross bench queries (use persistedIvfCached)")
         name -> sec
       }
-    val r1 = pass().toMap
-    val r2 = pass().toMap
+    def timedPass(): (Map[String, Double], String) = {
+      val (load0, rd0, wr0) = envSnapshot()
+      val r = pass().toMap
+      val (load1, rd1, wr1) = envSnapshot()
+      val env = s"""{"loadavg_before":"$load0","loadavg_after":"$load1"""" +
+        s""","sectors_read_delta":${rd1 - rd0},"sectors_written_delta":${wr1 - wr0}}"""
+      (r, env)
+    }
+    val (r1, env1) = timedPass()
+    val (r2, env2) = timedPass()
     val results = r1.keys.toSeq.sorted.map { name =>
       val sec = math.min(r1(name), r2(name))
       System.err.println(f"[bench] $name%-26s $sec%8.2fs  (r1 ${r1(name)}%.2f r2 ${r2(name)}%.2f)")
       name -> sec
     }
-    def fmt(v: Double) = f"$v%.3f"
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // per-run per-query values go INTO the JSON (not just stderr) so a
@@ -49,7 +95,7 @@ object Bench {
         .mkString("{", ",", "}")
     }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"run_totals":[${fmt(r1.values.sum)},${fmt(r2.values.sum)}],"per_run":$runs}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"run_totals":[${fmt(r1.values.sum)},${fmt(r2.values.sum)}],"per_run":$runs,"env":[$env1,$env2]}"""
     // stop Spark BEFORE emitting the JSON line, then quiesce both streams:
     // sbt reads stdout and stderr on separate threads and interleaves them
     // by arrival, so a JSON line printed while per-query stderr lines are

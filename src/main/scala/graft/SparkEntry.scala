@@ -28,6 +28,22 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Per-(query, sfDir, process) scratch dir, wiped at each construction.
+    * The key carries the sanitized sfDir AND the JVM pid: two concurrent
+    * graft JVMs (a Bench beside a Verify spot-check, or two Verify runs on
+    * different scale factors) must never wipe each other's live scratch
+    * mid-query; within one JVM repeated builds (bench passes, PlanSpec
+    * sweeps) reuse one directory instead of leaking a tree per
+    * construction. */
+  private def scratch(name: String, dir: String): String = {
+    val key = dir.replaceAll("[^a-zA-Z0-9._-]", "_")
+    val p = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft_${name}_${key}_${ProcessHandle.current().pid()}")
+    org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
+    p.toString
+  }
+
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
   /** exact decimal sum, exported as double */
   private def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
@@ -998,16 +1014,12 @@ object SparkEntry {
     //     history totals (deterministic: same fixture every run).
     //     NOTE for plan-only tooling: building this query RUNS the store
     //     writes (upserts + archive are imperative; only the final read is
-    //     a plan). The scratch dir is a FIXED path wiped at entry, so
-    //     repeated builds (bench passes, PlanSpec sweeps, plan dumps) reuse
-    //     one directory instead of leaking a tree per construction. --------
+    //     a plan). The scratch dir is per-(sfDir, pid) and wiped at entry,
+    //     so repeated builds (bench passes, PlanSpec sweeps, plan dumps)
+    //     reuse one directory instead of leaking a tree per construction,
+    //     and concurrent graft JVMs never clobber each other. --------------
     "q65_store_lifecycle" -> ((s, dir) => {
-      val root = {
-        val p = java.nio.file.Paths.get(
-          sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_q65_scratch")
-        org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
-        java.nio.file.Files.createDirectories(p).toString
-      }
+      val root = scratch("q65", dir)
       val store = new graft.store.Store(s, root)
       val o = t(s, dir, "orders")
       for (d <- 0 to 2) {
@@ -1096,14 +1108,9 @@ object SparkEntry {
     //     identity on the constructed fields, so the oracle reproduces the
     //     digest straight from `part` — any envelope-schema, explode, or
     //     committer bug breaks the hash match. Like q65 this RUNS file
-    //     writes at construction; fixed scratch dir wiped at entry. --------
+    //     writes at construction; per-(sfDir, pid) scratch wiped at entry. -
     "q70_envelope_roundtrip" -> ((s, dir) => {
-      val scratch = {
-        val p = java.nio.file.Paths.get(
-          sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_q70_scratch")
-        org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
-        p.toString
-      }
+      val scratchDir = scratch("q70", dir)
       val part = t(s, dir, "part")
       // 20 envelope files, each {crawled_at, total_products, products:[...]}
       val envelopes = part
@@ -1121,13 +1128,13 @@ object SparkEntry {
             lpad(col("env").cast(StringType), 2, "0")).as("crawled_at"),
           count(lit(1)).as("total_products"),
           array_sort(collect_list(col("p"))).as("products"))).as("value"))
-      envelopes.select("value").write.mode("overwrite").text(s"$scratch/envelopes")
-      val flat = graft.sources.Sources.readEnvelope(s, s"$scratch/envelopes")
+      envelopes.select("value").write.mode("overwrite").text(s"$scratchDir/envelopes")
+      val flat = graft.sources.Sources.readEnvelope(s, s"$scratchDir/envelopes")
       graft.sources.Sources.writeAtomic(
         flat.select(col("envelope_crawled_at"), col("product_id"), col("name"),
           col("brand"), col("price.current_price").as("current_price")),
-        s"$scratch/out")
-      s.read.parquet(s"$scratch/out")
+        s"$scratchDir/out")
+      s.read.parquet(s"$scratchDir/out")
         .groupBy(col("envelope_crawled_at"))
         .agg(count(lit(1)).cast(LongType).as("n"),
           countDistinct(col("brand")).cast(LongType).as("n_brands"),
@@ -1141,26 +1148,20 @@ object SparkEntry {
     //     corpus, dedup batch 1 against it, append batch 1's survivors,
     //     dedup batch 2 against corpus ∪ survivors — batch 2's verdicts
     //     depend on the append being exactly right. Like q65/q70 this RUNS
-    //     index writes at construction; fixed scratch dir wiped at entry. --
+    //     index writes at construction; per-(sfDir, pid) scratch wiped at
+    //     entry. Batch 1 goes through Dedup.ingestCycle — the ledgered
+    //     ingest path (dedup → append survivors → stats row) — so the
+    //     oracle gates the exact append that path performs. ----------------
     "q71_ingest_cycle" -> ((s, dir) => {
-      val scratch = {
-        val p = java.nio.file.Paths.get(
-          sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_q71_scratch")
-        org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
-        p.toString
-      }
+      val scratchDir = scratch("q71", dir)
       val docs = t(s, dir, "documents")
       val corpus = docs.filter(col("doc_id") % 5 >= 2)
       val b1 = docs.filter(col("doc_id") % 5 === 0)
       val b2 = docs.filter(col("doc_id") % 5 === 1)
       Dedup.writeMinhashIndex(
-        Dedup.buildMinhashIndex(corpus, "doc_id", "text"), scratch)
-      val r1 = Dedup.dedupAgainstIndex(b1, Dedup.readMinhashIndex(s, scratch),
-        "doc_id", "text", threshold = 0.3)
-      val survivors = b1.join(
-        r1.filter(!col("is_dup")).select(col("id").as("doc_id")), Seq("doc_id"), "left_semi")
-      Dedup.appendToMinhashIndex(survivors, scratch, "doc_id", "text")
-      Dedup.dedupAgainstIndex(b2, Dedup.readMinhashIndex(s, scratch),
+        Dedup.buildMinhashIndex(corpus, "doc_id", "text"), scratchDir)
+      Dedup.ingestCycle(b1, scratchDir, "doc_id", "text", threshold = 0.3)
+      Dedup.dedupAgainstIndex(b2, Dedup.readMinhashIndex(s, scratchDir),
         "doc_id", "text", threshold = 0.3)
         .select(col("id").as("doc_id"), col("is_dup"), col("dup_of"), col("jaccard"))
         .orderBy(col("doc_id"))
@@ -1170,14 +1171,9 @@ object SparkEntry {
     //     as a 2-level hierarchy) read schema-first through
     //     Sources.readCategories, is_leaf computed by the REAL operator
     //     (anti-join on parent urls), digested. Construction writes the
-    //     JSON fixture; fixed scratch dir wiped at entry. -------------------
+    //     JSON fixture; per-(sfDir, pid) scratch wiped at entry. ------------
     "q72_category_roundtrip" -> ((s, dir) => {
-      val scratch = {
-        val p = java.nio.file.Paths.get(
-          sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_q72_scratch")
-        org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
-        p.toString
-      }
+      val scratchDir = scratch("q72", dir)
       val roots = t(s, dir, "region").select(
         concat(lit("https://shop.example/c/r"), col("r_regionkey")).as("url"),
         col("r_name").as("name"),
@@ -1193,12 +1189,70 @@ object SparkEntry {
       roots.unionByName(kids)
         .select(to_json(struct(col("url"), col("name"), col("parent_url"),
           col("category_id"), col("level"))).as("value"))
-        .write.mode("overwrite").text(s"$scratch/categories")
-      val cats = graft.sources.Sources.readCategories(s, s"$scratch/categories")
+        .write.mode("overwrite").text(s"$scratchDir/categories")
+      val cats = graft.sources.Sources.readCategories(s, s"$scratchDir/categories")
       Hierarchy.withIsLeaf(cats)
         .select(col("url"), col("name"), col("parent_url"),
           col("category_id"), col("level"), col("is_leaf"))
         .orderBy(col("url"))
+    }),
+
+    // --- COMPACTION under the oracle: a 3-batch ingest run with a
+    //     compactMinhashIndex maintenance pass after EACH append — batch 3's
+    //     verdicts depend on both appends AND both compactions preserving
+    //     the index exactly (a dropped/duplicated row flips a verdict or a
+    //     jaccard). The oracle knows nothing about files: it computes the
+    //     same three-generation corpus purely relationally, so a hash match
+    //     proves compaction is result-identity. CompactSpec separately
+    //     asserts the file counts actually drop. Like q71 this RUNS index
+    //     writes at construction; per-(sfDir, pid) scratch wiped at entry. -
+    "q73_compacted_ingest" -> ((s, dir) => {
+      val scratchDir = scratch("q73", dir)
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 5 >= 3)
+      val b1 = docs.filter(col("doc_id") % 5 === 0)
+      val b2 = docs.filter(col("doc_id") % 5 === 1)
+      val b3 = docs.filter(col("doc_id") % 5 === 2)
+      Dedup.writeMinhashIndex(
+        Dedup.buildMinhashIndex(corpus, "doc_id", "text"), scratchDir)
+      Dedup.ingestCycle(b1, scratchDir, "doc_id", "text", threshold = 0.3)
+      Dedup.compactMinhashIndex(s, scratchDir)
+      Dedup.ingestCycle(b2, scratchDir, "doc_id", "text", threshold = 0.3)
+      Dedup.compactMinhashIndex(s, scratchDir)
+      Dedup.dedupAgainstIndex(b3, Dedup.readMinhashIndex(s, scratchDir),
+        "doc_id", "text", threshold = 0.3)
+        .select(col("id").as("doc_id"), col("is_dup"), col("dup_of"), col("jaccard"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- IVF math under the oracle: INJECTED centroids (the first 8
+    //     embedding vectors) make assignment, append, compaction and the
+    //     nprobe-pruned probe pure deterministic arithmetic DuckDB can
+    //     reproduce — closing q45's oracle blind spot down to the KMeans
+    //     fit itself (spec-gated recall). Exercises buildIvfFixed →
+    //     writeIvf (generation commit) → appendToIvf (schema-validated,
+    //     nearest-centroid) → compactIvf (per-list rewrite) → readIvf
+    //     (latest committed generation) → ivfTopK (partition-pruned scan).
+    //     Like q65 this RUNS index writes at construction; per-(sfDir, pid)
+    //     scratch wiped at entry. ------------------------------------------
+    "q74_ivf_fixed" -> ((s, dir) => {
+      import graft.operators.Ann
+      val scratchDir = scratch("q74", dir)
+      val emb = t(s, dir, "embeddings")
+      // ≤8 rows collected: same capped driver-side exception as readIvf's
+      // centroid load (documented in Ann)
+      val centroids: Array[Array[Double]] = emb.filter(col("vec_id") < 8)
+        .orderBy("vec_id").select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val initial = emb.filter(col("vec_id") % 5 =!= 4)
+      val batch = emb.filter(col("vec_id") % 5 === 4)
+      Ann.writeIvf(Ann.buildIvfFixed(initial, "vec_id", "embedding", centroids), scratchDir)
+      Ann.appendToIvf(batch, scratchDir, "vec_id", "embedding")
+      Ann.compactIvf(s, scratchDir)
+      Ann.ivfTopK(emb.filter(col("vec_id") % 101 === 7), Ann.readIvf(s, scratchDir),
+        "vec_id", "embedding", k = 5, nprobe = 4)
+        .withColumn("rank", col("rank").cast(LongType))
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -2372,6 +2426,97 @@ object SparkEntry {
         |SELECT 'https://shop.example/c/r' || r_regionkey, r_name, NULL,
         |  'c' || r_regionkey, CAST(1 AS INTEGER), false
         |FROM region
-        |ORDER BY url""".stripMargin
+        |ORDER BY url""".stripMargin,
+
+    // q73: q71's MinHash ingest model extended to three batches — batch 3's
+    // corpus is the original (%5>=3) plus batch 1's and batch 2's survivors.
+    // The oracle is purely relational (no file/compaction concept), so the
+    // hash match proves the two compactMinhashIndex passes preserved the
+    // index exactly.
+    "q73_compacted_ingest" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), t -> t != '') l
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+        |    ELSE list_distinct([array_to_string(l[i:i+2], ' ') FOR i IN range(1, len(l) - 1)]) END sh
+        |  FROM toks
+        |), sig AS (
+        |  SELECT doc_id, sh, [list_min([md5(i::VARCHAR || '|' || s) FOR s IN sh]) FOR i IN range(0, 12)] sg FROM sh
+        |), bands AS (
+        |  SELECT doc_id, unnest([b::VARCHAR || ':' || md5(array_to_string(sg[b*3+1:b*3+3], ',')) FOR b IN range(0, 4)]) bk FROM sig
+        |), cand1 AS (
+        |  SELECT DISTINCT x.doc_id id_a, y.doc_id id_b FROM bands x JOIN bands y ON x.bk = y.bk
+        |  WHERE x.doc_id % 5 = 0 AND y.doc_id % 5 >= 3
+        |), sj1 AS (
+        |  SELECT c.id_a, c.id_b,
+        |    round(len(list_intersect(a.sh, b.sh))::DOUBLE
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) jaccard
+        |  FROM cand1 c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+        |), dup1 AS (
+        |  SELECT DISTINCT id_a FROM sj1 WHERE jaccard >= 0.3
+        |), cand2 AS (
+        |  SELECT DISTINCT x.doc_id id_a, y.doc_id id_b FROM bands x JOIN bands y ON x.bk = y.bk
+        |  WHERE x.doc_id % 5 = 1 AND (y.doc_id % 5 >= 3 OR
+        |    (y.doc_id % 5 = 0 AND y.doc_id NOT IN (SELECT id_a FROM dup1)))
+        |), sj2 AS (
+        |  SELECT c.id_a, c.id_b,
+        |    round(len(list_intersect(a.sh, b.sh))::DOUBLE
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) jaccard
+        |  FROM cand2 c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+        |), dup2 AS (
+        |  SELECT DISTINCT id_a FROM sj2 WHERE jaccard >= 0.3
+        |), cand3 AS (
+        |  SELECT DISTINCT x.doc_id id_a, y.doc_id id_b FROM bands x JOIN bands y ON x.bk = y.bk
+        |  WHERE x.doc_id % 5 = 2 AND (y.doc_id % 5 >= 3 OR
+        |    (y.doc_id % 5 = 0 AND y.doc_id NOT IN (SELECT id_a FROM dup1)) OR
+        |    (y.doc_id % 5 = 1 AND y.doc_id NOT IN (SELECT id_a FROM dup2)))
+        |), sj3 AS (
+        |  SELECT c.id_a, c.id_b,
+        |    round(len(list_intersect(a.sh, b.sh))::DOUBLE
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) jaccard
+        |  FROM cand3 c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+        |), best3 AS (
+        |  SELECT id_a, id_b, jaccard FROM sj3 WHERE jaccard >= 0.3
+        |  QUALIFY row_number() OVER (PARTITION BY id_a ORDER BY jaccard DESC, id_b ASC) = 1
+        |)
+        |SELECT d.doc_id, (h.id_b IS NOT NULL) AS is_dup, h.id_b AS dup_of, h.jaccard
+        |FROM documents d LEFT JOIN best3 h ON h.id_a = d.doc_id
+        |WHERE d.doc_id % 5 = 2 ORDER BY d.doc_id""".stripMargin,
+
+    // q74: fixed centroids = embeddings vec_id 0..7 (list id = vec_id).
+    // Assignment is argmin of squared L2 (ties -> lower list), the probe
+    // takes each query's 4 nearest lists, exact cosine (6 dp) top-5 inside
+    // them — the same double-precision arithmetic q29/q30 already
+    // hash-match on. The appended batch (%5=4) and the compaction are
+    // invisible relationally: assignment is nearest-centroid either way.
+    "q74_ivf_fixed" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS list, embedding FROM embeddings WHERE vec_id < 8
+        |), dist AS (
+        |  SELECT e.vec_id, c.list,
+        |    list_sum([(e.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)
+        |            * (e.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE) FOR i IN range(1, 65)]) d2
+        |  FROM embeddings e CROSS JOIN cent c
+        |), assigned AS (
+        |  SELECT vec_id, list FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, list ASC) = 1
+        |), qprobe AS (
+        |  SELECT vec_id AS query_id, list FROM dist WHERE vec_id % 101 = 7
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, list ASC) <= 4
+        |), scored AS (
+        |  SELECT qp.query_id, a.vec_id neighbor_id,
+        |    round(list_sum([q.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE FOR i IN range(1, 65)])
+        |      / (sqrt(list_sum([q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE FOR i IN range(1, 65)]))
+        |       * sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE FOR i IN range(1, 65)]))), 6) cosine
+        |  FROM qprobe qp
+        |  JOIN embeddings q ON q.vec_id = qp.query_id
+        |  JOIN assigned a ON a.list = qp.list AND a.vec_id != qp.query_id
+        |  JOIN embeddings e ON e.vec_id = a.vec_id
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) rk FROM scored
+        |)
+        |SELECT query_id, CAST(rk AS BIGINT) rank, neighbor_id, cosine FROM r WHERE rk <= 5
+        |ORDER BY query_id, rank""".stripMargin
   )
 }

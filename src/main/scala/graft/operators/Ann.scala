@@ -1,8 +1,9 @@
 package graft.operators
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -19,6 +20,14 @@ import org.apache.spark.sql.functions._
   * cosine inside them, and takes the top k. Recall is tunable via `nprobe`
   * (spec asserts ≥ 0.7 @ nprobe=4/nlist=16 on the synthetic embeddings vs
   * the brute-force oracle).
+  *
+  * Persisted layout is GENERATIONAL: each rebuild writes a fresh
+  * `gen_NNNNNN/` dir (assigned + centroids) and commits it with a
+  * `_COMMITTED` marker created last; readers resolve the latest COMMITTED
+  * generation, so an offline rebuild never races a concurrent probe with a
+  * half-written layout (the same swap discipline as `Store`'s keyed
+  * tables). [[appendToIvf]] and [[compactIvf]] operate inside the latest
+  * committed generation; [[vacuumIvf]] drops superseded ones.
   */
 object Ann {
 
@@ -40,11 +49,37 @@ object Ann {
     IvfIndex(assigned, model.clusterCenters.map(_.toArray))
   }
 
+  /** Build an index from INJECTED centroids — no KMeans. This is (a) the
+    * rebuild-from-known-centroids path and (b) what makes the IVF math
+    * oracle-gateable: with fixed centroids, assignment and probe are pure
+    * deterministic arithmetic a SQL engine can reproduce (q74), leaving
+    * only the KMeans fit itself spec-gated. */
+  def buildIvfFixed(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): IvfIndex =
+    IvfIndex(assignToCentroids(corpus, idCol, vecCol, centroids), centroids)
+
+  /** Assign each row to its nearest centroid by squared L2 distance (ties →
+    * lower list id) — the same expression tree the probe side ranks with,
+    * shared by [[buildIvfFixed]] and [[appendToIvf]]. */
+  def assignToCentroids(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val dist = centroidDistStructs(centroids, col(vecCol))
+    df.select(col(idCol), col(vecCol),
+      element_at(array_sort(array(dist.toIndexedSeq: _*)), 1)
+        .getField("list").as("list"))
+  }
+
   /** Build-once cache keyed by corpus identity (the sf dir in this repo's
     * drivers). In production the IVF index is built offline and amortized
     * over many probe batches — a benchmark of the probe path must not
     * re-pay the KMeans build per query, so the first call materializes the
-    * assigned corpus (localCheckpoint) and later calls reuse it. */
+    * assigned corpus (localCheckpoint) and later calls reuse it.
+    *
+    * NOT bench-safe: the cached index holds localCheckpointed blocks, and
+    * Bench's deterministic per-query unpersist would destroy their only
+    * copy (later references fail with lost-checkpoint errors, they do not
+    * recompute). Bench-reachable queries must use [[persistedIvfCached]];
+    * Bench asserts this cache stays empty ([[memIvfCacheEmpty]]). */
   private val ivfCache = scala.collection.concurrent.TrieMap[String, IvfIndex]()
   def buildIvfCached(key: String, corpus: => DataFrame, idCol: String, vecCol: String,
       nlist: Int, seed: Long = 42L): IvfIndex =
@@ -55,10 +90,16 @@ object Ann {
       IvfIndex(mat, idx.centroids)
     })
 
+  /** True iff no localCheckpoint-backed index is cached — the invariant
+    * Bench enforces after its per-query unpersist (see [[buildIvfCached]]). */
+  private[graft] def memIvfCacheEmpty: Boolean = ivfCache.isEmpty
+
   /** Build-once cache serving the PERSISTED layout: first call builds the
     * index, writes it via [[writeIvf]] to a fixed scratch dir keyed by the
-    * corpus identity, and re-reads it via [[readIvf]]; later calls reuse the
-    * loaded index. Probes served from THIS cache run against the
+    * corpus identity AND the JVM pid (two concurrent graft JVMs — a Bench
+    * beside a Verify spot-check — must not overwrite each other's live
+    * layout), and re-reads it via [[readIvf]]; later calls reuse the loaded
+    * index. Probes served from THIS cache run against the
     * `list`-partitioned parquet layout — the documented 100 TB path — so a
     * benchmarked probe includes the partition-pruned scan
     * (`PartitionFilters` on `list`), not a localCheckpoint shortcut. */
@@ -69,35 +110,91 @@ object Ann {
       val df = corpus
       val path = java.nio.file.Paths.get(
         sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-        "graft_ivf_" + key.replaceAll("[^a-zA-Z0-9._-]", "_")).toString
+        "graft_ivf_" + key.replaceAll("[^a-zA-Z0-9._-]", "_") +
+          "_" + ProcessHandle.current().pid()).toString
       writeIvf(buildIvf(df, idCol, vecCol, nlist, seed), path)
       readIvf(df.sparkSession, path)
     })
 
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def genDirs(spark: SparkSession, path: String): Seq[Path] = {
+    val root = new Path(path)
+    val f = fsOf(spark, root)
+    if (!f.exists(root)) Nil
+    else f.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen_"))
+      .map(_.getPath).sortBy(_.getName)
+  }
+
+  private def isCommitted(spark: SparkSession, gen: Path): Boolean =
+    fsOf(spark, gen).exists(new Path(gen, "_COMMITTED"))
+
+  /** The latest COMMITTED generation dir — what probes, appends, and
+    * compaction resolve. Uncommitted dirs (a rebuild in flight, or a
+    * crashed one) are invisible. */
+  def latestIvfGen(spark: SparkSession, path: String): Option[Path] =
+    genDirs(spark, path).filter(isCommitted(spark, _)).lastOption
+
   /** Persist an index: the assigned corpus written PARTITIONED BY `list`
-    * plus the centroid vectors as a tiny companion table. This is the
-    * documented 100 TB layout — a probe's list filter lands on the `list`
-    * PARTITION column, so directory pruning skips everything outside the
-    * query batch's nprobe lists (`PartitionFilters` in the scan, asserted
-    * by AnnSpec), instead of scanning the full corpus. */
-  def writeIvf(index: IvfIndex, path: String): Unit = {
-    index.assigned.write.mode("overwrite").partitionBy("list")
-      .parquet(s"$path/assigned")
+    * plus the centroid vectors as a tiny companion table, under a fresh
+    * `gen_NNNNNN/` committed by a `_COMMITTED` marker created LAST. A
+    * rebuild therefore never disturbs concurrent probes of the previous
+    * generation — they keep resolving it until the marker lands. The
+    * marker create is exclusive (no overwrite), so two racing rebuilds
+    * that picked the same number fail loudly rather than interleave.
+    * Returns the committed generation path. A probe's list filter lands on
+    * the `list` PARTITION column, so directory pruning skips everything
+    * outside the query batch's nprobe lists (`PartitionFilters` in the
+    * scan, asserted by AnnSpec). */
+  def writeIvf(index: IvfIndex, path: String): String = {
     val spark = index.assigned.sparkSession
+    val next = f"gen_${genDirs(spark, path).lastOption
+      .map(_.getName.drop(4).toInt + 1).getOrElse(0)}%06d"
+    val gen = new Path(new Path(path), next)
+    index.assigned.write.mode("overwrite").partitionBy("list")
+      .parquet(new Path(gen, "assigned").toString)
     import spark.implicits._
     index.centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("list", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(new Path(gen, "centroids").toString)
+    fsOf(spark, gen).create(new Path(gen, "_COMMITTED"), false).close()
+    gen.toString
   }
 
-  /** Load a persisted index. The corpus side is a lazy partitioned scan —
-    * pruning happens per probe inside [[ivfTopK]]. */
-  def readIvf(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .orderBy("list").collect()
+  private def requireGen(spark: SparkSession, path: String): Path =
+    latestIvfGen(spark, path).getOrElse(throw new java.io.FileNotFoundException(
+      s"no committed IVF generation under $path"))
+
+  /** Load the latest committed generation. The corpus side is a lazy
+    * partitioned scan — pruning happens per probe inside [[ivfTopK]]. */
+  def readIvf(spark: SparkSession, path: String): IvfIndex = {
+    val gen = requireGen(spark, path)
+    val centroids = spark.read.parquet(new Path(gen, "centroids").toString)
+      .select("list", "centroid").orderBy("list").collect()
       .map(_.getSeq[Double](1).toArray)
-    IvfIndex(spark.read.parquet(s"$path/assigned"), centroids)
+    IvfIndex(spark.read.parquet(new Path(gen, "assigned").toString), centroids)
+  }
+
+  /** Drop all but the newest `keep` committed generations (plus any
+    * uncommitted strays older than the newest committed one — debris from
+    * crashed rebuilds). `keep ≥ 2` protects a reader that resolved the
+    * previous generation just before a rebuild committed. */
+  def vacuumIvf(spark: SparkSession, path: String, keep: Int = 2): Int = {
+    require(keep >= 1, "keep must be >= 1")
+    val committed = genDirs(spark, path).filter(isCommitted(spark, _))
+    if (committed.isEmpty) return 0
+    val keepNames = committed.takeRight(keep).map(_.getName).toSet
+    val newest = committed.last.getName
+    val drop = genDirs(spark, path).filter(g =>
+      !keepNames(g.getName) && g.getName < newest)
+    drop.foreach { g =>
+      if (!fsOf(spark, g).delete(g, true))
+        throw new java.io.IOException(s"vacuumIvf: delete($g) failed (filesystem returned false)")
+    }
+    drop.size
   }
 
   /** Per-centroid (squared-L2-distance, list-id) structs against `vec` —
@@ -116,24 +213,56 @@ object Ann {
   /** Incrementally add a batch to a [[writeIvf]] layout WITHOUT a rebuild:
     * each new vector is assigned to its nearest EXISTING centroid (same
     * expression tree the probe side ranks with) and the assigned rows are
-    * appended into the `list`-partitioned directory tree. This is the
-    * 100 TB ingest path — per-batch cost ∝ batch × nlist, the corpus is
-    * never re-read, and probes see the new vectors immediately through the
-    * same partition-pruned scan. Centroid drift under sustained ingest is
-    * handled by periodic offline rebuilds (standard IVF practice); recall
-    * degrades gracefully, never correctness (assignment stays
-    * nearest-centroid by construction). Parquet part-file names carry task
-    * UUIDs, so appends never collide with existing generation files. */
+    * appended into the latest committed generation's `list`-partitioned
+    * directory tree. This is the 100 TB ingest path — per-batch cost ∝
+    * batch × nlist, the corpus is never re-read, and probes see the new
+    * vectors immediately through the same partition-pruned scan. Centroid
+    * drift under sustained ingest is handled by periodic offline rebuilds
+    * (standard IVF practice); recall degrades gracefully, never
+    * correctness (assignment stays nearest-centroid by construction).
+    * Parquet part-file names carry task UUIDs, so appends never collide
+    * with existing generation files; accumulated small files are
+    * [[compactIvf]]'s job.
+    *
+    * The batch schema is validated against the persisted corpus schema
+    * first — same column names, same id/vector types — so a mismatched
+    * caller fails here with a clear message instead of poisoning the
+    * directory with mixed-schema parquet that only breaks a later read. */
   def appendToIvf(batch: DataFrame, path: String, idCol: String, vecCol: String): Unit = {
     val spark = batch.sparkSession
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .orderBy("list").collect().map(_.getSeq[Double](1).toArray)
-    val dist = centroidDistStructs(centroids, col(vecCol))
-    batch
-      .select(col(idCol), col(vecCol),
-        element_at(array_sort(array(dist.toIndexedSeq: _*)), 1).getField("list").as("list"))
-      .write.mode("append").partitionBy("list").parquet(s"$path/assigned")
+    val gen = requireGen(spark, path)
+    val existing = spark.read.parquet(new Path(gen, "assigned").toString).schema
+    for (c <- Seq(idCol, vecCol)) {
+      require(existing.fieldNames.contains(c),
+        s"appendToIvf: persisted layout at $gen has columns " +
+          s"${existing.fieldNames.mkString("[", ", ", "]")} — no '$c'; " +
+          "pass the same idCol/vecCol the index was built with")
+      require(batch.schema(c).dataType == existing(c).dataType,
+        s"appendToIvf: column '$c' is ${batch.schema(c).dataType.simpleString} " +
+          s"in the batch but ${existing(c).dataType.simpleString} in the persisted " +
+          s"layout at $gen — vector element types must match exactly")
+    }
+    val centroids = spark.read.parquet(new Path(gen, "centroids").toString)
+      .select("list", "centroid").orderBy("list").collect()
+      .map(_.getSeq[Double](1).toArray)
+    assignToCentroids(batch, idCol, vecCol, centroids)
+      .write.mode("append").partitionBy("list")
+      .parquet(new Path(gen, "assigned").toString)
   }
+
+  /** Compact the latest committed generation's `list=` partition dirs —
+    * the maintenance pass that keeps sustained [[appendToIvf]] ingest from
+    * degrading the probe scan into millions of tiny file opens.
+    * Partition-local (only lists that accumulated files are rewritten),
+    * result-identical (q74 probes a compacted layout; CompactSpec asserts
+    * rows and file counts). Returns the number of list dirs rewritten. */
+  def compactIvf(spark: SparkSession, path: String,
+      targetFiles: Int = 1, minFiles: Int = 1): Int =
+    latestIvfGen(spark, path) match {
+      case None => 0
+      case Some(gen) => graft.store.Compact.partitionedDir(
+        spark, new Path(gen, "assigned").toString, "list", targetFiles, minFiles)
+    }
 
   /** Probe the index: exact cosine inside the query's `nprobe` nearest
     * lists, top-k per query (ties broken by neighbour id).

@@ -175,11 +175,28 @@ object Dedup {
     * size beyond the one linear index scan. */
   def dedupAgainstIndex(
       batch: DataFrame, idx: MinhashIndex, idCol: String, textCol: String,
-      threshold: Double, shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4): DataFrame = {
+      threshold: Double, shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4): DataFrame =
+    verdictsFromCandidates(batch,
+      bandCandidates(batch, idx, idCol, textCol, shingleN, numHashes, bands),
+      idx, idCol, textCol, threshold, shingleN)
+
+  /** Candidate (batch id, corpus id) pairs from the banded broadcast probe —
+    * [[dedupAgainstIndex]]'s first stage, split out so [[ingestCycle]] can
+    * count candidates for its ledger row without running banding twice. */
+  private def bandCandidates(
+      batch: DataFrame, idx: MinhashIndex, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int): DataFrame = {
     val bBands = minhashBandKeys(batch, idCol, textCol, shingleN, numHashes, bands)
       .localCheckpoint()
-    val cands = broadcast(bBands.as("x")).join(idx.bands.as("y"), Seq("bandkey"))
+    broadcast(bBands.as("x")).join(idx.bands.as("y"), Seq("bandkey"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+  }
+
+  /** Verify + best-match + left-join back to the batch — the tail of
+    * [[dedupAgainstIndex]] given an already-built candidate relation. */
+  private def verdictsFromCandidates(
+      batch: DataFrame, cands: DataFrame, idx: MinhashIndex,
+      idCol: String, textCol: String, threshold: Double, shingleN: Int): DataFrame = {
     // ids are disjoint by contract, so one unioned shingle relation serves
     // both sides of the verify join
     val sh = shingleRows(batch, idCol, textCol, shingleN).unionByName(idx.shingles)
@@ -191,6 +208,61 @@ object Dedup {
       .withColumn("is_dup", col("dup_of").isNotNull)
       .select("id", "is_dup", "dup_of", "jaccard")
   }
+
+  /** One ledger row per ingest batch — the §2.8 stats contract extended to
+    * the ingest loop. `bandsFiles`/`shinglesFiles` are the persisted index's
+    * data-file counts AFTER the append: they grow by one part-file set per
+    * batch, so they are the [[compactMinhashIndex]] trigger signal (compact
+    * when they exceed your file budget). */
+  final case class IngestStats(
+      batchRows: Long, candidatePairs: Long, dups: Long, appendedRows: Long,
+      bandsFiles: Int, shinglesFiles: Int)
+
+  /** The full incremental-dedup ingest cycle against a persisted index,
+    * with its ledger row: read index → dedup the batch → append SURVIVORS
+    * ([[appendToMinhashIndex]]) → report stats. Returns the per-document
+    * verdicts (same shape as [[dedupAgainstIndex]]) plus [[IngestStats]].
+    * The verdicts are localCheckpointed — they gate the append, so they are
+    * materialized exactly once and the returned frame never re-runs the
+    * probe. Cost ∝ batch size + candidate fan-out (one linear index scan),
+    * the incremental shape q71 oracle-gates. */
+  def ingestCycle(
+      batch: DataFrame, path: String, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 3, numHashes: Int = 12,
+      bands: Int = 4): (DataFrame, IngestStats) = {
+    val spark = batch.sparkSession
+    val idx = readMinhashIndex(spark, path)
+    val cands = bandCandidates(batch, idx, idCol, textCol, shingleN, numHashes, bands)
+      .localCheckpoint()
+    val verdicts = verdictsFromCandidates(
+      batch, cands, idx, idCol, textCol, threshold, shingleN).localCheckpoint()
+    val agg = verdicts.agg(
+      count(lit(1)).as("n"), count(when(col("is_dup"), 1)).as("d")).head
+    val (total, dups) = (agg.getLong(0), agg.getLong(1))
+    val survivors = batch.join(
+      verdicts.filter(!col("is_dup")).select(col("id").as(idCol)), Seq(idCol), "left_semi")
+    appendToMinhashIndex(survivors, path, idCol, textCol, shingleN, numHashes, bands)
+    (verdicts, IngestStats(
+      batchRows = total, candidatePairs = cands.count(), dups = dups,
+      appendedRows = total - dups,
+      bandsFiles = graft.store.Compact.dataFileCount(spark, s"$path/bands"),
+      shinglesFiles = graft.store.Compact.dataFileCount(spark, s"$path/shingles")))
+  }
+
+  /** Compact a persisted MinHash index's `bands/` and `shingles/` relations
+    * — the maintenance pass for sustained [[appendToMinhashIndex]] ingest
+    * (one part-file set per batch forever, the small-files failure the
+    * reference's Postgres heap absorbs invisibly). Both relations are
+    * unpartitioned, so a compaction is one linear read + write of the index
+    * (narrow id+string rows, a fraction of corpus text size); trigger it
+    * from [[IngestStats]] file counts, not per batch. Result-identical —
+    * q73 oracle-gates an ingest cycle probing a compacted index;
+    * CompactSpec asserts rows and the file-count drop. Returns how many of
+    * the two relations were rewritten. */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFiles: Int = 1, minFiles: Int = 1): Int =
+    Seq("bands", "shingles").count(rel =>
+      graft.store.Compact.leafDir(spark, s"$path/$rel", targetFiles, minFiles))
 
   /** [[dedupAgainstIndex]] with the index built inline from `corpus` —
     * the one-shot form for corpora not worth persisting an index for. */

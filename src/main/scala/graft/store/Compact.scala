@@ -1,0 +1,100 @@
+package graft.store
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Maintenance compaction for the engine's append-only parquet trees.
+  *
+  * Every incremental append (`Store.appendHistory`, `Dedup.appendToMinhashIndex`,
+  * `Ann.appendToIvf`) adds one part-file set per batch — correct, but under
+  * sustained ingest (thousands of batches) a linear index scan degrades into
+  * millions of tiny file opens: the classic small-files failure. The
+  * reference never faces it because Postgres heap storage compacts appends
+  * in place (init-crawl-db.sh:107-135 tables absorb INSERTs;
+  * postgres_storage.py:1440-1469). This is the parquet equivalent: rewrite a
+  * leaf directory's many small files into few large ones, preserving rows
+  * exactly (result-identity is oracle-gated by q73 and asserted by
+  * CompactSpec).
+  *
+  * Swap discipline (same checked-boolean rules as `Store.archiveHistory`):
+  * the rewrite lands in a hidden sibling (`.compact_tmp_<name>` — dot-prefix
+  * dirs are invisible to Spark/Hadoop input listing, so a concurrent reader
+  * of the parent never sees it), then dir → `.compact_old_<name>`,
+  * tmp → dir, delete old. Each FileSystem boolean is checked and fails
+  * loudly; a crash between the two renames leaves `.compact_old_<name>`
+  * intact for manual recovery, never a half-written live dir.
+  *
+  * Cost: one read + one write of the compacted directory's data — run it
+  * when `dataFileCount` exceeds a threshold (the ingest ledger surfaces the
+  * trigger signal), not per batch. The rewrite is `coalesce`, not
+  * `repartition`: no shuffle, just fewer output files.
+  */
+object Compact {
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def checked(ok: Boolean, what: String): Unit =
+    if (!ok) throw new java.io.IOException(
+      s"compact: $what failed (filesystem returned false)")
+
+  /** Visible data files directly under `dir` (hidden `_`/`.` entries —
+    * `_SUCCESS`, checksums, in-flight compaction siblings — excluded). */
+  def dataFiles(spark: SparkSession, dir: String): Seq[Path] = {
+    val p = new Path(dir)
+    val f = fsOf(spark, p)
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
+        && !st.getPath.getName.startsWith("."))
+      .map(_.getPath)
+  }
+
+  /** Number of visible data files directly under `dir` — the compaction
+    * trigger signal (see the ingest ledger). */
+  def dataFileCount(spark: SparkSession, dir: String): Int =
+    dataFiles(spark, dir).size
+
+  /** Compact one parquet LEAF directory (a flat dir of part files — an
+    * unpartitioned relation, or one `key=value` partition dir read without
+    * its parent) down to `targetFiles` files. No-op unless the current data
+    * file count exceeds both `minFiles` and `targetFiles`. Returns true iff
+    * a rewrite happened.
+    *
+    * Reading the leaf directly keeps a partition dir's file schema intact
+    * (the partition column lives in the dir name, not the files), so the
+    * swapped-in rewrite is byte-compatible with what partition discovery
+    * expects. */
+  def leafDir(spark: SparkSession, dir: String,
+      targetFiles: Int = 1, minFiles: Int = 1): Boolean = {
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    val p = new Path(dir)
+    val f = fsOf(spark, p)
+    val n = dataFileCount(spark, dir)
+    if (n <= math.max(minFiles, targetFiles)) return false
+    val tmp = new Path(p.getParent, s".compact_tmp_${p.getName}")
+    val old = new Path(p.getParent, s".compact_old_${p.getName}")
+    f.delete(tmp, true); f.delete(old, true) // stale leftovers from a crash
+    spark.read.parquet(dir).coalesce(targetFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    checked(f.rename(p, old), s"rename($p -> $old)")
+    checked(f.rename(tmp, p), s"rename($tmp -> $p)")
+    checked(f.delete(old, true), s"delete($old)")
+    true
+  }
+
+  /** Compact every `prefix=`-named partition child of `dir` (e.g. every
+    * `__date=` partition of a history table, every `list=` dir of an IVF
+    * layout). Partition-local: each child is rewritten independently, so
+    * cost ∝ the data in partitions that actually accumulated files. Returns
+    * the number of partitions rewritten. */
+  def partitionedDir(spark: SparkSession, dir: String, prefix: String,
+      targetFiles: Int = 1, minFiles: Int = 1): Int = {
+    val p = new Path(dir)
+    val f = fsOf(spark, p)
+    if (!f.exists(p)) return 0
+    f.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix + "="))
+      .count(st => leafDir(spark, st.getPath.toString, targetFiles, minFiles))
+  }
+}

@@ -48,8 +48,34 @@ class Store(spark: SparkSession, root: String, buckets: Int = 0) {
   private def catalogName(table: String, gen: String): String =
     s"graft_${table}_$gen".replaceAll("[^a-zA-Z0-9_]", "_")
 
+  /** Claim the next generation number with an atomic exclusive create of a
+    * `.claim_gen_N` marker. Generation numbering is otherwise
+    * read-increment-write: two concurrent upserts that both listed the same
+    * latest generation would race to the same `gen_N` and silently clobber
+    * each other. The marker create (`FileSystem.create` with
+    * overwrite=false) is atomic on the FileSystem API, so the second writer
+    * fails loudly here instead. Claims are tombstones — never deleted on
+    * success, so a raced number is never reused; [[vacuum]] removes the
+    * ones belonging to dropped generations. The store remains a
+    * SINGLE-WRITER-per-table design (the reference's Postgres serializes
+    * writers for free); this guard turns a violation into an error, not
+    * into support for concurrent writers. */
+  private def claimGen(table: String, gen: String): Unit = {
+    val dir = new Path(s"$root/$table")
+    val f = fs(dir)
+    f.mkdirs(dir)
+    val marker = new Path(dir, s".claim_$gen")
+    try f.create(marker, false).close()
+    catch { case e: java.io.IOException =>
+      throw new java.io.IOException(
+        s"claimGen: $table/$gen already claimed — a concurrent writer is " +
+          "upserting this table (the store is single-writer per table)", e)
+    }
+  }
+
   private def writeGen(table: String, df: DataFrame, keys: Seq[String] = Nil): Unit = {
     val next = f"gen_${latestGen(table).map(_.drop(4).toInt + 1).getOrElse(0)}%06d"
+    claimGen(table, next)
     if (buckets > 0 && keys.nonEmpty) {
       df.write.mode("overwrite")
         .bucketBy(buckets, keys.head, keys.tail: _*)
@@ -149,9 +175,27 @@ class Store(spark: SparkSession, root: String, buckets: Int = 0) {
       if (!fs(p).delete(p, true))
         throw new java.io.IOException(
           s"vacuum: delete($p) failed (filesystem returned false)")
+      // the generation's claim tombstone (see claimGen) goes with it; its
+      // number can never be re-issued (numbering only moves forward)
+      fs(p).delete(new Path(s"$root/$table/.claim_$g"), false)
     }
     dropGens.size
   }
+
+  /** Compact the history table's `__date=` partitions: every
+    * [[appendHistory]] call adds one part-file set to its date partition
+    * forever — under sustained ingest that is the small-files failure the
+    * reference's Postgres heap never exposes (INSERTs compact in place,
+    * postgres_storage.py:1440-1469). Partition-local rewrite (only
+    * partitions whose data-file count exceeds `minFiles` are touched, each
+    * independently), result-identical (CompactSpec asserts digest equality
+    * and the file-count drop), safe against concurrent readers via the
+    * hidden-sibling + checked-rename swap in [[Compact]]. Returns the
+    * number of partitions rewritten. Run it on the recent-partition window
+    * after ingest bursts — old partitions stop accumulating once appends
+    * move past their date. */
+  def compactHistory(table: String, targetFiles: Int = 1, minFiles: Int = 1): Int =
+    Compact.partitionedDir(spark, s"$root/$table/append", "__date", targetFiles, minFiles)
 
   /** S9 — archive history partitions older than `cutoff` (yyyy-MM-dd): MOVE
     * the expired `__date=` partition directories under

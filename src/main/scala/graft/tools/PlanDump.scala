@@ -14,7 +14,7 @@ object PlanDump {
         "q66_precedence_merge", "q67_skew_salted",
         "q45_ivf_topk", "q64_payload_parse", "q65_store_lifecycle",
         "q68_split_assign", "q69_incremental_dedup", "q70_envelope_roundtrip",
-        "q71_ingest_cycle")
+        "q71_ingest_cycle", "q73_compacted_ingest", "q74_ivf_fixed")
     names.foreach { n =>
       println(s"===== $n =====")
       val df = graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")

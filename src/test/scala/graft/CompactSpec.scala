@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, Dedup}
+import graft.store.{Compact, Store}
+
+/** Compaction of the append-only trees (history, MinHash index, IVF lists):
+  * file counts must DROP and results must be IDENTICAL — the relational
+  * identity is additionally oracle-gated by q73 (MinHash) and q74 (IVF);
+  * these specs pin the file-level contract the oracle can't see. Also
+  * covers the Store single-writer claim guard, IVF generation commit
+  * semantics, the appendToIvf schema validation, and the ingest ledger. */
+class CompactSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("compactHistory: per-date file counts drop, digest identical") {
+    val root = tmp("graft_compact_hist")
+    val store = new Store(spark, root)
+    for (b <- 1 to 3) {
+      val events = Seq(
+        (s"p$b", b * 10.0, "2024-01-01 10:00:00"),
+        (s"q$b", b * 20.0, "2024-01-02 10:00:00"))
+        .toDF("product_id", "price", "ts")
+        .select(col("product_id"), col("price"), col("ts").cast("timestamp").as("crawled_at"))
+      store.appendHistory("hist", events)
+    }
+    def digest() = store.history("hist").get
+      .collect().map(_.toString).sorted.toSeq
+    def files(date: String) =
+      Compact.dataFileCount(spark, s"$root/hist/append/__date=$date")
+    val before = digest()
+    assert(files("2024-01-01") >= 3, "appends must accumulate part files")
+    val n = store.compactHistory("hist")
+    assert(n === 2, "both date partitions exceed one file and get rewritten")
+    assert(files("2024-01-01") === 1)
+    assert(files("2024-01-02") === 1)
+    assert(digest() === before)
+    // idempotent: nothing left above the threshold
+    assert(store.compactHistory("hist") === 0)
+  }
+
+  test("compactMinhashIndex: file counts drop, index relations identical") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val corpus = docs.filter(col("doc_id") % 3 === 0)
+    val path = tmp("graft_compact_mh")
+    Dedup.writeMinhashIndex(Dedup.buildMinhashIndex(corpus, "doc_id", "text"), path)
+    for (b <- 1 to 2)
+      Dedup.appendToMinhashIndex(docs.filter(col("doc_id") % 3 === b),
+        path, "doc_id", "text")
+    def rows(rel: String) = spark.read.parquet(s"$path/$rel")
+      .collect().map(_.toString).sorted.toSeq
+    val (bandsBefore, shinglesBefore) = (rows("bands"), rows("shingles"))
+    assert(Compact.dataFileCount(spark, s"$path/bands") >= 3)
+    assert(Dedup.compactMinhashIndex(spark, path) === 2)
+    assert(Compact.dataFileCount(spark, s"$path/bands") === 1)
+    assert(Compact.dataFileCount(spark, s"$path/shingles") === 1)
+    assert(rows("bands") === bandsBefore)
+    assert(rows("shingles") === shinglesBefore)
+  }
+
+  test("compactIvf: per-list file counts drop, probe results identical") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val path = tmp("graft_compact_ivf")
+    Ann.writeIvf(Ann.buildIvf(emb.filter(col("vec_id") % 3 === 0),
+      "vec_id", "embedding", nlist = 4), path)
+    for (b <- 1 to 2)
+      Ann.appendToIvf(emb.filter(col("vec_id") % 3 === b), path, "vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 5)
+    def probe() = Ann.ivfTopK(queries, Ann.readIvf(spark, path),
+      "vec_id", "embedding", k = 5, nprobe = 4)
+      .collect().map(_.toString).sorted.toSeq
+    val before = probe()
+    val gen = Ann.latestIvfGen(spark, path).get.toUri.getPath
+    val lists = new java.io.File(s"$gen/assigned").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("list=")).map(_.toString)
+    assert(lists.exists(Compact.dataFileCount(spark, _) > 1),
+      "appends must accumulate files in at least one list dir")
+    assert(Ann.compactIvf(spark, path) > 0)
+    assert(lists.forall(Compact.dataFileCount(spark, _) === 1))
+    assert(probe() === before)
+  }
+
+  test("writeIvf commits generations; readers never see an uncommitted rebuild") {
+    val emb = Tables.load(spark, sfDir, "embeddings").filter(col("vec_id") < 60)
+    val path = tmp("graft_ivf_gen")
+    val g0 = Ann.writeIvf(Ann.buildIvf(emb, "vec_id", "embedding", nlist = 2), path)
+    assert(g0.endsWith("gen_000000"))
+    // a rebuild IN FLIGHT: an uncommitted gen dir must stay invisible
+    val inflight = new java.io.File(s"$path/gen_000001")
+    assert(inflight.mkdirs())
+    assert(Ann.latestIvfGen(spark, path).get.toString.endsWith("gen_000000"))
+    assert(Ann.readIvf(spark, path).centroids.length === 2)
+    // the committed rebuild takes over (numbering skips the stray dir)
+    val g2 = Ann.writeIvf(Ann.buildIvf(emb, "vec_id", "embedding", nlist = 4), path)
+    assert(g2.endsWith("gen_000002"))
+    assert(Ann.readIvf(spark, path).centroids.length === 4)
+    // vacuum drops the superseded gen and the stray, keeps the newest
+    assert(Ann.vacuumIvf(spark, path, keep = 1) === 2)
+    assert(Ann.readIvf(spark, path).centroids.length === 4)
+    assert(!new java.io.File(s"$path/gen_000000").exists())
+    assert(!inflight.exists())
+  }
+
+  test("appendToIvf validates batch schema against the persisted layout") {
+    val emb = Tables.load(spark, sfDir, "embeddings").filter(col("vec_id") < 60)
+    val path = tmp("graft_ivf_schema")
+    Ann.writeIvf(Ann.buildIvf(emb, "vec_id", "embedding", nlist = 2), path)
+    val wrongName = emb.withColumnRenamed("embedding", "vec")
+    val e1 = intercept[IllegalArgumentException] {
+      Ann.appendToIvf(wrongName, path, "vec_id", "vec")
+    }
+    assert(e1.getMessage.contains("no 'vec'"))
+    val wrongType = emb.withColumn("embedding",
+      transform(col("embedding"), _.cast("double")))
+    val e2 = intercept[IllegalArgumentException] {
+      Ann.appendToIvf(wrongType, path, "vec_id", "embedding")
+    }
+    assert(e2.getMessage.contains("element types must match"))
+  }
+
+  test("Store claim guard: a concurrent writer's claim fails the upsert loudly") {
+    val root = tmp("graft_claim")
+    val store = new Store(spark, root)
+    val batch = Seq(("p1", 1.0)).toDF("product_id", "price")
+    store.upsert("products", batch, Seq("product_id"))       // gen_000000
+    store.upsert("products", batch, Seq("product_id"))       // gen_000001
+    assert(store.snapshot("products").get.count() === 1)
+    // simulate a racing writer that already claimed the next generation
+    val claim = new java.io.File(s"$root/products/.claim_gen_000002")
+    assert(claim.createNewFile())
+    val e = intercept[java.io.IOException] {
+      store.upsert("products", batch, Seq("product_id"))
+    }
+    assert(e.getMessage.contains("single-writer"))
+    // the claim tombstones survive vacuum only for live generations
+    assert(store.vacuum("products", keep = 1) === 1)
+    assert(!new java.io.File(s"$root/products/.claim_gen_000000").exists())
+    assert(new java.io.File(s"$root/products/.claim_gen_000001").exists())
+  }
+
+  test("ingestCycle ledger: batch rows, candidates, dups, appended, file counts") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val corpus = docs.filter(col("doc_id") % 5 >= 2)
+    val b1 = docs.filter(col("doc_id") % 5 === 0)
+    val path = tmp("graft_ledger")
+    Dedup.writeMinhashIndex(Dedup.buildMinhashIndex(corpus, "doc_id", "text"), path)
+    val (verdicts, stats) = Dedup.ingestCycle(b1, path, "doc_id", "text", threshold = 0.3)
+    assert(stats.batchRows === b1.count())
+    assert(stats.dups === verdicts.filter(col("is_dup")).count())
+    assert(stats.appendedRows === stats.batchRows - stats.dups)
+    assert(stats.dups > 0, "fixture corpus is near-dup-saturated; expected dups")
+    assert(stats.candidatePairs >= stats.dups)
+    assert(stats.bandsFiles > 1 && stats.shinglesFiles > 1,
+      "post-append file counts are the compaction trigger signal")
+    // the appended index serves the next batch: survivors are now targets
+    val b2 = docs.filter(col("doc_id") % 5 === 1)
+    val r2 = Dedup.dedupAgainstIndex(b2, Dedup.readMinhashIndex(spark, path),
+      "doc_id", "text", threshold = 0.3)
+    assert(r2.filter(col("is_dup") && col("dup_of") % 5 === 0).count() > 0,
+      "no batch-2 dup ever resolved against an appended batch-1 survivor")
+  }
+}
