@@ -24,6 +24,17 @@ import org.apache.spark.sql.SparkSession
   * loudly; a crash between the two renames leaves `.compact_old_<name>`
   * intact for manual recovery, never a half-written live dir.
   *
+  * Concurrency contract: directory renames can't be paired atomically, so
+  * a reader that LISTS during the instant between the two renames can see
+  * the leaf missing, and one that listed before the swap can hit deleted
+  * files — the same exposure `Store.archiveHistory`'s partition moves and
+  * `vacuum`'s deletes already have. Compaction is therefore a MAINTENANCE
+  * operation under the store's single-writer discipline (run it from the
+  * ingest owner between batches, like a Postgres VACUUM), not a
+  * concurrent-with-probes background job; the IVF tree additionally gets
+  * full reader atomicity from its generation layer when a rebuild is
+  * acceptable (`Ann.writeIvf` + `vacuumIvf`).
+  *
   * Cost: one read + one write of the compacted directory's data — run it
   * when `dataFileCount` exceeds a threshold (the ingest ledger surfaces the
   * trigger signal), not per batch. The rewrite is `coalesce`, not
