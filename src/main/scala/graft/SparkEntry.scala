@@ -41,6 +41,7 @@ object SparkEntry {
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
       s"graft_${name}_${key}_${ProcessHandle.current().pid()}")
     org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
+    ScratchJanitor.register(p.toFile)
     p.toString
   }
 

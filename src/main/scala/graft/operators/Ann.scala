@@ -112,6 +112,8 @@ object Ann {
         sys.props.getOrElse("java.io.tmpdir", "/tmp"),
         "graft_ivf_" + key.replaceAll("[^a-zA-Z0-9._-]", "_") +
           "_" + ProcessHandle.current().pid()).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      graft.ScratchJanitor.register(new java.io.File(path))
       writeIvf(buildIvf(df, idCol, vecCol, nlist, seed), path)
       readIvf(df.sparkSession, path)
     })
