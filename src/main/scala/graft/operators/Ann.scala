@@ -252,6 +252,22 @@ object Ann {
       .parquet(new Path(gen, "assigned").toString)
   }
 
+  /** Data-file count per `list=` dir of the latest committed generation —
+    * the [[compactIvf]] trigger signal (the IVF side of the ingest ledger:
+    * every [[appendToIvf]] adds one part-file set per touched list).
+    * Driver-side directory metadata only, no data read. */
+  def ivfFileCounts(spark: SparkSession, path: String): Map[Int, Int] =
+    latestIvfGen(spark, path) match {
+      case None => Map.empty
+      case Some(gen) =>
+        val assigned = new Path(gen, "assigned")
+        fsOf(spark, assigned).listStatus(assigned).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("list="))
+          .map(st => st.getPath.getName.stripPrefix("list=").toInt ->
+            graft.store.Compact.dataFileCount(spark, st.getPath.toString))
+          .toMap
+    }
+
   /** Compact the latest committed generation's `list=` partition dirs —
     * the maintenance pass that keeps sustained [[appendToIvf]] ingest from
     * degrading the probe scan into millions of tiny file opens.

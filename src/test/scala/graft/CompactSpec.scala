@@ -80,8 +80,12 @@ class CompactSpec extends SparkSpec {
       .filter(f => f.isDirectory && f.getName.startsWith("list=")).map(_.toString)
     assert(lists.exists(Compact.dataFileCount(spark, _) > 1),
       "appends must accumulate files in at least one list dir")
+    val counts = Ann.ivfFileCounts(spark, path)
+    assert(counts.nonEmpty && counts.values.exists(_ > 1),
+      "ivfFileCounts must surface the accumulation that triggers compaction")
     assert(Ann.compactIvf(spark, path) > 0)
     assert(lists.forall(Compact.dataFileCount(spark, _) === 1))
+    assert(Ann.ivfFileCounts(spark, path).values.forall(_ === 1))
     assert(probe() === before)
   }
 
