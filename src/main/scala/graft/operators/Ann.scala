@@ -121,23 +121,11 @@ object Ann {
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def genDirs(spark: SparkSession, path: String): Seq[Path] = {
-    val root = new Path(path)
-    val f = fsOf(spark, root)
-    if (!f.exists(root)) Nil
-    else f.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen_"))
-      .map(_.getPath).sortBy(_.getName)
-  }
-
-  private def isCommitted(spark: SparkSession, gen: Path): Boolean =
-    fsOf(spark, gen).exists(new Path(gen, "_COMMITTED"))
-
   /** The latest COMMITTED generation dir — what probes, appends, and
     * compaction resolve. Uncommitted dirs (a rebuild in flight, or a
     * crashed one) are invisible. */
   def latestIvfGen(spark: SparkSession, path: String): Option[Path] =
-    genDirs(spark, path).filter(isCommitted(spark, _)).lastOption
+    graft.store.Generations.latestCommitted(spark, path)
 
   /** Persist an index: the assigned corpus written PARTITIONED BY `list`
     * plus the centroid vectors as a tiny companion table, under a fresh
@@ -152,9 +140,7 @@ object Ann {
     * scan, asserted by AnnSpec). */
   def writeIvf(index: IvfIndex, path: String): String = {
     val spark = index.assigned.sparkSession
-    val next = f"gen_${genDirs(spark, path).lastOption
-      .map(_.getName.drop(4).toInt + 1).getOrElse(0)}%06d"
-    val gen = new Path(new Path(path), next)
+    val gen = graft.store.Generations.nextGen(spark, path)
     index.assigned.write.mode("overwrite").partitionBy("list")
       .parquet(new Path(gen, "assigned").toString)
     import spark.implicits._
@@ -162,13 +148,12 @@ object Ann {
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("list", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(new Path(gen, "centroids").toString)
-    fsOf(spark, gen).create(new Path(gen, "_COMMITTED"), false).close()
+    graft.store.Generations.commit(spark, gen)
     gen.toString
   }
 
   private def requireGen(spark: SparkSession, path: String): Path =
-    latestIvfGen(spark, path).getOrElse(throw new java.io.FileNotFoundException(
-      s"no committed IVF generation under $path"))
+    graft.store.Generations.requireCommitted(spark, path)
 
   /** Load the latest committed generation. The corpus side is a lazy
     * partitioned scan — pruning happens per probe inside [[ivfTopK]]. */
@@ -184,20 +169,8 @@ object Ann {
     * uncommitted strays older than the newest committed one — debris from
     * crashed rebuilds). `keep ≥ 2` protects a reader that resolved the
     * previous generation just before a rebuild committed. */
-  def vacuumIvf(spark: SparkSession, path: String, keep: Int = 2): Int = {
-    require(keep >= 1, "keep must be >= 1")
-    val committed = genDirs(spark, path).filter(isCommitted(spark, _))
-    if (committed.isEmpty) return 0
-    val keepNames = committed.takeRight(keep).map(_.getName).toSet
-    val newest = committed.last.getName
-    val drop = genDirs(spark, path).filter(g =>
-      !keepNames(g.getName) && g.getName < newest)
-    drop.foreach { g =>
-      if (!fsOf(spark, g).delete(g, true))
-        throw new java.io.IOException(s"vacuumIvf: delete($g) failed (filesystem returned false)")
-    }
-    drop.size
-  }
+  def vacuumIvf(spark: SparkSession, path: String, keep: Int = 2): Int =
+    graft.store.Generations.vacuum(spark, path, keep)
 
   /** Per-centroid (squared-L2-distance, list-id) structs against `vec` —
     * the small flat expression tree (nlist × dim nodes) shared by the
@@ -271,8 +244,12 @@ object Ann {
   /** Compact the latest committed generation's `list=` partition dirs —
     * the maintenance pass that keeps sustained [[appendToIvf]] ingest from
     * degrading the probe scan into millions of tiny file opens.
-    * Partition-local (only lists that accumulated files are rewritten),
-    * result-identical (q74 probes a compacted layout; CompactSpec asserts
+    * Partition-local IN-PLACE rewrite: only lists that accumulated files
+    * are touched, each independently — the cheapest form, but the per-dir
+    * swap is not atomic for a concurrent reader, so run it from the ingest
+    * owner between batches ([[Compact]]'s single-writer contract). For
+    * compaction that must not pause probes, use [[compactIvfOnline]].
+    * Result-identical (q74 probes a compacted layout; CompactSpec asserts
     * rows and file counts). Returns the number of list dirs rewritten. */
   def compactIvf(spark: SparkSession, path: String,
       targetFiles: Int = 1, minFiles: Int = 1): Int =
@@ -281,6 +258,23 @@ object Ann {
       case Some(gen) => graft.store.Compact.partitionedDir(
         spark, new Path(gen, "assigned").toString, "list", targetFiles, minFiles)
     }
+
+  /** Reader-atomic compaction: rewrite the CURRENT generation's corpus,
+    * repartitioned by list (one shuffle → one file per list), into a NEW
+    * committed generation, then vacuum superseded ones (`keep ≥ 2` keeps
+    * the generation an in-flight probe may have resolved). Concurrent
+    * probes never see a mid-rewrite state — they read the old generation
+    * until the `_COMMITTED` marker lands, exactly like an offline rebuild,
+    * but without re-running KMeans. Costs a full read+write of the layout
+    * (vs [[compactIvf]]'s partition-local pass); after sustained ingest
+    * most lists are fragmented anyway, so the difference is small.
+    * Returns the new generation path. */
+  def compactIvfOnline(spark: SparkSession, path: String, keep: Int = 2): String = {
+    val idx = readIvf(spark, path)
+    val gen = writeIvf(IvfIndex(idx.assigned.repartition(col("list")), idx.centroids), path)
+    vacuumIvf(spark, path, keep)
+    gen
+  }
 
   /** Probe the index: exact cosine inside the query's `nprobe` nearest
     * lists, top-k per query (ties broken by neighbour id).

@@ -128,16 +128,36 @@ object Dedup {
       minhashBandKeys(corpus, idCol, textCol, shingleN, numHashes, bands),
       shingleRows(corpus, idCol, textCol, shingleN))
 
-  /** Persist an index under `path` (`bands/` + `shingles/` parquet). Both
-    * relations are narrow (id + one string column); the corpus text itself
-    * is NOT stored. One linear corpus scan produces both. */
-  def writeMinhashIndex(idx: MinhashIndex, path: String): Unit = {
-    idx.bands.write.mode("overwrite").parquet(s"$path/bands")
-    idx.shingles.write.mode("overwrite").parquet(s"$path/shingles")
+  /** Persist an index under `path`: a fresh `gen_NNNNNN/{bands,shingles}`
+    * generation committed by a `_COMMITTED` marker created LAST (the same
+    * [[graft.store.Generations]] discipline as the IVF tree), so a rebuild
+    * or an online compaction never races a concurrent reader into a
+    * half-written layout. Both relations are narrow (id + one string
+    * column); the corpus text itself is NOT stored. One linear corpus scan
+    * produces both. Returns the committed generation path. */
+  def writeMinhashIndex(idx: MinhashIndex, path: String): String = {
+    val spark = idx.bands.sparkSession
+    val gen = graft.store.Generations.nextGen(spark, path)
+    idx.bands.write.mode("overwrite").parquet(s"$gen/bands")
+    idx.shingles.write.mode("overwrite").parquet(s"$gen/shingles")
+    graft.store.Generations.commit(spark, gen)
+    gen.toString
   }
 
-  def readMinhashIndex(spark: org.apache.spark.sql.SparkSession, path: String): MinhashIndex =
-    MinhashIndex(spark.read.parquet(s"$path/bands"), spark.read.parquet(s"$path/shingles"))
+  /** Load the latest committed generation (lazy scans). */
+  def readMinhashIndex(spark: org.apache.spark.sql.SparkSession, path: String): MinhashIndex = {
+    val gen = graft.store.Generations.requireCommitted(spark, path)
+    MinhashIndex(spark.read.parquet(s"$gen/bands"), spark.read.parquet(s"$gen/shingles"))
+  }
+
+  /** Data-file counts of the latest committed generation's (bands,
+    * shingles) relations — the [[compactMinhashIndex]] trigger signal,
+    * recorded per batch in [[IngestStats]]. Directory metadata only. */
+  def minhashFileCounts(spark: org.apache.spark.sql.SparkSession, path: String): (Int, Int) = {
+    val gen = graft.store.Generations.requireCommitted(spark, path)
+    (graft.store.Compact.dataFileCount(spark, s"$gen/bands"),
+      graft.store.Compact.dataFileCount(spark, s"$gen/shingles"))
+  }
 
   /** Append a batch's relations to a persisted index — the ingest loop's
     * closing step: after [[dedupAgainstIndex]] marks duplicates, the
@@ -150,10 +170,11 @@ object Dedup {
   def appendToMinhashIndex(
       batch: DataFrame, path: String, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4): Unit = {
+    val gen = graft.store.Generations.requireCommitted(batch.sparkSession, path)
     minhashBandKeys(batch, idCol, textCol, shingleN, numHashes, bands)
-      .write.mode("append").parquet(s"$path/bands")
+      .write.mode("append").parquet(s"$gen/bands")
     shingleRows(batch, idCol, textCol, shingleN)
-      .write.mode("append").parquet(s"$path/shingles")
+      .write.mode("append").parquet(s"$gen/shingles")
   }
 
   /** Incremental near-dup dedup: annotate each document of a NEW batch with
@@ -242,27 +263,40 @@ object Dedup {
     val survivors = batch.join(
       verdicts.filter(!col("is_dup")).select(col("id").as(idCol)), Seq(idCol), "left_semi")
     appendToMinhashIndex(survivors, path, idCol, textCol, shingleN, numHashes, bands)
+    val (bandsFiles, shinglesFiles) = minhashFileCounts(spark, path)
     (verdicts, IngestStats(
       batchRows = total, candidatePairs = cands.count(), dups = dups,
       appendedRows = total - dups,
-      bandsFiles = graft.store.Compact.dataFileCount(spark, s"$path/bands"),
-      shinglesFiles = graft.store.Compact.dataFileCount(spark, s"$path/shingles")))
+      bandsFiles = bandsFiles, shinglesFiles = shinglesFiles))
   }
 
-  /** Compact a persisted MinHash index's `bands/` and `shingles/` relations
-    * — the maintenance pass for sustained [[appendToMinhashIndex]] ingest
-    * (one part-file set per batch forever, the small-files failure the
-    * reference's Postgres heap absorbs invisibly). Both relations are
-    * unpartitioned, so a compaction is one linear read + write of the index
-    * (narrow id+string rows, a fraction of corpus text size); trigger it
-    * from [[IngestStats]] file counts, not per batch. Result-identical —
-    * q73 oracle-gates an ingest cycle probing a compacted index;
-    * CompactSpec asserts rows and the file-count drop. Returns how many of
-    * the two relations were rewritten. */
+  /** Compact a persisted MinHash index — the maintenance pass for
+    * sustained [[appendToMinhashIndex]] ingest (one part-file set per
+    * batch forever, the small-files failure the reference's Postgres heap
+    * absorbs invisibly). READER-ATOMIC: the compacted relations are
+    * written as a NEW committed generation (both relations are
+    * unpartitioned, so compaction is a whole-index rewrite either way —
+    * the generation swap costs nothing extra), then superseded
+    * generations are vacuumed (`keep ≥ 2` protects an in-flight reader).
+    * Concurrent probes keep resolving the old generation until the commit
+    * marker lands. Cost is one linear read + write of the index (narrow
+    * id+string rows, a fraction of corpus text size); trigger it from
+    * [[IngestStats]] file counts, not per batch. Result-identical — q73
+    * oracle-gates an ingest run with a compaction after each append;
+    * CompactSpec asserts rows and the file-count drop. Returns 1 if a new
+    * generation was written, 0 if the index was under the threshold. */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      targetFiles: Int = 1, minFiles: Int = 1): Int =
-    Seq("bands", "shingles").count(rel =>
-      graft.store.Compact.leafDir(spark, s"$path/$rel", targetFiles, minFiles))
+      targetFiles: Int = 1, minFiles: Int = 1, keep: Int = 2): Int = {
+    val (bandsFiles, shinglesFiles) = minhashFileCounts(spark, path)
+    if (math.max(bandsFiles, shinglesFiles) <= math.max(minFiles, targetFiles)) 0
+    else {
+      val idx = readMinhashIndex(spark, path)
+      writeMinhashIndex(MinhashIndex(
+        idx.bands.coalesce(targetFiles), idx.shingles.coalesce(targetFiles)), path)
+      graft.store.Generations.vacuum(spark, path, keep)
+      1
+    }
+  }
 
   /** [[dedupAgainstIndex]] with the index built inline from `corpus` —
     * the one-shot form for corpora not worth persisting an index for. */

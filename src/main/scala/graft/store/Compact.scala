@@ -28,12 +28,14 @@ import org.apache.spark.sql.SparkSession
   * a reader that LISTS during the instant between the two renames can see
   * the leaf missing, and one that listed before the swap can hit deleted
   * files — the same exposure `Store.archiveHistory`'s partition moves and
-  * `vacuum`'s deletes already have. Compaction is therefore a MAINTENANCE
-  * operation under the store's single-writer discipline (run it from the
-  * ingest owner between batches, like a Postgres VACUUM), not a
-  * concurrent-with-probes background job; the IVF tree additionally gets
-  * full reader atomicity from its generation layer when a rebuild is
-  * acceptable (`Ann.writeIvf` + `vacuumIvf`).
+  * `vacuum`'s deletes already have. In-place compaction is therefore a
+  * MAINTENANCE operation under the store's single-writer discipline (run
+  * it from the ingest owner between batches, like a Postgres VACUUM), not
+  * a concurrent-with-probes background job. The generation-backed index
+  * layouts have READER-ATOMIC alternatives that sidestep this entirely —
+  * `Dedup.compactMinhashIndex` and `Ann.compactIvfOnline` write the
+  * compacted data as a new committed generation (`Generations`), so
+  * concurrent probes never see a mid-rewrite state.
   *
   * Cost: one read + one write of the compacted directory's data — run it
   * when `dataFileCount` exceeds a threshold (the ingest ledger surfaces the

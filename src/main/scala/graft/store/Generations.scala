@@ -1,0 +1,70 @@
+package graft.store
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Shared generation-directory machinery for persisted index layouts
+  * (`Ann`'s IVF tree, `Dedup`'s MinHash index): each rebuild or online
+  * compaction writes a fresh `gen_NNNNNN/` dir and commits it by creating
+  * a `_COMMITTED` marker LAST, so readers — which always resolve the
+  * latest COMMITTED generation — never observe a half-written layout.
+  * The marker create is exclusive (no overwrite): two racing writers that
+  * picked the same number fail loudly instead of interleaving. Superseded
+  * generations are dropped by [[vacuum]]; `keep ≥ 2` protects a reader
+  * that resolved the previous generation just before a commit landed. */
+object Generations {
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def genDirs(spark: SparkSession, root: String): Seq[Path] = {
+    val r = new Path(root)
+    val f = fsOf(spark, r)
+    if (!f.exists(r)) Nil
+    else f.listStatus(r).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen_"))
+      .map(_.getPath).sortBy(_.getName)
+  }
+
+  def isCommitted(spark: SparkSession, gen: Path): Boolean =
+    fsOf(spark, gen).exists(new Path(gen, "_COMMITTED"))
+
+  /** The latest COMMITTED generation — what readers resolve. Uncommitted
+    * dirs (a write in flight, or a crashed one) are invisible. */
+  def latestCommitted(spark: SparkSession, root: String): Option[Path] =
+    genDirs(spark, root).filter(isCommitted(spark, _)).lastOption
+
+  def requireCommitted(spark: SparkSession, root: String): Path =
+    latestCommitted(spark, root).getOrElse(throw new java.io.FileNotFoundException(
+      s"no committed generation under $root"))
+
+  /** Next generation path — numbering moves past every existing dir,
+    * committed or not, so a crashed writer's stray never gets reused. */
+  def nextGen(spark: SparkSession, root: String): Path = {
+    val next = f"gen_${genDirs(spark, root).lastOption
+      .map(_.getName.drop(4).toInt + 1).getOrElse(0)}%06d"
+    new Path(new Path(root), next)
+  }
+
+  /** Commit a generation: exclusive `_COMMITTED` create, done LAST. */
+  def commit(spark: SparkSession, gen: Path): Unit =
+    fsOf(spark, gen).create(new Path(gen, "_COMMITTED"), false).close()
+
+  /** Drop all but the newest `keep` committed generations, plus any
+    * uncommitted strays older than the newest committed one. */
+  def vacuum(spark: SparkSession, root: String, keep: Int = 2): Int = {
+    require(keep >= 1, "keep must be >= 1")
+    val committed = genDirs(spark, root).filter(isCommitted(spark, _))
+    if (committed.isEmpty) return 0
+    val keepNames = committed.takeRight(keep).map(_.getName).toSet
+    val newest = committed.last.getName
+    val drop = genDirs(spark, root).filter(g =>
+      !keepNames(g.getName) && g.getName < newest)
+    drop.foreach { g =>
+      if (!fsOf(spark, g).delete(g, true))
+        throw new java.io.IOException(
+          s"Generations.vacuum: delete($g) failed (filesystem returned false)")
+    }
+    drop.size
+  }
+}

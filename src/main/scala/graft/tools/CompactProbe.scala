@@ -3,7 +3,6 @@ package graft.tools
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Ann, Dedup}
-import graft.store.Compact
 
 /** Dev probe: quantify the small-files degradation the compaction
   * operators exist for, and that compacting restores the baseline.
@@ -44,12 +43,10 @@ object CompactProbe {
         mhPath, "doc_id", "text")
     def mhProbe(): Long = Dedup.dedupAgainstIndex(probeBatch,
       Dedup.readMinhashIndex(spark, mhPath), "doc_id", "text", threshold = 0.3).count()
-    val mhFilesBefore = Compact.dataFileCount(spark, s"$mhPath/bands") +
-      Compact.dataFileCount(spark, s"$mhPath/shingles")
+    val mhFilesBefore = { val (b, h) = Dedup.minhashFileCounts(spark, mhPath); b + h }
     val mhBefore = warmMin(mhProbe()); cleanup()
     Dedup.compactMinhashIndex(spark, mhPath)
-    val mhFilesAfter = Compact.dataFileCount(spark, s"$mhPath/bands") +
-      Compact.dataFileCount(spark, s"$mhPath/shingles")
+    val mhFilesAfter = { val (b, h) = Dedup.minhashFileCounts(spark, mhPath); b + h }
     val mhAfter = warmMin(mhProbe()); cleanup()
     println(f"PROBE minhash: $nBatches appends -> $mhFilesBefore files, probe $mhBefore%.2fs; " +
       f"compacted -> $mhFilesAfter files, probe $mhAfter%.2fs")
@@ -66,12 +63,7 @@ object CompactProbe {
     val queries = emb.filter(col("vec_id") < 50)
     def ivfProbe(): Long = Ann.ivfTopK(queries, Ann.readIvf(spark, ivfPath),
       "vec_id", "embedding", k = 10, nprobe = 4).count()
-    def ivfFiles(): Int = {
-      val gen = Ann.latestIvfGen(spark, ivfPath).get.toUri.getPath
-      new java.io.File(s"$gen/assigned").listFiles()
-        .filter(f => f.isDirectory && f.getName.startsWith("list="))
-        .map(d => Compact.dataFileCount(spark, d.toString)).sum
-    }
+    def ivfFiles(): Int = Ann.ivfFileCounts(spark, ivfPath).values.sum
     val ivfFilesBefore = ivfFiles()
     val ivfBefore = warmMin(ivfProbe()); cleanup()
     Ann.compactIvf(spark, ivfPath)

@@ -44,7 +44,7 @@ class CompactSpec extends SparkSpec {
     assert(store.compactHistory("hist") === 0)
   }
 
-  test("compactMinhashIndex: file counts drop, index relations identical") {
+  test("compactMinhashIndex: reader-atomic generation swap, counts drop, relations identical") {
     val docs = Tables.load(spark, sfDir, "documents")
     val corpus = docs.filter(col("doc_id") % 3 === 0)
     val path = tmp("graft_compact_mh")
@@ -52,15 +52,44 @@ class CompactSpec extends SparkSpec {
     for (b <- 1 to 2)
       Dedup.appendToMinhashIndex(docs.filter(col("doc_id") % 3 === b),
         path, "doc_id", "text")
-    def rows(rel: String) = spark.read.parquet(s"$path/$rel")
+    def rows() = {
+      val idx = Dedup.readMinhashIndex(spark, path)
+      (idx.bands.collect().map(_.toString).sorted.toSeq,
+        idx.shingles.collect().map(_.toString).sorted.toSeq)
+    }
+    val (bandsBefore, shinglesBefore) = rows()
+    val (b0, _) = Dedup.minhashFileCounts(spark, path)
+    assert(b0 >= 3, "appends must accumulate part files")
+    assert(Dedup.compactMinhashIndex(spark, path) === 1)
+    assert(Dedup.minhashFileCounts(spark, path) === ((1, 1)))
+    val (bandsAfter, shinglesAfter) = rows()
+    assert(bandsAfter === bandsBefore)
+    assert(shinglesAfter === shinglesBefore)
+    // below the threshold -> no-op, no new generation
+    assert(Dedup.compactMinhashIndex(spark, path) === 0)
+    // the superseded generation is retained for in-flight readers (keep=2)
+    assert(graft.store.Generations.genDirs(spark, path).size === 2)
+  }
+
+  test("compactIvfOnline: new committed generation, one file per list, probe identical") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val path = tmp("graft_compact_ivf_online")
+    Ann.writeIvf(Ann.buildIvf(emb.filter(col("vec_id") % 3 === 0),
+      "vec_id", "embedding", nlist = 4), path)
+    for (b <- 1 to 2)
+      Ann.appendToIvf(emb.filter(col("vec_id") % 3 === b), path, "vec_id", "embedding")
+    def probe() = Ann.ivfTopK(emb.filter(col("vec_id") < 5), Ann.readIvf(spark, path),
+      "vec_id", "embedding", k = 5, nprobe = 4)
       .collect().map(_.toString).sorted.toSeq
-    val (bandsBefore, shinglesBefore) = (rows("bands"), rows("shingles"))
-    assert(Compact.dataFileCount(spark, s"$path/bands") >= 3)
-    assert(Dedup.compactMinhashIndex(spark, path) === 2)
-    assert(Compact.dataFileCount(spark, s"$path/bands") === 1)
-    assert(Compact.dataFileCount(spark, s"$path/shingles") === 1)
-    assert(rows("bands") === bandsBefore)
-    assert(rows("shingles") === shinglesBefore)
+    val before = probe()
+    assert(Ann.ivfFileCounts(spark, path).values.exists(_ > 1))
+    val gen = Ann.compactIvfOnline(spark, path)
+    assert(gen.endsWith("gen_000001"))
+    assert(Ann.latestIvfGen(spark, path).get.toString.endsWith("gen_000001"))
+    assert(Ann.ivfFileCounts(spark, path).values.forall(_ === 1))
+    // keep=2: the generation an in-flight probe may hold is still on disk
+    assert(graft.store.Generations.genDirs(spark, path).size === 2)
+    assert(probe() === before)
   }
 
   test("compactIvf: per-list file counts drop, probe results identical") {
