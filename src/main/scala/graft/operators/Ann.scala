@@ -132,15 +132,16 @@ object Ann {
     * `gen_NNNNNN/` committed by a `_COMMITTED` marker created LAST. A
     * rebuild therefore never disturbs concurrent probes of the previous
     * generation — they keep resolving it until the marker lands. The
-    * marker create is exclusive (no overwrite), so two racing rebuilds
-    * that picked the same number fail loudly rather than interleave.
+    * generation number is CLAIMED with an exclusive create before any data
+    * is written ([[graft.store.Generations.claimNextGen]]), so two racing
+    * rebuilds land in different directories instead of interleaving.
     * Returns the committed generation path. A probe's list filter lands on
     * the `list` PARTITION column, so directory pruning skips everything
     * outside the query batch's nprobe lists (`PartitionFilters` in the
     * scan, asserted by AnnSpec). */
   def writeIvf(index: IvfIndex, path: String): String = {
     val spark = index.assigned.sparkSession
-    val gen = graft.store.Generations.nextGen(spark, path)
+    val gen = graft.store.Generations.claimNextGen(spark, path)
     index.assigned.write.mode("overwrite").partitionBy("list")
       .parquet(new Path(gen, "assigned").toString)
     import spark.implicits._

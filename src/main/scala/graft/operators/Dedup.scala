@@ -137,7 +137,7 @@ object Dedup {
     * produces both. Returns the committed generation path. */
   def writeMinhashIndex(idx: MinhashIndex, path: String): String = {
     val spark = idx.bands.sparkSession
-    val gen = graft.store.Generations.nextGen(spark, path)
+    val gen = graft.store.Generations.claimNextGen(spark, path)
     idx.bands.write.mode("overwrite").parquet(s"$gen/bands")
     idx.shingles.write.mode("overwrite").parquet(s"$gen/shingles")
     graft.store.Generations.commit(spark, gen)

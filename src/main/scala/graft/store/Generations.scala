@@ -38,12 +38,27 @@ object Generations {
     latestCommitted(spark, root).getOrElse(throw new java.io.FileNotFoundException(
       s"no committed generation under $root"))
 
-  /** Next generation path — numbering moves past every existing dir,
-    * committed or not, so a crashed writer's stray never gets reused. */
-  def nextGen(spark: SparkSession, root: String): Path = {
-    val next = f"gen_${genDirs(spark, root).lastOption
-      .map(_.getName.drop(4).toInt + 1).getOrElse(0)}%06d"
-    new Path(new Path(root), next)
+  /** CLAIM the next generation path with an atomic exclusive `_CLAIM`
+    * create before any data is written. Without the claim, two concurrent
+    * writers could pick the same number and the second's
+    * `mode("overwrite")` write would clobber the first's files BEFORE its
+    * commit marker lands — corrupting a generation that then commits as
+    * if whole. With it, the loser of the create race simply advances to
+    * the next number. Numbering moves past every existing dir, committed
+    * or not, so a crashed writer's stray is never reused. */
+  def claimNextGen(spark: SparkSession, root: String): Path = {
+    var n = genDirs(spark, root).lastOption
+      .map(_.getName.drop(4).toInt + 1).getOrElse(0)
+    val limit = n + 100 // a hundred simultaneous writers means something is wrong
+    while (n < limit) {
+      val gen = new Path(new Path(root), f"gen_$n%06d")
+      try {
+        fsOf(spark, gen).create(new Path(gen, "_CLAIM"), false).close()
+        return gen
+      } catch { case _: java.io.IOException => n += 1 }
+    }
+    throw new java.io.IOException(
+      s"claimNextGen: could not claim a generation under $root after 100 attempts")
   }
 
   /** Commit a generation: exclusive `_COMMITTED` create, done LAST. */

@@ -139,6 +139,22 @@ class CompactSpec extends SparkSpec {
     assert(!inflight.exists())
   }
 
+  test("claimNextGen: a concurrent writer's claim diverts a rebuild to the next number") {
+    val emb = Tables.load(spark, sfDir, "embeddings").filter(col("vec_id") < 60)
+    val path = tmp("graft_gen_claim")
+    Ann.writeIvf(Ann.buildIvf(emb, "vec_id", "embedding", nlist = 2), path)
+    // a racing rebuild has claimed gen_000001 but written nothing yet —
+    // without the claim, our write would land in the same dir and its
+    // mode(overwrite) could clobber the racer's files before either commits
+    val racer = new java.io.File(s"$path/gen_000001")
+    assert(racer.mkdirs() && new java.io.File(racer, "_CLAIM").createNewFile())
+    val g = Ann.writeIvf(Ann.buildIvf(emb, "vec_id", "embedding", nlist = 4), path)
+    assert(g.endsWith("gen_000002"), s"writer must skip the claimed number, got $g")
+    assert(Ann.readIvf(spark, path).centroids.length === 4)
+    // the racer's claimed-but-uncommitted dir stays invisible to readers
+    assert(Ann.latestIvfGen(spark, path).get.toString.endsWith("gen_000002"))
+  }
+
   test("appendToIvf validates batch schema against the persisted layout") {
     val emb = Tables.load(spark, sfDir, "embeddings").filter(col("vec_id") < 60)
     val path = tmp("graft_ivf_schema")
