@@ -66,7 +66,12 @@ object Generations {
     fsOf(spark, gen).create(new Path(gen, "_COMMITTED"), false).close()
 
   /** Drop all but the newest `keep` committed generations, plus any
-    * uncommitted strays older than the newest committed one. */
+    * uncommitted strays older than the newest committed one. Run this from
+    * the maintenance cycle only, never concurrently with a rebuild: an
+    * in-flight writer that was overtaken by a faster-committing one is
+    * indistinguishable from a crashed stray and would be deleted mid-write.
+    * (Readers are unaffected either way — they resolve the newest
+    * COMMITTED generation, which a deleted stray never becomes.) */
   def vacuum(spark: SparkSession, root: String, keep: Int = 2): Int = {
     require(keep >= 1, "keep must be >= 1")
     val committed = genDirs(spark, root).filter(isCommitted(spark, _))
