@@ -189,11 +189,15 @@ class Store(spark: SparkSession, root: String, buckets: Int = 0) {
     * postgres_storage.py:1440-1469). Partition-local rewrite (only
     * partitions whose data-file count exceeds `minFiles` are touched, each
     * independently), result-identical (CompactSpec asserts digest equality
-    * and the file-count drop), safe against concurrent readers via the
-    * hidden-sibling + checked-rename swap in [[Compact]]. Returns the
-    * number of partitions rewritten. Run it on the recent-partition window
-    * after ingest bursts — old partitions stop accumulating once appends
-    * move past their date. */
+    * and the file-count drop). The per-partition swap follows [[Compact]]'s
+    * contract: the rewrite is invisible until the swap (hidden dot-prefix
+    * sibling, checked renames), but the two renames are not atomic as a
+    * pair, so run it from the ingest owner between batches — a MAINTENANCE
+    * pass under the store's single-writer discipline, not a
+    * concurrent-with-readers background job. Returns the number of
+    * partitions rewritten. Run it on the recent-partition window after
+    * ingest bursts — old partitions stop accumulating once appends move
+    * past their date. */
   def compactHistory(table: String, targetFiles: Int = 1, minFiles: Int = 1): Int =
     Compact.partitionedDir(spark, s"$root/$table/append", "__date", targetFiles, minFiles)
 
