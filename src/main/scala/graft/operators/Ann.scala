@@ -253,7 +253,7 @@ object Ann {
     * Result-identical (q74 probes a compacted layout; CompactSpec asserts
     * rows and file counts). Returns the number of list dirs rewritten. */
   def compactIvf(spark: SparkSession, path: String,
-      targetFiles: Int = 1, minFiles: Int = 1): Int =
+      targetFiles: Int = 0, minFiles: Int = 1): Int =
     latestIvfGen(spark, path) match {
       case None => 0
       case Some(gen) => graft.store.Compact.partitionedDir(

@@ -286,13 +286,25 @@ object Dedup {
     * CompactSpec asserts rows and the file-count drop. Returns 1 if a new
     * generation was written, 0 if the index was under the threshold. */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      targetFiles: Int = 1, minFiles: Int = 1, keep: Int = 2): Int = {
+      targetFiles: Int = 0, minFiles: Int = 1, keep: Int = 2,
+      maxFileBytes: Long = graft.store.Compact.DefaultMaxFileBytes): Int = {
+    import graft.store.Compact
+    val gen = graft.store.Generations.requireCommitted(spark, path)
     val (bandsFiles, shinglesFiles) = minhashFileCounts(spark, path)
-    if (math.max(bandsFiles, shinglesFiles) <= math.max(minFiles, targetFiles)) 0
+    // targetFiles = 0 auto-sizes per relation from its byte size (files come
+    // out ≈ maxFileBytes and the coalesce keeps one task per output file —
+    // a fixed small target would cap the whole rewrite stage's parallelism,
+    // see Compact's scaladoc)
+    val bandsTarget = Compact.resolveTarget(
+      targetFiles, Compact.dataSizeBytes(spark, s"$gen/bands"), maxFileBytes)
+    val shinglesTarget = Compact.resolveTarget(
+      targetFiles, Compact.dataSizeBytes(spark, s"$gen/shingles"), maxFileBytes)
+    if (bandsFiles <= math.max(minFiles, bandsTarget) &&
+        shinglesFiles <= math.max(minFiles, shinglesTarget)) 0
     else {
       val idx = readMinhashIndex(spark, path)
       writeMinhashIndex(MinhashIndex(
-        idx.bands.coalesce(targetFiles), idx.shingles.coalesce(targetFiles)), path)
+        idx.bands.coalesce(bandsTarget), idx.shingles.coalesce(shinglesTarget)), path)
       graft.store.Generations.vacuum(spark, path, keep)
       1
     }

@@ -41,6 +41,15 @@ import org.apache.spark.sql.SparkSession
   * when `dataFileCount` exceeds a threshold (the ingest ledger surfaces the
   * trigger signal), not per batch. The rewrite is `coalesce`, not
   * `repartition`: no shuffle, just fewer output files.
+  *
+  * File-count sizing: `targetFiles = 0` (the default) auto-sizes to
+  * `ceil(dirBytes / maxFileBytes)` — compacted files come out ≈ 128 MB and
+  * the rewrite keeps one task per output file, so its parallelism grows
+  * with the data. This matters at scale: a FIXED small target (the
+  * tempting `1`) would funnel an arbitrarily large directory through that
+  * many tasks, because `coalesce(n)` caps the whole stage — scan included
+  * — at n tasks. At test scale the auto target resolves to 1 and behaves
+  * exactly like the fixed default did.
   */
 object Compact {
 
@@ -68,27 +77,49 @@ object Compact {
   def dataFileCount(spark: SparkSession, dir: String): Int =
     dataFiles(spark, dir).size
 
+  /** Total bytes of visible data files directly under `dir` — what the
+    * auto-sized target file count derives from. Metadata only. */
+  def dataSizeBytes(spark: SparkSession, dir: String): Long = {
+    val p = new Path(dir)
+    val f = fsOf(spark, p)
+    dataFiles(spark, dir).map(f.getFileStatus(_).getLen).sum
+  }
+
+  /** Compacted files aim at ~128 MB — the conventional parquet sweet spot
+    * (big enough to amortize footer/open cost, small enough to split). */
+  val DefaultMaxFileBytes: Long = 128L << 20
+
+  /** `targetFiles` if explicit (> 0), else `ceil(bytes / maxFileBytes)`. */
+  def resolveTarget(targetFiles: Int, bytes: Long, maxFileBytes: Long): Int = {
+    require(targetFiles >= 0, "targetFiles must be >= 0 (0 = auto-size)")
+    require(maxFileBytes > 0, "maxFileBytes must be > 0")
+    if (targetFiles > 0) targetFiles
+    else math.max(1L, math.min(Int.MaxValue, (bytes + maxFileBytes - 1) / maxFileBytes)).toInt
+  }
+
   /** Compact one parquet LEAF directory (a flat dir of part files — an
     * unpartitioned relation, or one `key=value` partition dir read without
-    * its parent) down to `targetFiles` files. No-op unless the current data
-    * file count exceeds both `minFiles` and `targetFiles`. Returns true iff
-    * a rewrite happened.
+    * its parent) down to `targetFiles` files (0 = auto-size from the dir's
+    * byte size, see [[resolveTarget]]). No-op unless the current data file
+    * count exceeds both `minFiles` and the resolved target. Returns true
+    * iff a rewrite happened.
     *
     * Reading the leaf directly keeps a partition dir's file schema intact
     * (the partition column lives in the dir name, not the files), so the
     * swapped-in rewrite is byte-compatible with what partition discovery
     * expects. */
   def leafDir(spark: SparkSession, dir: String,
-      targetFiles: Int = 1, minFiles: Int = 1): Boolean = {
-    require(targetFiles >= 1, "targetFiles must be >= 1")
+      targetFiles: Int = 0, minFiles: Int = 1,
+      maxFileBytes: Long = DefaultMaxFileBytes): Boolean = {
     val p = new Path(dir)
     val f = fsOf(spark, p)
     val n = dataFileCount(spark, dir)
-    if (n <= math.max(minFiles, targetFiles)) return false
+    val target = resolveTarget(targetFiles, dataSizeBytes(spark, dir), maxFileBytes)
+    if (n <= math.max(minFiles, target)) return false
     val tmp = new Path(p.getParent, s".compact_tmp_${p.getName}")
     val old = new Path(p.getParent, s".compact_old_${p.getName}")
     f.delete(tmp, true); f.delete(old, true) // stale leftovers from a crash
-    spark.read.parquet(dir).coalesce(targetFiles)
+    spark.read.parquet(dir).coalesce(target)
       .write.mode("overwrite").parquet(tmp.toString)
     checked(f.rename(p, old), s"rename($p -> $old)")
     checked(f.rename(tmp, p), s"rename($tmp -> $p)")
@@ -99,15 +130,17 @@ object Compact {
   /** Compact every `prefix=`-named partition child of `dir` (e.g. every
     * `__date=` partition of a history table, every `list=` dir of an IVF
     * layout). Partition-local: each child is rewritten independently, so
-    * cost ∝ the data in partitions that actually accumulated files. Returns
-    * the number of partitions rewritten. */
+    * cost ∝ the data in partitions that actually accumulated files, and
+    * auto-sizing (`targetFiles = 0`) resolves per child from that child's
+    * bytes. Returns the number of partitions rewritten. */
   def partitionedDir(spark: SparkSession, dir: String, prefix: String,
-      targetFiles: Int = 1, minFiles: Int = 1): Int = {
+      targetFiles: Int = 0, minFiles: Int = 1,
+      maxFileBytes: Long = DefaultMaxFileBytes): Int = {
     val p = new Path(dir)
     val f = fsOf(spark, p)
     if (!f.exists(p)) return 0
     f.listStatus(p).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix + "="))
-      .count(st => leafDir(spark, st.getPath.toString, targetFiles, minFiles))
+      .count(st => leafDir(spark, st.getPath.toString, targetFiles, minFiles, maxFileBytes))
   }
 }

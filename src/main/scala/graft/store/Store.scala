@@ -198,7 +198,7 @@ class Store(spark: SparkSession, root: String, buckets: Int = 0) {
     * partitions rewritten. Run it on the recent-partition window after
     * ingest bursts — old partitions stop accumulating once appends move
     * past their date. */
-  def compactHistory(table: String, targetFiles: Int = 1, minFiles: Int = 1): Int =
+  def compactHistory(table: String, targetFiles: Int = 0, minFiles: Int = 1): Int =
     Compact.partitionedDir(spark, s"$root/$table/append", "__date", targetFiles, minFiles)
 
   /** S9 — archive history partitions older than `cutoff` (yyyy-MM-dd): MOVE

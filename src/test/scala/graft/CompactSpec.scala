@@ -155,6 +155,26 @@ class CompactSpec extends SparkSpec {
     assert(Ann.latestIvfGen(spark, path).get.toString.endsWith("gen_000002"))
   }
 
+  test("auto-sized target: output file count tracks bytes/maxFileBytes, not a fixed 1") {
+    // at 100 TB a fixed target would funnel the rewrite through that many
+    // tasks (coalesce caps the stage); targetFiles = 0 sizes the output to
+    // ≈ maxFileBytes per file. Shrink maxFileBytes to a third of the dir so
+    // the auto target resolves to 3 at test scale.
+    val dir = tmp("graft_autosize") + "/leaf"
+    Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+      .repartition(6).write.mode("overwrite").parquet(dir)
+    val before = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    assert(Compact.dataFileCount(spark, dir) === 6)
+    val bytes = Compact.dataSizeBytes(spark, dir)
+    val maxFB = (bytes + 2) / 3
+    assert(Compact.resolveTarget(0, bytes, maxFB) === 3)
+    assert(Compact.leafDir(spark, dir, maxFileBytes = maxFB))
+    assert(Compact.dataFileCount(spark, dir) === 3)
+    assert(spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq === before)
+    // already at the auto target -> no-op
+    assert(!Compact.leafDir(spark, dir, maxFileBytes = maxFB))
+  }
+
   test("appendToIvf validates batch schema against the persisted layout") {
     val emb = Tables.load(spark, sfDir, "embeddings").filter(col("vec_id") < 60)
     val path = tmp("graft_ivf_schema")
