@@ -261,18 +261,36 @@ object Ann {
     }
 
   /** Reader-atomic compaction: rewrite the CURRENT generation's corpus,
-    * repartitioned by list (one shuffle → one file per list), into a NEW
-    * committed generation, then vacuum superseded ones (`keep ≥ 2` keeps
-    * the generation an in-flight probe may have resolved). Concurrent
-    * probes never see a mid-rewrite state — they read the old generation
-    * until the `_COMMITTED` marker lands, exactly like an offline rebuild,
-    * but without re-running KMeans. Costs a full read+write of the layout
-    * (vs [[compactIvf]]'s partition-local pass); after sustained ingest
-    * most lists are fragmented anyway, so the difference is small.
-    * Returns the new generation path. */
-  def compactIvfOnline(spark: SparkSession, path: String, keep: Int = 2): String = {
+    * repartitioned by list, into a NEW committed generation, then vacuum
+    * superseded ones (`keep ≥ 2` keeps the generation an in-flight probe
+    * may have resolved). Concurrent probes never see a mid-rewrite state —
+    * they read the old generation until the `_COMMITTED` marker lands,
+    * exactly like an offline rebuild, but without re-running KMeans. Costs
+    * a full read+write of the layout (vs [[compactIvf]]'s partition-local
+    * pass); after sustained ingest most lists are fragmented anyway, so
+    * the difference is small. Returns the new generation path.
+    *
+    * Files per list auto-size from the layout's bytes: a plain
+    * `repartition(list)` would give exactly one file per list — a hot
+    * list at corpus scale then becomes one multi-GB file written by one
+    * task — so when the average list exceeds `maxFileBytes` the shuffle
+    * key gains a deterministic per-row salt (`hash(id) mod filesPerList`),
+    * splitting each list's write across that many tasks/files. At test
+    * scale this resolves to 1 and the plain one-file-per-list layout is
+    * unchanged. */
+  def compactIvfOnline(spark: SparkSession, path: String, keep: Int = 2,
+      maxFileBytes: Long = graft.store.Compact.DefaultMaxFileBytes): String = {
     val idx = readIvf(spark, path)
-    val gen = writeIvf(IvfIndex(idx.assigned.repartition(col("list")), idx.centroids), path)
+    val gen0 = requireGen(spark, path)
+    val assigned = new Path(gen0, "assigned")
+    val bytes = fsOf(spark, assigned).getContentSummary(assigned).getLength
+    val perList = bytes / math.max(1, idx.centroids.length)
+    val filesPerList = math.max(1L, (perList + maxFileBytes - 1) / maxFileBytes).toInt
+    val idCol = col(idx.assigned.columns.head)
+    val re =
+      if (filesPerList == 1) idx.assigned.repartition(col("list"))
+      else idx.assigned.repartition(col("list"), pmod(hash(idCol), lit(filesPerList)))
+    val gen = writeIvf(IvfIndex(re, idx.centroids), path)
     vacuumIvf(spark, path, keep)
     gen
   }

@@ -92,6 +92,32 @@ class CompactSpec extends SparkSpec {
     assert(probe() === before)
   }
 
+  test("compactIvfOnline salting: over-budget lists split across files, probe identical") {
+    // with a shrunken maxFileBytes every list exceeds the per-file budget,
+    // so the shuffle key gains the per-row salt and each list's write is
+    // spread across multiple tasks/files — the scale path for a hot list
+    // that would otherwise become one multi-GB single-task file
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val path = tmp("graft_compact_ivf_salt")
+    Ann.writeIvf(Ann.buildIvf(emb, "vec_id", "embedding", nlist = 4), path)
+    def probe() = Ann.ivfTopK(emb.filter(col("vec_id") < 5), Ann.readIvf(spark, path),
+      "vec_id", "embedding", k = 5, nprobe = 4)
+      .collect().map(_.toString).sorted.toSeq
+    val before = probe()
+    // AQE's partition coalescing re-merges the KB-sized test shuffle into
+    // one partition (at real scale the ≈maxFileBytes partitions sit above
+    // the 64 MB advisory size and stay split); disable it to observe the
+    // salt's file-splitting mechanism at test scale
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try Ann.compactIvfOnline(spark, path, maxFileBytes = 1L)
+    finally prev.fold(spark.conf.unset(coalesceKey))(spark.conf.set(coalesceKey, _))
+    assert(Ann.ivfFileCounts(spark, path).values.exists(_ > 1),
+      "salting must split an over-budget list across files")
+    assert(probe() === before)
+  }
+
   test("compactIvf: per-list file counts drop, probe results identical") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val path = tmp("graft_compact_ivf")
