@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
-import graft.operators.History
+import graft.operators.{Dedup, History}
 
 /** Structured Streaming surface (SURVEY.md §2.10). The reference is
   * micro-batch incremental (resumable progress, recency watermark, CDC into
@@ -58,6 +58,57 @@ object Streams {
         val hist = existingHistory(spark, historyPath, batch)
         History.deriveEvents(batch, hist, None)
           .write.mode("append").parquet(historyPath)
+        ()
+      }
+      .start()
+
+  /** Continuous near-dup ingest — the streaming closure of the ingest loop
+    * (dedup → append survivors → compact), one [[Dedup.ingestCycle]] per
+    * micro-batch against a persisted MinHash index. Per-document verdicts
+    * land under `verdictsPath/batch_id=N/`; the compaction maintenance
+    * pass runs whenever the cycle's ledger reports more than `compactAt`
+    * part files in either index relation, so sustained ingest never
+    * degrades the index scan (the small-files failure `Compact`
+    * documents).
+    *
+    * Delivery: `foreachBatch` is at-least-once — a batch that fails after
+    * its survivor append but before the checkpoint commit is re-run. Two
+    * guards make the re-run CONVERGE instead of corrupting state:
+    * (1) the batch is anti-joined against ids already in the index, so a
+    * survivor whose append landed is never appended twice (and never
+    * violates [[Dedup.dedupAgainstIndex]]'s disjoint-ids contract, which a
+    * self-match would — the replayed id would sit on BOTH sides of the
+    * verify join's shingle union and distort every jaccard it touches);
+    * (2) already-known ids get their by-construction verdict back
+    * (`is_dup = false` — only non-dups are ever appended, and a non-dup
+    * verdict carries null `dup_of`/`jaccard`), and the whole batch
+    * OVERWRITES its own `batch_id=N` partition, so a replayed batch
+    * produces byte-identical verdicts. Cost of the guard: one extra
+    * narrow column scan of the bands relation per batch. */
+  def ingestSink(docs: DataFrame, indexPath: String, verdictsPath: String,
+      checkpointPath: String, idCol: String, textCol: String, threshold: Double,
+      compactAt: Int = 64, shingleN: Int = 3, numHashes: Int = 12,
+      bands: Int = 4): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        // the source is re-read per downstream action otherwise (the guard
+        // uses the batch twice, ingestCycle twice more)
+        val b = batch.localCheckpoint()
+        val known = Dedup.readMinhashIndex(spark, indexPath)
+          .bands.select(col("id").as(idCol)).distinct()
+        val fresh = b.join(known, Seq(idCol), "left_anti")
+        val (verdicts, stats) = Dedup.ingestCycle(
+          fresh, indexPath, idCol, textCol, threshold, shingleN, numHashes, bands)
+        val replayed = b.join(known, Seq(idCol), "left_semi")
+          .select(col(idCol).as("id"), lit(false).as("is_dup"),
+            lit(null).cast(b.schema(idCol).dataType).as("dup_of"),
+            lit(null).cast("double").as("jaccard"))
+        verdicts.unionByName(replayed)
+          .write.mode("overwrite").parquet(s"$verdictsPath/batch_id=$batchId")
+        if (math.max(stats.bandsFiles, stats.shinglesFiles) > compactAt)
+          Dedup.compactMinhashIndex(spark, indexPath)
         ()
       }
       .start()

@@ -10,6 +10,7 @@ import graft.streaming.Streams
 case class Ev(event_id: Long, user_id: String, event_type: String, value: Double, ts: Timestamp)
 case class Crawl(product_id: String, price: Double, original_price: Double,
     discount_percent: java.lang.Double, sales_count: Long, crawled_at: Timestamp)
+case class DocRow(doc_id: Long, text: String)
 
 /** Streaming specs: MemoryStream-driven micro-batches, results compared to
   * the batch twins of the same transforms. */
@@ -131,5 +132,56 @@ class StreamsSpec extends SparkSpec {
       ("p2", "first_crawl", 50.0, null, null, null),
       ("p1", "price_change", 120.0, 100.0, 20.0, null),
       ("p2", "sales_change", 50.0, 50.0, null, 8L)))
+  }
+
+  test("ingestSink: per-batch dedup ingest, replay-idempotent, compaction-bounded") {
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.load(spark, sfDir, "documents").filter(col("doc_id") < 1000)
+    val corpus = docs.filter(col("doc_id") % 5 >= 2)
+    val b1df = docs.filter(col("doc_id") % 5 === 0)
+    val b2df = docs.filter(col("doc_id") % 5 === 1)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[DocRow] =
+      df.select("doc_id", "text").as[DocRow].collect().toSeq
+    val dir = Files.createTempDirectory("graft_ingest_sink").toString
+    val idxPath = s"$dir/index"; val vPath = s"$dir/verdicts"; val ckpt = s"$dir/ckpt"
+    Dedup.writeMinhashIndex(Dedup.buildMinhashIndex(corpus, "doc_id", "text"), idxPath)
+    val mem = MemoryStream[DocRow]
+    val q = Streams.ingestSink(mem.toDF, idxPath, vPath, ckpt,
+      "doc_id", "text", threshold = 0.3, compactAt = 2)
+    mem.addData(rows(b1df): _*); q.processAllAvailable()
+    mem.addData(rows(b2df): _*); q.processAllAvailable()
+    // a re-fed batch (same docs, new batch id) exercises the replay guard:
+    // survivors are already in the index and must not be re-appended or
+    // violate the disjoint-ids contract
+    val bandsRowsBefore = Dedup.readMinhashIndex(spark, idxPath).bands.count()
+    mem.addData(rows(b1df): _*); q.processAllAvailable()
+    q.stop()
+    val v = spark.read.parquet(vPath)
+    def verdictSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "is_dup", "dup_of").collect().map(_.toString).sorted.toSeq
+    // batch 0 == the batch-path twin against the original corpus index
+    val want0 = verdictSet(Dedup.dedupAgainstIndex(b1df,
+      Dedup.buildMinhashIndex(corpus, "doc_id", "text"), "doc_id", "text", 0.3))
+    assert(verdictSet(v.filter(col("batch_id") === 0)) === want0)
+    // batch 1 == the twin against corpus ∪ batch-0 survivors (q71's shape)
+    val surv1 = b1df.join(v.filter(col("batch_id") === 0 && !col("is_dup"))
+      .select(col("id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val want1 = verdictSet(Dedup.dedupAgainstIndex(b2df,
+      Dedup.buildMinhashIndex(corpus.unionByName(surv1), "doc_id", "text"),
+      "doc_id", "text", 0.3))
+    assert(verdictSet(v.filter(col("batch_id") === 1)) === want1)
+    assert(v.filter(col("batch_id") === 1 && col("is_dup") && col("dup_of") % 5 === 0)
+      .count() > 0, "no batch-1 dup resolved against an appended batch-0 survivor")
+    // replay converges: same is_dup flags as batch 0, and the index gained
+    // nothing (survivors guard-blocked, dups never appended)
+    val flags = (bid: Int) => v.filter(col("batch_id") === bid)
+      .select("id", "is_dup").collect().map(_.toString).sorted.toSeq
+    assert(flags(2) === flags(0))
+    assert(Dedup.readMinhashIndex(spark, idxPath).bands.count() === bandsRowsBefore)
+    // the compactAt=2 trigger kept the file counts bounded across 3 batches
+    val (bf, sf) = Dedup.minhashFileCounts(spark, idxPath)
+    assert(math.max(bf, sf) <= 4,
+      s"compaction should bound index file counts, got bands=$bf shingles=$sf")
   }
 }
