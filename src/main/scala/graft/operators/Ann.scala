@@ -6,6 +6,7 @@ import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 /** IVF (inverted-file) approximate nearest neighbour — the scale path for
   * similarity search beyond [[Similarity.lshTopK]]'s sign buckets.
@@ -121,6 +122,16 @@ object Ann {
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** The type with every nullability flag forced true — for comparisons
+    * that must ignore nullability (Spark's `sameType` is private). */
+  private def asNullable(dt: DataType): DataType = dt match {
+    case ArrayType(e, _) => ArrayType(asNullable(e), containsNull = true)
+    case MapType(k, v, _) => MapType(asNullable(k), asNullable(v), valueContainsNull = true)
+    case StructType(fs) => StructType(fs.map(f =>
+      f.copy(dataType = asNullable(f.dataType), nullable = true)))
+    case other => other
+  }
+
   /** The latest COMMITTED generation dir — what probes, appends, and
     * compaction resolve. Uncommitted dirs (a rebuild in flight, or a
     * crashed one) are invisible. */
@@ -213,7 +224,10 @@ object Ann {
         s"appendToIvf: persisted layout at $gen has columns " +
           s"${existing.fieldNames.mkString("[", ", ", "]")} — no '$c'; " +
           "pass the same idCol/vecCol the index was built with")
-      require(batch.schema(c).dataType == existing(c).dataType,
+      // nullability-insensitive — an encoder-built batch carries
+      // containsNull=false where parquet reads back nullable, and that
+      // difference cannot poison the layout; an element-type difference can
+      require(asNullable(batch.schema(c).dataType) == asNullable(existing(c).dataType),
         s"appendToIvf: column '$c' is ${batch.schema(c).dataType.simpleString} " +
           s"in the batch but ${existing(c).dataType.simpleString} in the persisted " +
           s"layout at $gen — vector element types must match exactly")

@@ -113,6 +113,38 @@ object Streams {
       }
       .start()
 
+  /** Continuous ANN ingest — [[ingestSink]]'s IVF twin: per micro-batch,
+    * assign new vectors to the persisted layout's existing centroids and
+    * append into its `list`-partitioned tree ([[graft.operators.Ann.appendToIvf]],
+    * schema-validated, cost ∝ batch × nlist), then run the per-list
+    * compaction pass whenever any list's data-file count crosses
+    * `compactAt` (the [[graft.operators.Ann.ivfFileCounts]] ledger
+    * signal). Probes see appended vectors immediately through the same
+    * partition-pruned scan; centroid drift is the offline rebuild's job,
+    * as documented on `appendToIvf`.
+    *
+    * Replay guard (at-least-once `foreachBatch`): ids already in the
+    * layout are dropped before the append — one narrow id-column scan per
+    * batch — so a redelivered batch appends nothing. Unlike the MinHash
+    * sink there is no verdict output to reconcile; convergence is just
+    * "no duplicate vectors". */
+  def annIngestSink(vectors: DataFrame, indexPath: String, checkpointPath: String,
+      idCol: String, vecCol: String, compactAt: Int = 64): StreamingQuery = {
+    import graft.operators.Ann
+    vectors.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val known = Ann.readIvf(spark, indexPath).assigned.select(col(idCol)).distinct()
+        val fresh = batch.join(known, Seq(idCol), "left_anti")
+        Ann.appendToIvf(fresh, indexPath, idCol, vecCol)
+        if (Ann.ivfFileCounts(spark, indexPath).values.exists(_ > compactAt))
+          Ann.compactIvf(spark, indexPath)
+        ()
+      }
+      .start()
+  }
+
   // --- custom state: flatMapGroupsWithState CDC -----------------------------
 
   /** One observation of a product (the post-transform streaming shape). */

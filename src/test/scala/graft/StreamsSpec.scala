@@ -11,6 +11,7 @@ case class Ev(event_id: Long, user_id: String, event_type: String, value: Double
 case class Crawl(product_id: String, price: Double, original_price: Double,
     discount_percent: java.lang.Double, sales_count: Long, crawled_at: Timestamp)
 case class DocRow(doc_id: Long, text: String)
+case class VecRow(vec_id: Long, embedding: Seq[Float])
 
 /** Streaming specs: MemoryStream-driven micro-batches, results compared to
   * the batch twins of the same transforms. */
@@ -183,5 +184,44 @@ class StreamsSpec extends SparkSpec {
     val (bf, sf) = Dedup.minhashFileCounts(spark, idxPath)
     assert(math.max(bf, sf) <= 4,
       s"compaction should bound index file counts, got bands=$bf shingles=$sf")
+  }
+
+  test("annIngestSink: appended vectors probe-visible, replays add nothing, lists compacted") {
+    import graft.operators.Ann
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val initial = emb.filter(col("vec_id") % 3 === 0)
+    val b1df = emb.filter(col("vec_id") % 3 === 1)
+    val b2df = emb.filter(col("vec_id") % 3 === 2)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[VecRow] =
+      df.select("vec_id", "embedding").as[VecRow].collect().toSeq
+    val dir = Files.createTempDirectory("graft_ann_sink").toString
+    val idxPath = s"$dir/index"; val ckpt = s"$dir/ckpt"
+    Ann.writeIvf(Ann.buildIvf(initial, "vec_id", "embedding", nlist = 4), idxPath)
+    val mem = MemoryStream[VecRow]
+    val q = Streams.annIngestSink(mem.toDF, idxPath, ckpt,
+      "vec_id", "embedding", compactAt = 1)
+    mem.addData(rows(b1df): _*); q.processAllAvailable()
+    val countAfterB1 = Ann.readIvf(spark, idxPath).assigned.count()
+    assert(countAfterB1 === initial.count() + b1df.count())
+    // a re-fed batch (same vectors, new batch id) must append nothing
+    mem.addData(rows(b1df): _*); q.processAllAvailable()
+    assert(Ann.readIvf(spark, idxPath).assigned.count() === countAfterB1)
+    mem.addData(rows(b2df): _*); q.processAllAvailable()
+    q.stop()
+    val idx = Ann.readIvf(spark, idxPath)
+    assert(idx.assigned.count() === emb.count())
+    // appended vectors are probe-visible: querying with appended ids
+    // returns a top-1 neighbour for every one of them (self-matches are
+    // filtered, so these rows prove the partition-pruned scan sees the
+    // streamed appends)
+    val queries = b2df.filter(col("vec_id") < 50)
+    val probe = Ann.ivfTopK(queries, idx, "vec_id", "embedding", k = 1, nprobe = 4)
+    assert(probe.count() === queries.count())
+    assert(probe.filter(col("neighbor_id") % 3 === 2).count() > 0,
+      "some neighbour should itself be a streamed-in vector")
+    // the compactAt=1 trigger kept every list's file count bounded
+    assert(Ann.ivfFileCounts(spark, idxPath).values.forall(_ <= 2),
+      s"per-list counts: ${Ann.ivfFileCounts(spark, idxPath)}")
   }
 }
