@@ -264,8 +264,12 @@ object Dedup {
       verdicts.filter(!col("is_dup")).select(col("id").as(idCol)), Seq(idCol), "left_semi")
     appendToMinhashIndex(survivors, path, idCol, textCol, shingleN, numHashes, bands)
     val (bandsFiles, shinglesFiles) = minhashFileCounts(spark, path)
+    val candidatePairs = cands.count()
+    // the verdicts checkpoint broke the lineage; cands' blocks are dead
+    // weight from here (a sustained ingest loop must not accumulate them)
+    cands.unpersist(blocking = false)
     (verdicts, IngestStats(
-      batchRows = total, candidatePairs = cands.count(), dups = dups,
+      batchRows = total, candidatePairs = candidatePairs, dups = dups,
       appendedRows = total - dups,
       bandsFiles = bandsFiles, shinglesFiles = shinglesFiles))
   }

@@ -62,6 +62,23 @@ object Streams {
       }
       .start()
 
+  /** Run `body`, then unpersist every persistent RDD it created — the
+    * `foreachBatch` twin of the bench's per-query cleanup. The ingest
+    * cycle localCheckpoints per-batch scratch (band keys, candidate
+    * pairs, the verdict frame), and with a large heap GC rarely runs, so
+    * the ContextCleaner's weak-ref cleanup never fires and a long-running
+    * stream accumulates dead blocks until heavy batches pay eviction
+    * churn (the block-manager pathology docs/BENCH_NOTES_r5.md measured
+    * at 24 GiB). Scoped by RDD id: caches that existed before the batch
+    * are untouched. */
+  private def scopedUnpersist[A](spark: SparkSession)(body: => A): A = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    try body
+    finally spark.sparkContext.getPersistentRDDs
+      .filterNot { case (id, _) => before.contains(id) }
+      .values.foreach(_.unpersist(blocking = false))
+  }
+
   /** Continuous near-dup ingest — the streaming closure of the ingest loop
     * (dedup → append survivors → compact), one [[Dedup.ingestCycle]] per
     * micro-batch against a persisted MinHash index. Per-document verdicts
@@ -93,22 +110,24 @@ object Streams {
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        // the source is re-read per downstream action otherwise (the guard
-        // uses the batch twice, ingestCycle twice more)
-        val b = batch.localCheckpoint()
-        val known = Dedup.readMinhashIndex(spark, indexPath)
-          .bands.select(col("id").as(idCol)).distinct()
-        val fresh = b.join(known, Seq(idCol), "left_anti")
-        val (verdicts, stats) = Dedup.ingestCycle(
-          fresh, indexPath, idCol, textCol, threshold, shingleN, numHashes, bands)
-        val replayed = b.join(known, Seq(idCol), "left_semi")
-          .select(col(idCol).as("id"), lit(false).as("is_dup"),
-            lit(null).cast(b.schema(idCol).dataType).as("dup_of"),
-            lit(null).cast("double").as("jaccard"))
-        verdicts.unionByName(replayed)
-          .write.mode("overwrite").parquet(s"$verdictsPath/batch_id=$batchId")
-        if (math.max(stats.bandsFiles, stats.shinglesFiles) > compactAt)
-          Dedup.compactMinhashIndex(spark, indexPath)
+        scopedUnpersist(spark) {
+          // the source is re-read per downstream action otherwise (the
+          // guard uses the batch twice, ingestCycle twice more)
+          val b = batch.localCheckpoint()
+          val known = Dedup.readMinhashIndex(spark, indexPath)
+            .bands.select(col("id").as(idCol)).distinct()
+          val fresh = b.join(known, Seq(idCol), "left_anti")
+          val (verdicts, stats) = Dedup.ingestCycle(
+            fresh, indexPath, idCol, textCol, threshold, shingleN, numHashes, bands)
+          val replayed = b.join(known, Seq(idCol), "left_semi")
+            .select(col(idCol).as("id"), lit(false).as("is_dup"),
+              lit(null).cast(b.schema(idCol).dataType).as("dup_of"),
+              lit(null).cast("double").as("jaccard"))
+          verdicts.unionByName(replayed)
+            .write.mode("overwrite").parquet(s"$verdictsPath/batch_id=$batchId")
+          if (math.max(stats.bandsFiles, stats.shinglesFiles) > compactAt)
+            Dedup.compactMinhashIndex(spark, indexPath)
+        }
         ()
       }
       .start()
@@ -135,11 +154,13 @@ object Streams {
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val known = Ann.readIvf(spark, indexPath).assigned.select(col(idCol)).distinct()
-        val fresh = batch.join(known, Seq(idCol), "left_anti")
-        Ann.appendToIvf(fresh, indexPath, idCol, vecCol)
-        if (Ann.ivfFileCounts(spark, indexPath).values.exists(_ > compactAt))
-          Ann.compactIvf(spark, indexPath)
+        scopedUnpersist(spark) {
+          val known = Ann.readIvf(spark, indexPath).assigned.select(col(idCol)).distinct()
+          val fresh = batch.join(known, Seq(idCol), "left_anti")
+          Ann.appendToIvf(fresh, indexPath, idCol, vecCol)
+          if (Ann.ivfFileCounts(spark, indexPath).values.exists(_ > compactAt))
+            Ann.compactIvf(spark, indexPath)
+        }
         ()
       }
       .start()

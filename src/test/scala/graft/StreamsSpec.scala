@@ -147,6 +147,7 @@ class StreamsSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft_ingest_sink").toString
     val idxPath = s"$dir/index"; val vPath = s"$dir/verdicts"; val ckpt = s"$dir/ckpt"
     Dedup.writeMinhashIndex(Dedup.buildMinhashIndex(corpus, "doc_id", "text"), idxPath)
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.keySet
     val mem = MemoryStream[DocRow]
     val q = Streams.ingestSink(mem.toDF, idxPath, vPath, ckpt,
       "doc_id", "text", threshold = 0.3, compactAt = 2)
@@ -184,6 +185,11 @@ class StreamsSpec extends SparkSpec {
     val (bf, sf) = Dedup.minhashFileCounts(spark, idxPath)
     assert(math.max(bf, sf) <= 4,
       s"compaction should bound index file counts, got bands=$bf shingles=$sf")
+    // per-batch scratch blocks (band keys, candidates, verdicts) must not
+    // accumulate across micro-batches — the long-running-stream twin of
+    // the bench's block-manager lesson
+    assert(spark.sparkContext.getPersistentRDDs.keySet === rddsBefore,
+      "ingestSink leaked localCheckpoint blocks across micro-batches")
   }
 
   test("annIngestSink: appended vectors probe-visible, replays add nothing, lists compacted") {
