@@ -192,6 +192,42 @@ class StreamsSpec extends SparkSpec {
       "ingestSink leaked localCheckpoint blocks across micro-batches")
   }
 
+  test("ingestSink resumes from its checkpoint across query restarts (file source)") {
+    import graft.operators.Dedup
+    val docs = Tables.load(spark, sfDir, "documents").filter(col("doc_id") < 1000)
+    val corpus = docs.filter(col("doc_id") % 5 >= 2)
+    val b1df = docs.filter(col("doc_id") % 5 === 0)
+    val b2df = docs.filter(col("doc_id") % 5 === 1)
+    val dir = Files.createTempDirectory("graft_ingest_resume").toString
+    val srcDir = s"$dir/src"; val idxPath = s"$dir/index"
+    val vPath = s"$dir/verdicts"; val ckpt = s"$dir/ckpt"
+    Dedup.writeMinhashIndex(Dedup.buildMinhashIndex(corpus, "doc_id", "text"), idxPath)
+    def source() = spark.readStream
+      .schema("doc_id BIGINT, text STRING").parquet(srcDir)
+    b1df.select("doc_id", "text").write.mode("append").parquet(srcDir)
+    val q1 = Streams.ingestSink(source(), idxPath, vPath, ckpt,
+      "doc_id", "text", threshold = 0.3, compactAt = 2)
+    q1.processAllAvailable(); q1.stop()
+    val bandsAfterB1 = Dedup.readMinhashIndex(spark, idxPath).bands.count()
+    // RESTART against the same checkpoint: only files added since may
+    // be processed — the already-ingested batch must not replay
+    b2df.select("doc_id", "text").write.mode("append").parquet(srcDir)
+    val q2 = Streams.ingestSink(source(), idxPath, vPath, ckpt,
+      "doc_id", "text", threshold = 0.3, compactAt = 2)
+    q2.processAllAvailable(); q2.stop()
+    val v = spark.read.parquet(vPath)
+    assert(v.select("batch_id").distinct().as[Long].collect().toSet === Set(0L, 1L))
+    assert(v.count() === b1df.count() + b2df.count(),
+      "each document verdicted exactly once across the restart")
+    // index grew by exactly the two batches' survivor sets
+    val survivors = v.filter(!col("is_dup")).count()
+    val perDocBands = Dedup.readMinhashIndex(spark, idxPath).bands
+      .groupBy("id").count().select(max("count")).as[Long].head()
+    assert(Dedup.readMinhashIndex(spark, idxPath).bands.count() ===
+      corpus.count() * perDocBands + survivors * perDocBands)
+    assert(bandsAfterB1 < Dedup.readMinhashIndex(spark, idxPath).bands.count())
+  }
+
   test("annIngestSink: appended vectors probe-visible, replays add nothing, lists compacted") {
     import graft.operators.Ann
     implicit val sqlCtx = spark.sqlContext
