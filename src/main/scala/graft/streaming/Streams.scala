@@ -43,21 +43,32 @@ object Streams {
     df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keys)
 
   /** CDC sink: per micro-batch, derive typed change events against the
-    * stored history and append them (the streaming form of
-    * History.deriveEvents; reference postgres_storage.py:1250-1478).
+    * stored history and write them under the batch's own partition (the
+    * streaming form of History.deriveEvents; reference
+    * postgres_storage.py:1250-1478).
     *
-    * History lives in a date-partitioned parquet dir; each batch reads the
-    * current latest-per-key snapshot, classifies changes, and appends only
-    * rows that changed (no_change rows are dropped inside deriveEvents).
-    */
+    * Each batch reads the latest-per-key snapshot of earlier batches'
+    * events, classifies changes, and keeps only rows that changed
+    * (no_change rows are dropped inside deriveEvents). Events land under
+    * `historyPath/batch_id=N/`, which makes at-least-once `foreachBatch`
+    * delivery CONVERGE: a replayed batch derives against STRICTLY-EARLIER
+    * batches only (its own half-committed partition is excluded — deriving
+    * against it would classify everything no_change and erase the events)
+    * and then overwrites its own partition with the identical result. A
+    * plain append would double-log every replayed event instead. Readers
+    * see one extra `batch_id` partition column. */
   def cdcSink(batchStream: DataFrame, historyPath: String, checkpointPath: String): StreamingQuery =
     batchStream.writeStream
       .option("checkpointLocation", checkpointPath)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val hist = existingHistory(spark, historyPath, batch)
+        val hist = existingHistory(spark, historyPath, batch) match {
+          case h if h.columns.contains("batch_id") =>
+            h.filter(col("batch_id") < batchId).drop("batch_id")
+          case h => h
+        }
         History.deriveEvents(batch, hist, None)
-          .write.mode("append").parquet(historyPath)
+          .write.mode("overwrite").parquet(s"$historyPath/batch_id=$batchId")
         ()
       }
       .start()

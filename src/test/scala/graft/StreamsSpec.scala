@@ -80,6 +80,10 @@ class StreamsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getString(2),
         if (r.isNullAt(3)) null else r.getDouble(3))).toSeq
     assert(hist == Seq(("p1", 100.0, "price_change", null), ("p1", 110.0, "price_change", 10.0)))
+    // events land under per-batch partitions — the layout that lets a
+    // replayed batch overwrite its own output instead of double-appending
+    assert(spark.read.parquet(histPath).select("batch_id").distinct()
+      .as[Long].collect().toSet == Set(0L, 1L))
   }
 
   test("curation gates and mixture sampling run unchanged on a stream") {
