@@ -52,10 +52,24 @@ object Generations {
     val limit = n + 100 // a hundred simultaneous writers means something is wrong
     while (n < limit) {
       val gen = new Path(new Path(root), f"gen_$n%06d")
+      val claim = new Path(gen, "_CLAIM")
+      val f = fsOf(spark, gen)
+      // Only "this number is already claimed" advances to the next number.
+      // Any other IOException (permissions, quota, a network-FS hiccup) is a
+      // real failure and must surface — swallowing it would silently skip
+      // generation numbers or spin to the misleading could-not-claim error.
+      // FileSystem.create(overwrite=false) is check-then-create on the local
+      // filesystem (best-effort atomic there; truly atomic on HDFS), so the
+      // race window is the create itself — which still lands in the
+      // FileAlreadyExistsException arm.
       try {
-        fsOf(spark, gen).create(new Path(gen, "_CLAIM"), false).close()
+        f.create(claim, false).close()
         return gen
-      } catch { case _: java.io.IOException => n += 1 }
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => n += 1
+        case _: java.nio.file.FileAlreadyExistsException => n += 1
+        case _: java.io.IOException if f.exists(claim) => n += 1
+      }
     }
     throw new java.io.IOException(
       s"claimNextGen: could not claim a generation under $root after 100 attempts")

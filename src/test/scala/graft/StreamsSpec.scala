@@ -163,6 +163,15 @@ class StreamsSpec extends SparkSpec {
     val bandsRowsBefore = Dedup.readMinhashIndex(spark, idxPath).bands.count()
     mem.addData(rows(b1df): _*); q.processAllAvailable()
     q.stop()
+    // per-batch scratch blocks (band keys, candidates, verdicts) must not
+    // accumulate across micro-batches — the long-running-stream twin of
+    // the bench's block-manager lesson. Asserted HERE, directly after
+    // q.stop(): only the sink's own work sits inside the snapshot window.
+    // The twin-verification dedupAgainstIndex calls below create their own
+    // localCheckpoint blocks that only the GC-driven ContextCleaner frees,
+    // so asserting after them made the test GC-timing-dependent.
+    assert(spark.sparkContext.getPersistentRDDs.keySet === rddsBefore,
+      "ingestSink leaked localCheckpoint blocks across micro-batches")
     val v = spark.read.parquet(vPath)
     def verdictSet(df: org.apache.spark.sql.DataFrame) =
       df.select("id", "is_dup", "dup_of").collect().map(_.toString).sorted.toSeq
@@ -189,11 +198,6 @@ class StreamsSpec extends SparkSpec {
     val (bf, sf) = Dedup.minhashFileCounts(spark, idxPath)
     assert(math.max(bf, sf) <= 4,
       s"compaction should bound index file counts, got bands=$bf shingles=$sf")
-    // per-batch scratch blocks (band keys, candidates, verdicts) must not
-    // accumulate across micro-batches — the long-running-stream twin of
-    // the bench's block-manager lesson
-    assert(spark.sparkContext.getPersistentRDDs.keySet === rddsBefore,
-      "ingestSink leaked localCheckpoint blocks across micro-batches")
   }
 
   test("ingestSink resumes from its checkpoint across query restarts (file source)") {
