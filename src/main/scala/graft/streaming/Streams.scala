@@ -4,7 +4,10 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
-import graft.operators.{Dedup, History}
+import org.apache.hadoop.fs.Path
+
+import graft.operators.{Dedup, History, Merge}
+import graft.store.Generations
 
 /** Structured Streaming surface (SURVEY.md §2.10). The reference is
   * micro-batch incremental (resumable progress, recency watermark, CDC into
@@ -42,36 +45,92 @@ object Streams {
   def dedupStream(df: DataFrame, keys: Seq[String], tsCol: String, watermark: String): DataFrame =
     df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keys)
 
-  /** CDC sink: per micro-batch, derive typed change events against the
-    * stored history and write them under the batch's own partition (the
-    * streaming form of History.deriveEvents; reference
-    * postgres_storage.py:1250-1478).
+  /** CDC sink: per micro-batch, derive typed change events against a
+    * MAINTAINED latest-per-key companion and write them under the batch's
+    * own partition (the streaming form of History.deriveEvents; the
+    * reference probes only the latest stored row per key,
+    * postgres_storage.py:1283-1305).
     *
-    * Each batch reads the latest-per-key snapshot of earlier batches'
-    * events, classifies changes, and keeps only rows that changed
-    * (no_change rows are dropped inside deriveEvents). Events land under
-    * `historyPath/batch_id=N/`, which makes at-least-once `foreachBatch`
-    * delivery CONVERGE: a replayed batch derives against STRICTLY-EARLIER
-    * batches only (its own half-committed partition is excluded — deriving
-    * against it would classify everything no_change and erase the events)
-    * and then overwrites its own partition with the identical result. A
-    * plain append would double-log every replayed event instead. Readers
-    * see one extra `batch_id` partition column. */
+    * Scale contract: the derive input is the companion — O(keys) rows,
+    * FLAT in stream length — never the event log itself
+    * ([[graft.operators.History]]'s own documented rule: "Callers must NOT
+    * pass the full log"). Re-reading all prior `batch_id=` partitions per
+    * batch (this sink's pre-r7 shape) costs a full-log scan + shuffle
+    * whose price grows with every batch a long-running stream processes.
+    *
+    * The companion lives at `historyPath/_latest/gen_<batchId>/` — a
+    * generation PER BATCH, committed with the [[graft.store.Generations]]
+    * marker discipline (underscore prefix keeps it invisible to readers of
+    * the event tree). Batch N derives against the newest committed
+    * generation with id < N, then writes gen_N = latestPerKey(prev ∪ its
+    * own events). max-by (ts, tieBreakers) is associative, so the
+    * incremental companion equals a global latest-per-key over all prior
+    * events — the derivation is semantically identical to the full-log
+    * read, the cost is not.
+    *
+    * At-least-once `foreachBatch` delivery CONVERGES: a replayed batch
+    * resolves gen_{N-1} — STRICTLY-EARLIER state, its own half-committed
+    * outputs invisible by construction (deriving against its own events
+    * would classify everything no_change and erase them) — and overwrites
+    * both its `batch_id=N` event partition and its gen_N companion with
+    * byte-identical results. Superseded companion generations are vacuumed
+    * (keep=2: gen_{N-1} must survive until batch N+1 commits, for exactly
+    * this replay path). Readers of `historyPath` see one extra `batch_id`
+    * partition column. */
   def cdcSink(batchStream: DataFrame, historyPath: String, checkpointPath: String): StreamingQuery =
     batchStream.writeStream
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val hist = existingHistory(spark, historyPath, batch) match {
-          case h if h.columns.contains("batch_id") =>
-            h.filter(col("batch_id") < batchId).drop("batch_id")
-          case h => h
-        }
-        History.deriveEvents(batch, hist, None)
-          .write.mode("overwrite").parquet(s"$historyPath/batch_id=$batchId")
+        cdcProcessBatch(batch, historyPath, batchId)
         ()
       }
       .start()
+
+  /** Columns the CDC derivation compares against — the companion's schema. */
+  private val CdcStateCols = Seq(
+    "product_id", "price", "original_price", "discount_percent", "sales_count", "crawled_at")
+
+  /** One [[cdcSink]] micro-batch, factored out so a replay is directly
+    * testable: derive against the strictly-earlier companion, overwrite the
+    * batch's event partition, write the batch's companion generation. */
+  private[graft] def cdcProcessBatch(batch: DataFrame, historyPath: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    scopedUnpersist(spark) {
+      val prev = cdcState(spark, historyPath, batchId)
+        .getOrElse(batch.select(CdcStateCols.map(col): _*).limit(0))
+      // materialized once: the events feed both the partition write and the
+      // companion merge (and the scoped wrapper frees the blocks per batch)
+      val events = History.deriveEvents(batch, prev, None).localCheckpoint()
+      events.write.mode("overwrite").parquet(s"$historyPath/batch_id=$batchId")
+      val next = Merge.latestPerKey(
+        prev.unionByName(events.select(CdcStateCols.map(col): _*)),
+        Seq("product_id"), "crawled_at", Seq(col("price").desc))
+      val root = s"$historyPath/_latest"
+      val gen = new Path(new Path(root), f"gen_$batchId%06d")
+      val fs = gen.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // a replayed batch rewrites its own generation (deterministic from
+      // gen_{N-1} + the batch, so the rewrite is byte-identical)
+      fs.delete(gen, true)
+      next.write.mode("overwrite").parquet(new Path(gen, "state").toString)
+      Generations.commit(spark, gen)
+      Generations.vacuum(spark, root, keep = 2)
+    }
+  }
+
+  /** The latest-per-key CDC state batch `batchId` must derive against: the
+    * newest COMMITTED companion generation with id STRICTLY below it (a
+    * replayed batch never sees its own output). None before the first
+    * commit. Public surface so specs can assert the derive input is the
+    * companion — one generation directory, O(keys) rows — and not the
+    * accumulated `batch_id=` event partitions. */
+  def cdcState(spark: SparkSession, historyPath: String, batchId: Long): Option[DataFrame] = {
+    val root = s"$historyPath/_latest"
+    Generations.genDirs(spark, root)
+      .map(p => (p.getName.drop(4).toLong, p))
+      .filter { case (id, p) => id < batchId && Generations.isCommitted(spark, p) }
+      .sortBy(_._1).lastOption
+      .map { case (_, p) => spark.read.parquet(new Path(p, "state").toString) }
+  }
 
   /** Run `body`, then unpersist every persistent RDD it created — the
     * `foreachBatch` twin of the bench's per-query cleanup. The ingest
@@ -110,9 +169,13 @@ object Streams {
     * (2) already-known ids get their by-construction verdict back
     * (`is_dup = false` — only non-dups are ever appended, and a non-dup
     * verdict carries null `dup_of`/`jaccard`), and the whole batch
-    * OVERWRITES its own `batch_id=N` partition, so a replayed batch
-    * produces byte-identical verdicts. Cost of the guard: one extra
-    * narrow column scan of the bands relation per batch. */
+    * OVERWRITES its own `batch_id=N` partition. Convergence guarantee:
+    * same ids and `is_dup` flags as the original run. `dup_of`/`jaccard`
+    * of a replayed DUP row may re-resolve — the index now contains the
+    * batch's own survivors, so a dup can best-match a same-batch survivor
+    * it could not see the first time (still a true near-dup at ≥
+    * threshold, just a different witness). Cost of the guard: one narrow
+    * scan of the id manifest per batch. */
   def ingestSink(docs: DataFrame, indexPath: String, verdictsPath: String,
       checkpointPath: String, idCol: String, textCol: String, threshold: Double,
       compactAt: Int = 64, shingleN: Int = 3, numHashes: Int = 12,
@@ -230,12 +293,4 @@ object Streams {
       }
   }
 
-  private def existingHistory(spark: SparkSession, path: String, like: DataFrame): DataFrame = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      java.net.URI.create(path), spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(path)))
-      spark.read.parquet(path)
-    else
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], like.schema)
-  }
 }

@@ -62,7 +62,7 @@ class StreamsSpec extends SparkSpec {
     assert(got == Seq(("u1", 1L, 3.0), ("u1", 2L, 3.0), ("u2", 1L, 4.0)))
   }
 
-  test("cdcSink appends first-crawl then price-change events across micro-batches") {
+  test("cdcSink derives against the latest-per-key companion, not the event log") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("graft_cdc").toString
     val histPath = s"$dir/history"
@@ -73,17 +73,53 @@ class StreamsSpec extends SparkSpec {
     q.processAllAvailable()
     mem.addData(Crawl("p1", 110.0, 120.0, null, 5L, ts("2024-01-02 00:00:00")))
     q.processAllAvailable()
+    mem.addData(
+      Crawl("p1", 110.0, 120.0, null, 9L, ts("2024-01-03 00:00:00")), // sales change only
+      Crawl("p2", 50.0, 60.0, null, 1L, ts("2024-01-03 00:00:00"))) // new key
+    q.processAllAvailable()
     q.stop()
     val hist = spark.read.parquet(histPath)
       .select("product_id", "price", "crawl_type", "price_change")
-      .orderBy("crawled_at")
+      .orderBy("crawled_at", "product_id")
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getString(2),
         if (r.isNullAt(3)) null else r.getDouble(3))).toSeq
-    assert(hist == Seq(("p1", 100.0, "price_change", null), ("p1", 110.0, "price_change", 10.0)))
+    assert(hist == Seq(
+      ("p1", 100.0, "price_change", null), ("p1", 110.0, "price_change", 10.0),
+      ("p1", 110.0, "sales_change", null), ("p2", 50.0, "price_change", null)))
     // events land under per-batch partitions — the layout that lets a
     // replayed batch overwrite its own output instead of double-appending
     assert(spark.read.parquet(histPath).select("batch_id").distinct()
-      .as[Long].collect().toSet == Set(0L, 1L))
+      .as[Long].collect().toSet == Set(0L, 1L, 2L))
+    // THE SCALE CONTRACT: the next batch's derive input is the companion —
+    // every backing file lives in ONE committed generation dir, never the
+    // accumulated batch_id= event partitions
+    val st = Streams.cdcState(spark, histPath, batchId = 3L).get
+    assert(st.inputFiles.nonEmpty &&
+      st.inputFiles.forall(_.contains("/_latest/gen_000002/")),
+      s"derive input should be the gen_2 companion, got ${st.inputFiles.toSeq}")
+    // ... and it is O(keys): one row per product after four events across
+    // three batches — flat in stream length
+    assert(st.count() === 2)
+    assert(st.orderBy("product_id")
+      .select("product_id", "price", "sales_count")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq ===
+      Seq(("p1", 110.0, 9L), ("p2", 50.0, 1L)))
+    // replay converges: only the CURRENT batch can ever replay (the
+    // checkpoint commits batch N before batch N+1 starts, and keep=2
+    // preserves exactly the gen_{N-1} it needs) — re-running batch 2 sees
+    // only strictly-earlier state (gen_1) and rewrites its event partition
+    // and companion byte-identically
+    val eventsBefore = spark.read.parquet(histPath)
+      .collect().map(_.toString).sorted.toSeq
+    val stateBefore = st.collect().map(_.toString).sorted.toSeq
+    Streams.cdcProcessBatch(
+      Seq(Crawl("p1", 110.0, 120.0, null, 9L, ts("2024-01-03 00:00:00")),
+        Crawl("p2", 50.0, 60.0, null, 1L, ts("2024-01-03 00:00:00"))).toDF,
+      histPath, batchId = 2L)
+    assert(spark.read.parquet(histPath)
+      .collect().map(_.toString).sorted.toSeq === eventsBefore)
+    assert(Streams.cdcState(spark, histPath, batchId = 3L).get
+      .collect().map(_.toString).sorted.toSeq === stateBefore)
   }
 
   test("curation gates and mixture sampling run unchanged on a stream") {
