@@ -155,6 +155,13 @@ object Ann {
     val gen = graft.store.Generations.claimNextGen(spark, path)
     index.assigned.write.mode("overwrite").partitionBy("list")
       .parquet(new Path(gen, "assigned").toString)
+    // compact id manifest for the streaming replay guard ([[ivfIds]]) —
+    // derived by re-reading the written tree (a pruned id-column scan),
+    // not by recomputing the assignment
+    val idCol = index.assigned.columns.head
+    spark.read.parquet(new Path(gen, "assigned").toString)
+      .select(col(idCol).as("id")).distinct()
+      .write.mode("overwrite").parquet(new Path(gen, "ids").toString)
     import spark.implicits._
     index.centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
@@ -162,6 +169,21 @@ object Ann {
       .coalesce(1).write.mode("overwrite").parquet(new Path(gen, "centroids").toString)
     graft.store.Generations.commit(spark, gen)
     gen.toString
+  }
+
+  /** The id manifest of the latest committed generation: one narrow `id`
+    * row per indexed vector — what the streaming replay guard anti-joins
+    * against, instead of `distinct`-scanning the whole assigned tree per
+    * micro-batch. Falls back to that scan for legacy layouts without a
+    * manifest. */
+  def ivfIds(spark: SparkSession, path: String): DataFrame = {
+    val gen = requireGen(spark, path)
+    val ids = new Path(gen, "ids")
+    if (fsOf(spark, ids).exists(ids)) spark.read.parquet(ids.toString)
+    else {
+      val assigned = spark.read.parquet(new Path(gen, "assigned").toString)
+      assigned.select(col(assigned.columns.head).as("id")).distinct()
+    }
   }
 
   private def requireGen(spark: SparkSession, path: String): Path =
@@ -235,6 +257,12 @@ object Ann {
     val centroids = spark.read.parquet(new Path(gen, "centroids").toString)
       .select("list", "centroid").orderBy("list").collect()
       .map(_.getSeq[Double](1).toArray)
+    // manifest FIRST (mirrors appendToMinhashIndex's ordering rationale):
+    // manifest-without-data means a replay merely skips the batch (vectors
+    // lost softly); data-without-manifest means a replay re-appends and
+    // duplicates vectors
+    batch.select(col(idCol).as("id")).distinct().coalesce(1)
+      .write.mode("append").parquet(new Path(gen, "ids").toString)
     assignToCentroids(batch, idCol, vecCol, centroids)
       .write.mode("append").partitionBy("list")
       .parquet(new Path(gen, "assigned").toString)
@@ -270,8 +298,13 @@ object Ann {
       targetFiles: Int = 0, minFiles: Int = 1): Int =
     latestIvfGen(spark, path) match {
       case None => 0
-      case Some(gen) => graft.store.Compact.partitionedDir(
-        spark, new Path(gen, "assigned").toString, "list", targetFiles, minFiles)
+      case Some(gen) =>
+        // the id manifest accumulates one file per append too — same
+        // maintenance pass, same in-place leaf rewrite
+        graft.store.Compact.leafDir(spark, new Path(gen, "ids").toString,
+          targetFiles, minFiles)
+        graft.store.Compact.partitionedDir(
+          spark, new Path(gen, "assigned").toString, "list", targetFiles, minFiles)
     }
 
   /** Reader-atomic compaction: rewrite the CURRENT generation's corpus,

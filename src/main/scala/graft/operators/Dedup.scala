@@ -128,51 +128,119 @@ object Dedup {
       minhashBandKeys(corpus, idCol, textCol, shingleN, numHashes, bands),
       shingleRows(corpus, idCol, textCol, shingleN))
 
-  /** Persist an index under `path`: a fresh `gen_NNNNNN/{bands,shingles}`
-    * generation committed by a `_COMMITTED` marker created LAST (the same
-    * [[graft.store.Generations]] discipline as the IVF tree), so a rebuild
-    * or an online compaction never races a concurrent reader into a
-    * half-written layout. Both relations are narrow (id + one string
-    * column); the corpus text itself is NOT stored. One linear corpus scan
-    * produces both. Returns the committed generation path. */
-  def writeMinhashIndex(idx: MinhashIndex, path: String): String = {
+  /** Number of `__bkt=` partition dirs the PERSISTED bands relation is
+    * hashed into. A batch probe's band keys map to a subset of buckets, so
+    * the candidate join's index scan partition-prunes to that subset
+    * instead of reading the whole relation per batch — the difference
+    * between O(batch) and O(corpus) candidate generation in a sustained
+    * ingest loop. 64 keeps the per-batch bucket list a bounded driver-side
+    * literal while still skipping ~all of the index for micro-batches. */
+  val BandBuckets = 64
+
+  /** The bucket a band key lands in — Spark's Murmur3 `hash`, stable
+    * across JVMs/sessions, so writer and probe always agree. */
+  private def bandBucket(c: org.apache.spark.sql.Column) = pmod(hash(c), lit(BandBuckets))
+
+  /** Persist an index under `path`: a fresh
+    * `gen_NNNNNN/{bands,shingles,ids}` generation committed by a
+    * `_COMMITTED` marker created LAST (the same [[graft.store.Generations]]
+    * discipline as the IVF tree), so a rebuild or an online compaction
+    * never races a concurrent reader into a half-written layout. All
+    * relations are narrow (id + at most one string column); the corpus
+    * text itself is NOT stored. The bands relation is laid out partitioned
+    * by `__bkt = hash(bandkey) % BandBuckets` (one extra narrow shuffle at
+    * build time) so per-batch probes partition-prune; `filesPerBucket`
+    * (default 1) salts that shuffle when a bucket's data exceeds one
+    * healthy parquet file — [[compactMinhashIndex]] auto-sizes it from
+    * measured bytes. `ids` is the compact id manifest the streaming replay
+    * guard reads ([[minhashIndexIds]]) — derived by re-reading the written
+    * bands files (a pruned id-column scan), not by re-running the sketch.
+    * Returns the committed generation path. */
+  def writeMinhashIndex(idx: MinhashIndex, path: String, filesPerBucket: Int = 1): String = {
     val spark = idx.bands.sparkSession
     val gen = graft.store.Generations.claimNextGen(spark, path)
-    idx.bands.write.mode("overwrite").parquet(s"$gen/bands")
+    val withBkt = idx.bands.drop("__bkt").withColumn("__bkt", bandBucket(col("bandkey")))
+    val re =
+      if (filesPerBucket <= 1) withBkt.repartition(col("__bkt"))
+      else withBkt.repartition(col("__bkt"), pmod(hash(col("id")), lit(filesPerBucket)))
+    re.write.mode("overwrite").partitionBy("__bkt").parquet(s"$gen/bands")
     idx.shingles.write.mode("overwrite").parquet(s"$gen/shingles")
+    spark.read.parquet(s"$gen/bands").select("id").distinct()
+      .write.mode("overwrite").parquet(s"$gen/ids")
     graft.store.Generations.commit(spark, gen)
     gen.toString
   }
 
-  /** Load the latest committed generation (lazy scans). */
+  /** Load the latest committed generation (lazy scans). The bands relation
+    * carries the `__bkt` partition column when read from a bucketed
+    * layout; [[dedupAgainstIndex]] prunes on it. */
   def readMinhashIndex(spark: org.apache.spark.sql.SparkSession, path: String): MinhashIndex = {
     val gen = graft.store.Generations.requireCommitted(spark, path)
     MinhashIndex(spark.read.parquet(s"$gen/bands"), spark.read.parquet(s"$gen/shingles"))
   }
 
-  /** Data-file counts of the latest committed generation's (bands,
-    * shingles) relations — the [[compactMinhashIndex]] trigger signal,
-    * recorded per batch in [[IngestStats]]. Directory metadata only. */
+  /** The id manifest of the latest committed generation: one narrow row
+    * per indexed document id. This is what per-batch replay guards read —
+    * O(corpus ids), a fraction of the bands relation, and never the
+    * corpus-sized `distinct` scan the pre-r7 guard paid per micro-batch.
+    * Falls back to a bands-derived distinct for legacy layouts written
+    * before the manifest existed. */
+  def minhashIndexIds(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val gen = graft.store.Generations.requireCommitted(spark, path)
+    val ids = new org.apache.hadoop.fs.Path(s"$gen/ids")
+    val fs = ids.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(ids)) spark.read.parquet(ids.toString)
+    else spark.read.parquet(s"$gen/bands").select("id").distinct()
+  }
+
+  /** Data-file counts of the latest committed generation — the
+    * [[compactMinhashIndex]] trigger signal, recorded per batch in
+    * [[IngestStats]]. For the bucketed bands layout the count is the MAX
+    * per-`__bkt` file count (the probe's cost driver is files per scanned
+    * bucket, and every append adds one file to each touched bucket); for
+    * shingles it is the flat dir count. Directory metadata only. */
   def minhashFileCounts(spark: org.apache.spark.sql.SparkSession, path: String): (Int, Int) = {
     val gen = graft.store.Generations.requireCommitted(spark, path)
-    (graft.store.Compact.dataFileCount(spark, s"$gen/bands"),
-      graft.store.Compact.dataFileCount(spark, s"$gen/shingles"))
+    val bandsDir = new org.apache.hadoop.fs.Path(s"$gen/bands")
+    val fs = bandsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val perBucket =
+      if (!fs.exists(bandsDir)) Nil
+      else fs.listStatus(bandsDir).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("__bkt="))
+        .map(st => graft.store.Compact.dataFileCount(spark, st.getPath.toString))
+    val bandsFiles =
+      if (perBucket.nonEmpty) perBucket.max
+      else graft.store.Compact.dataFileCount(spark, bandsDir.toString) // legacy flat layout
+    (bandsFiles, graft.store.Compact.dataFileCount(spark, s"$gen/shingles"))
   }
 
   /** Append a batch's relations to a persisted index — the ingest loop's
     * closing step: after [[dedupAgainstIndex]] marks duplicates, the
     * SURVIVING documents are appended so the next batch dedups against
-    * corpus ∪ batch. Cost ∝ batch size (two linear batch scans, one per
-    * relation); the corpus is never re-read or rewritten, and parquet
-    * part-file names carry task UUIDs so appends never collide. Callers
-    * must filter the batch to survivors first — appending dropped dups
-    * would make them future match targets. */
+    * corpus ∪ batch. Cost ∝ batch size (linear batch scans); the corpus
+    * is never re-read or rewritten, and parquet part-file names carry
+    * task UUIDs so appends never collide. Callers must filter the batch
+    * to survivors first — appending dropped dups would make them future
+    * match targets.
+    *
+    * The id manifest is appended FIRST, deliberately: the three appends
+    * are not atomic as a group, and the failure modes differ. Manifest
+    * landed but bands/shingles did not → a replayed batch's guard drops
+    * those ids, they are simply never banded (a missed future match
+    * target, soft). Bands landed but the manifest did not → the replay
+    * re-runs the batch through the candidate probe with its own ids
+    * already on the index side, and the resulting self-pairs would make
+    * each document its own best match — corruption, not degradation. */
   def appendToMinhashIndex(
       batch: DataFrame, path: String, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4): Unit = {
     val gen = graft.store.Generations.requireCommitted(batch.sparkSession, path)
+    batch.select(col(idCol).as("id")).distinct().coalesce(1)
+      .write.mode("append").parquet(s"$gen/ids")
     minhashBandKeys(batch, idCol, textCol, shingleN, numHashes, bands)
-      .write.mode("append").parquet(s"$gen/bands")
+      .withColumn("__bkt", bandBucket(col("bandkey")))
+      .repartition(col("__bkt"))
+      .write.mode("append").partitionBy("__bkt").parquet(s"$gen/bands")
     shingleRows(batch, idCol, textCol, shingleN)
       .write.mode("append").parquet(s"$gen/shingles")
   }
@@ -203,13 +271,29 @@ object Dedup {
 
   /** Candidate (batch id, corpus id) pairs from the banded broadcast probe —
     * [[dedupAgainstIndex]]'s first stage, split out so [[ingestCycle]] can
-    * count candidates for its ledger row without running banding twice. */
+    * count candidates for its ledger row without running banding twice.
+    *
+    * Against a [[writeMinhashIndex]] layout the index side carries the
+    * `__bkt` partition column: the batch's bucket set (≤ [[BandBuckets]]
+    * small ints — a deliberate capped driver-side collect, same exception
+    * as Ann's probe lists) is applied as a literal filter BEFORE the join,
+    * so the scan partition-prunes to the batch's buckets instead of
+    * reading the whole bands relation per batch. Any bandkey equal across
+    * the join hashes to the same bucket, so the filter can never drop a
+    * true candidate. In-memory indexes (no `__bkt`) skip the prune. */
   private def bandCandidates(
       batch: DataFrame, idx: MinhashIndex, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int, bands: Int): DataFrame = {
     val bBands = minhashBandKeys(batch, idCol, textCol, shingleN, numHashes, bands)
       .localCheckpoint()
-    broadcast(bBands.as("x")).join(idx.bands.as("y"), Seq("bandkey"))
+    val idxBands =
+      if (!idx.bands.columns.contains("__bkt")) idx.bands
+      else {
+        val bkts = bBands.select(bandBucket(col("bandkey")).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        idx.bands.filter(col("__bkt").isin(bkts: _*)).drop("__bkt")
+      }
+    broadcast(bBands.as("x")).join(idxBands.as("y"), Seq("bandkey"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
   }
 
@@ -231,10 +315,11 @@ object Dedup {
   }
 
   /** One ledger row per ingest batch — the §2.8 stats contract extended to
-    * the ingest loop. `bandsFiles`/`shinglesFiles` are the persisted index's
-    * data-file counts AFTER the append: they grow by one part-file set per
-    * batch, so they are the [[compactMinhashIndex]] trigger signal (compact
-    * when they exceed your file budget). */
+    * the ingest loop. `bandsFiles` (max per-bucket) / `shinglesFiles` (flat
+    * dir) are the persisted index's data-file counts AFTER the append: each
+    * batch adds roughly one file per touched bands bucket and one part-file
+    * set to shingles, so they are the [[compactMinhashIndex]] trigger
+    * signal (compact when they exceed your file budget). */
   final case class IngestStats(
       batchRows: Long, candidatePairs: Long, dups: Long, appendedRows: Long,
       bandsFiles: Int, shinglesFiles: Int)
@@ -296,19 +381,24 @@ object Dedup {
     val gen = graft.store.Generations.requireCommitted(spark, path)
     val (bandsFiles, shinglesFiles) = minhashFileCounts(spark, path)
     // targetFiles = 0 auto-sizes per relation from its byte size (files come
-    // out ≈ maxFileBytes and the coalesce keeps one task per output file —
-    // a fixed small target would cap the whole rewrite stage's parallelism,
-    // see Compact's scaladoc)
-    val bandsTarget = Compact.resolveTarget(
-      targetFiles, Compact.dataSizeBytes(spark, s"$gen/bands"), maxFileBytes)
+    // out ≈ maxFileBytes and the write keeps one task per output file — a
+    // fixed small target would cap the whole rewrite stage's parallelism,
+    // see Compact's scaladoc). Bands auto-size is PER BUCKET: the layout's
+    // bytes spread over BandBuckets dirs, and writeMinhashIndex salts the
+    // bucket shuffle when one bucket's share exceeds a healthy file.
+    val bandsPath = new org.apache.hadoop.fs.Path(s"$gen/bands")
+    val bandsBytes = bandsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(bandsPath).getLength
+    val filesPerBucket = Compact.resolveTarget(
+      targetFiles, bandsBytes / BandBuckets, maxFileBytes)
     val shinglesTarget = Compact.resolveTarget(
       targetFiles, Compact.dataSizeBytes(spark, s"$gen/shingles"), maxFileBytes)
-    if (bandsFiles <= math.max(minFiles, bandsTarget) &&
+    if (bandsFiles <= math.max(minFiles, filesPerBucket) &&
         shinglesFiles <= math.max(minFiles, shinglesTarget)) 0
     else {
       val idx = readMinhashIndex(spark, path)
       writeMinhashIndex(MinhashIndex(
-        idx.bands.coalesce(bandsTarget), idx.shingles.coalesce(shinglesTarget)), path)
+        idx.bands, idx.shingles.coalesce(shinglesTarget)), path, filesPerBucket)
       graft.store.Generations.vacuum(spark, path, keep)
       1
     }

@@ -188,8 +188,10 @@ object Streams {
           // the source is re-read per downstream action otherwise (the
           // guard uses the batch twice, ingestCycle twice more)
           val b = batch.localCheckpoint()
-          val known = Dedup.readMinhashIndex(spark, indexPath)
-            .bands.select(col("id").as(idCol)).distinct()
+          // the compact id manifest, maintained at append time — never the
+          // corpus-sized bands relation (the pre-r7 per-batch distinct scan)
+          val known = Dedup.minhashIndexIds(spark, indexPath)
+            .select(col("id").as(idCol))
           val fresh = b.join(known, Seq(idCol), "left_anti")
           val (verdicts, stats) = Dedup.ingestCycle(
             fresh, indexPath, idCol, textCol, threshold, shingleN, numHashes, bands)
@@ -199,12 +201,31 @@ object Streams {
               lit(null).cast("double").as("jaccard"))
           verdicts.unionByName(replayed)
             .write.mode("overwrite").parquet(s"$verdictsPath/batch_id=$batchId")
-          if (math.max(stats.bandsFiles, stats.shinglesFiles) > compactAt)
-            Dedup.compactMinhashIndex(spark, indexPath)
+          val compacted = math.max(stats.bandsFiles, stats.shinglesFiles) > compactAt
+          if (compacted) Dedup.compactMinhashIndex(spark, indexPath)
+          // the §2.8 stats contract, streaming edition: one persisted
+          // ledger row per micro-batch beside the verdicts (underscore
+          // prefix keeps it invisible to verdict readers); a replayed
+          // batch overwrites its own row, like its verdict partition
+          import spark.implicits._
+          Seq((stats.batchRows, stats.candidatePairs, stats.dups,
+              stats.appendedRows, stats.bandsFiles, stats.shinglesFiles, compacted))
+            .toDF("rows", "candidate_pairs", "dups", "appended",
+              "bands_files", "shingles_files", "compacted")
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$verdictsPath/_ledger/batch_id=$batchId")
         }
         ()
       }
       .start()
+
+  /** The persisted per-batch ingest ledger a [[ingestSink]] run maintains
+    * beside its verdicts: (batch_id, rows, candidate_pairs, dups, appended,
+    * bands_files, shingles_files, compacted) — the operational record the
+    * batch path's [[graft.operators.Dedup.IngestStats]] return value gives
+    * callers directly, which a fire-and-forget streaming query cannot. */
+  def ingestLedger(spark: SparkSession, verdictsPath: String): DataFrame =
+    spark.read.parquet(s"$verdictsPath/_ledger")
 
   /** Continuous ANN ingest — [[ingestSink]]'s IVF twin: per micro-batch,
     * assign new vectors to the persisted layout's existing centroids and
@@ -229,7 +250,8 @@ object Streams {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         scopedUnpersist(spark) {
-          val known = Ann.readIvf(spark, indexPath).assigned.select(col(idCol)).distinct()
+          // id manifest, not a distinct over the whole assigned tree
+          val known = Ann.ivfIds(spark, indexPath).select(col("id").as(idCol))
           val fresh = batch.join(known, Seq(idCol), "left_anti")
           Ann.appendToIvf(fresh, indexPath, idCol, vecCol)
           if (Ann.ivfFileCounts(spark, indexPath).values.exists(_ > compactAt))

@@ -1,0 +1,65 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Measures what the r7 ingest-loop hardening buys per micro-batch against
+  * a persisted MinHash index: (a) candidate-probe time with the bands
+  * relation partition-pruned to the batch's `__bkt` buckets vs the same
+  * probe forced to scan the whole relation (the pre-r7 shape, simulated by
+  * dropping the partition column), and (b) replay-guard time reading the
+  * compact id manifest vs a `distinct` over the corpus-sized bands
+  * relation (the pre-r7 guard). Corpus generator shared with
+  * [[ScaleProbe]]'s deterministic shape (no RNG). Results go in
+  * docs/BENCH_NOTES_r7.md. */
+object IngestProbe {
+  def main(a: Array[String]): Unit = {
+    val spark = graft.GraftSession.create("local[32]", 32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def corpus(n: Long, off: Long): DataFrame = {
+      val id = col("id") + off
+      val len = (lit(40) + pmod(id, lit(80))).cast("int")
+      spark.range(n).select(
+        id.as("doc_id"),
+        array_join(transform(sequence(lit(1), len),
+          j => md5(concat(id.cast("string"), lit("-"), j.cast("string")))
+            .substr(lit(1), lit(6))), " ").as("text"))
+        .localCheckpoint()
+    }
+
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    for (n <- Seq(80000L, 320000L); batchRows <- Seq(256L)) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_ingestprobe").toString
+      val docs = corpus(n, 0); docs.count()
+      val (_, tBuild) = time(
+        Dedup.writeMinhashIndex(Dedup.buildMinhashIndex(docs, "doc_id", "text"), dir))
+      val batch = corpus(batchRows, 10_000_000L); batch.count()
+      val idx = Dedup.readMinhashIndex(spark, dir)
+      // pre-r7 probe shape: same data, partition column dropped => no prune
+      val flat = Dedup.MinhashIndex(idx.bands.drop("__bkt"), idx.shingles)
+      def run(i: Dedup.MinhashIndex) =
+        Dedup.dedupAgainstIndex(batch, i, "doc_id", "text", threshold = 0.7).count()
+      val (_, tFlatCold) = time(run(flat));   val (_, tFlat) = time(run(flat))
+      val (_, tPrunedCold) = time(run(idx));  val (_, tPruned) = time(run(idx))
+      // replay guard: manifest read vs distinct over bands
+      val (nIds, tManifest) = time(Dedup.minhashIndexIds(spark, dir).count())
+      val (_, tGuardOld) = time(
+        idx.bands.select(col("id")).distinct().count())
+      println(f"[ingestprobe] n=$n%7d batch=$batchRows%5d build=$tBuild%6.2fs  " +
+        f"probe_flat=$tFlat%6.2fs (cold $tFlatCold%6.2fs)  " +
+        f"probe_pruned=$tPruned%6.2fs (cold $tPrunedCold%6.2fs)  " +
+        f"guard_manifest=$tManifest%6.2fs ($nIds%d ids)  guard_distinct=$tGuardOld%6.2fs")
+      org.apache.spark.sql.graftx.Bridge.unpersistCheckpoint(docs)
+      org.apache.spark.sql.graftx.Bridge.unpersistCheckpoint(batch)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      System.gc()
+    }
+    spark.stop()
+  }
+}

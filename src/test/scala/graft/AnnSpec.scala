@@ -94,5 +94,13 @@ class AnnSpec extends SparkSpec {
     assert(probeRes.join(batch.select(col("vec_id").as("neighbor_id")),
       Seq("neighbor_id"), "left_semi").count() > 0,
       "no appended vector ever surfaced as a neighbor")
+    // the id manifest is maintained through write + append, and reads its
+    // own compact relation — never a distinct over the assigned tree
+    // (what the streaming replay guard anti-joins per micro-batch)
+    val ids = Ann.ivfIds(spark, dir)
+    assert(ids.inputFiles.nonEmpty && ids.inputFiles.forall(_.contains("/ids/")),
+      s"manifest should be backed by the ids relation, got ${ids.inputFiles.toSeq}")
+    assert(ids.count() === emb.count())
+    assert(ids.select("id").distinct().count() === emb.count())
   }
 }

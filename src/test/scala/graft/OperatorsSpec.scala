@@ -431,6 +431,42 @@ class OperatorsSpec extends SparkSpec {
       .filter(col("id") === 10L).count() === 0)
   }
 
+  test("persisted-index probe partition-prunes on band buckets; id manifest maintained") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "an entirely unrelated corpus document about spark physical plans"),
+      (3L, "another filler document padding out the tiny corpus for the test"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "fresh new content that matches nothing in the corpus today"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mhidx_bkt").toString
+    Dedup.writeMinhashIndex(Dedup.buildMinhashIndex(corpus, "doc_id", "text"), dir)
+    val idx = Dedup.readMinhashIndex(spark, dir)
+    // the persisted layout is bucketed by hash(bandkey)
+    assert(idx.bands.columns.contains("__bkt"))
+    val verdicts = Dedup.dedupAgainstIndex(batch, idx, "doc_id", "text", threshold = 0.5)
+    // the candidate probe's index scan prunes to the batch's buckets — a
+    // PARTITION filter on __bkt, not a post-read filter (the per-batch
+    // full-index-scan fix the r6 verdict asked for)
+    val plan = verdicts.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__bkt"),
+      s"expected a __bkt partition filter in the probe plan:\n$plan")
+    // ... and pruning is result-invisible
+    assert(verdicts.orderBy("id")
+      .select("id", "is_dup", "dup_of").as[(Long, Boolean, Option[Long])].collect().toSeq ==
+      Seq((10L, true, Some(1L)), (11L, false, None)))
+    // the id manifest reads its own compact relation, never the bands tree
+    val ids = Dedup.minhashIndexIds(spark, dir)
+    assert(ids.inputFiles.nonEmpty && ids.inputFiles.forall(_.contains("/ids/")),
+      s"manifest should be backed by the ids relation, got ${ids.inputFiles.toSeq}")
+    assert(ids.as[Long].collect().toSet === Set(1L, 2L, 3L))
+    // appends maintain it (survivor 11 joins; ids is what replay guards read)
+    Dedup.appendToMinhashIndex(batch.filter(col("doc_id") === 11L), dir, "doc_id", "text")
+    assert(Dedup.minhashIndexIds(spark, dir).as[Long].collect().toSet === Set(1L, 2L, 3L, 11L))
+  }
+
   test("resolvePaths cycle guards: self-parent and two-node cycles terminate") {
     val cats = Seq(
       ("A", "NodeA", "A"),          // self-parent

@@ -234,6 +234,19 @@ class StreamsSpec extends SparkSpec {
     val (bf, sf) = Dedup.minhashFileCounts(spark, idxPath)
     assert(math.max(bf, sf) <= 4,
       s"compaction should bound index file counts, got bands=$bf shingles=$sf")
+    // the streaming path persists the §2.8 ledger: one row per micro-batch,
+    // beside the verdicts
+    val ledger = Streams.ingestLedger(spark, vPath)
+    assert(ledger.select("batch_id").distinct().as[Long].collect().toSet === Set(0L, 1L, 2L))
+    val l0 = ledger.filter(col("batch_id") === 0).head()
+    assert(l0.getAs[Long]("rows") === b1df.count())
+    assert(l0.getAs[Long]("dups") + l0.getAs[Long]("appended") === l0.getAs[Long]("rows"))
+    // the replayed batch: survivors are guard-blocked (already in the
+    // manifest), so only batch-0's dups re-run — and they re-verdict as
+    // dups, so nothing is appended and the index cannot grow
+    val l2 = ledger.filter(col("batch_id") === 2).head()
+    assert(l2.getAs[Long]("rows") === l0.getAs[Long]("dups"))
+    assert(l2.getAs[Long]("appended") === 0L)
   }
 
   test("ingestSink resumes from its checkpoint across query restarts (file source)") {
