@@ -55,6 +55,9 @@ object GraftSession {
     * function registrations are repeated at runtime so an already-existing
     * session — where `withExtensions` is ignored — still gets them). */
   def create(master: String, shufflePartitions: Int): SparkSession = {
+    // dead-pid scratch trees from SIGKILLed runs are unreachable by their
+    // owner's shutdown hook — reap them before this session makes new ones
+    ScratchJanitor.reapStale()
     val s = builder(master, shufflePartitions).getOrCreate()
     registerOn(s)
     s
