@@ -34,29 +34,35 @@ object IngestProbe {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
 
-    for (n <- Seq(80000L, 320000L); batchRows <- Seq(256L)) {
+    for (n <- Seq(80000L, 320000L)) {
       val dir = java.nio.file.Files.createTempDirectory(s"graft_ingestprobe").toString
       val docs = corpus(n, 0); docs.count()
       val (_, tBuild) = time(
         Dedup.writeMinhashIndex(Dedup.buildMinhashIndex(docs, "doc_id", "text"), dir))
-      val batch = corpus(batchRows, 10_000_000L); batch.count()
       val idx = Dedup.readMinhashIndex(spark, dir)
       // pre-r7 probe shape: same data, partition column dropped => no prune
       val flat = Dedup.MinhashIndex(idx.bands.drop("__bkt"), idx.shingles)
-      def run(i: Dedup.MinhashIndex) =
-        Dedup.dedupAgainstIndex(batch, i, "doc_id", "text", threshold = 0.7).count()
-      val (_, tFlatCold) = time(run(flat));   val (_, tFlat) = time(run(flat))
-      val (_, tPrunedCold) = time(run(idx));  val (_, tPruned) = time(run(idx))
+      // a micro-batch (4 docs = ~16 band keys -> prunes to ~1/4 of the
+      // buckets) and a saturating batch (256 docs = ~1024 keys -> all 64
+      // buckets hit, pruning is a no-op by design at that size)
+      for (batchRows <- Seq(4L, 256L)) {
+        val batch = corpus(batchRows, 10_000_000L); batch.count()
+        def run(i: Dedup.MinhashIndex) =
+          Dedup.dedupAgainstIndex(batch, i, "doc_id", "text", threshold = 0.7).count()
+        val (_, tFlatCold) = time(run(flat));   val (_, tFlat) = time(run(flat))
+        val (_, tPrunedCold) = time(run(idx));  val (_, tPruned) = time(run(idx))
+        println(f"[ingestprobe] n=$n%7d batch=$batchRows%5d build=$tBuild%6.2fs  " +
+          f"probe_flat=$tFlat%6.2fs (cold $tFlatCold%6.2fs)  " +
+          f"probe_pruned=$tPruned%6.2fs (cold $tPrunedCold%6.2fs)")
+        org.apache.spark.sql.graftx.Bridge.unpersistCheckpoint(batch)
+      }
       // replay guard: manifest read vs distinct over bands
       val (nIds, tManifest) = time(Dedup.minhashIndexIds(spark, dir).count())
       val (_, tGuardOld) = time(
         idx.bands.select(col("id")).distinct().count())
-      println(f"[ingestprobe] n=$n%7d batch=$batchRows%5d build=$tBuild%6.2fs  " +
-        f"probe_flat=$tFlat%6.2fs (cold $tFlatCold%6.2fs)  " +
-        f"probe_pruned=$tPruned%6.2fs (cold $tPrunedCold%6.2fs)  " +
-        f"guard_manifest=$tManifest%6.2fs ($nIds%d ids)  guard_distinct=$tGuardOld%6.2fs")
+      println(f"[ingestprobe] n=$n%7d guard_manifest=$tManifest%6.2fs ($nIds%d ids)  " +
+        f"guard_distinct=$tGuardOld%6.2fs")
       org.apache.spark.sql.graftx.Bridge.unpersistCheckpoint(docs)
-      org.apache.spark.sql.graftx.Bridge.unpersistCheckpoint(batch)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       System.gc()
     }
