@@ -238,29 +238,47 @@ object Streams {
     * as documented on `appendToIvf`.
     *
     * Replay guard (at-least-once `foreachBatch`): ids already in the
-    * layout are dropped before the append — one narrow id-column scan per
-    * batch — so a redelivered batch appends nothing. Unlike the MinHash
-    * sink there is no verdict output to reconcile; convergence is just
-    * "no duplicate vectors". */
+    * layout's manifest are dropped before the append, so a redelivered
+    * batch appends nothing. Unlike the MinHash sink there is no verdict
+    * output to reconcile; convergence is just "no duplicate vectors".
+    * Each batch writes its ledger row (rows, appended, max per-list file
+    * count, compacted?) under `indexPath/_ledger/batch_id=N` —
+    * [[annIngestLedger]] reads them; a replayed batch overwrites its own
+    * row. */
   def annIngestSink(vectors: DataFrame, indexPath: String, checkpointPath: String,
       idCol: String, vecCol: String, compactAt: Int = 64): StreamingQuery = {
     import graft.operators.Ann
     vectors.writeStream
       .option("checkpointLocation", checkpointPath)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         scopedUnpersist(spark) {
+          // materialized once: the batch feeds the guard anti-join and the
+          // ledger count; fresh feeds the append and the ledger
+          val b = batch.localCheckpoint()
           // id manifest, not a distinct over the whole assigned tree
           val known = Ann.ivfIds(spark, indexPath).select(col("id").as(idCol))
-          val fresh = batch.join(known, Seq(idCol), "left_anti")
+          val fresh = b.join(known, Seq(idCol), "left_anti").localCheckpoint()
           Ann.appendToIvf(fresh, indexPath, idCol, vecCol)
-          if (Ann.ivfFileCounts(spark, indexPath).values.exists(_ > compactAt))
-            Ann.compactIvf(spark, indexPath)
+          val counts = Ann.ivfFileCounts(spark, indexPath)
+          val maxFiles = if (counts.isEmpty) 0 else counts.values.max
+          val compacted = maxFiles > compactAt
+          if (compacted) Ann.compactIvf(spark, indexPath)
+          import spark.implicits._
+          Seq((b.count(), fresh.count(), maxFiles, compacted))
+            .toDF("rows", "appended", "max_list_files", "compacted")
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$indexPath/_ledger/batch_id=$batchId")
         }
         ()
       }
       .start()
   }
+
+  /** The persisted per-batch ledger an [[annIngestSink]] run maintains
+    * under its index root — the IVF twin of [[ingestLedger]]. */
+  def annIngestLedger(spark: SparkSession, indexPath: String): DataFrame =
+    spark.read.parquet(s"$indexPath/_ledger")
 
   // --- custom state: flatMapGroupsWithState CDC -----------------------------
 

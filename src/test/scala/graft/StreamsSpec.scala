@@ -322,5 +322,14 @@ class StreamsSpec extends SparkSpec {
     // the compactAt=1 trigger kept every list's file count bounded
     assert(Ann.ivfFileCounts(spark, idxPath).values.forall(_ <= 2),
       s"per-list counts: ${Ann.ivfFileCounts(spark, idxPath)}")
+    // the per-batch ledger, IVF edition: the replayed batch (id 1)
+    // appended nothing, the fresh batches appended everything
+    val ledger = Streams.annIngestLedger(spark, idxPath)
+    assert(ledger.select("batch_id").distinct().as[Long].collect().toSet === Set(0L, 1L, 2L))
+    def lrow(bid: Int) = ledger.filter(col("batch_id") === bid).head()
+    assert(lrow(0).getAs[Long]("appended") === b1df.count())
+    assert(lrow(1).getAs[Long]("rows") === b1df.count())
+    assert(lrow(1).getAs[Long]("appended") === 0L)
+    assert(lrow(2).getAs[Long]("appended") === b2df.count())
   }
 }
