@@ -150,17 +150,19 @@ object Ann {
     * the `list` PARTITION column, so directory pruning skips everything
     * outside the query batch's nprobe lists (`PartitionFilters` in the
     * scan, asserted by AnnSpec). */
-  def writeIvf(index: IvfIndex, path: String): String = {
+  def writeIvf(index: IvfIndex, path: String, idsFrom: Option[DataFrame] = None): String = {
     val spark = index.assigned.sparkSession
     val gen = graft.store.Generations.claimNextGen(spark, path)
     index.assigned.write.mode("overwrite").partitionBy("list")
       .parquet(new Path(gen, "assigned").toString)
     // compact id manifest for the streaming replay guard ([[ivfIds]]) —
     // derived by re-reading the written tree (a pruned id-column scan),
-    // not by recomputing the assignment
+    // not by recomputing the assignment; a caller whose id set is
+    // unchanged (compaction) passes the existing manifest via `idsFrom`
     val idCol = index.assigned.columns.head
-    spark.read.parquet(new Path(gen, "assigned").toString)
-      .select(col(idCol).as("id")).distinct()
+    idsFrom.map(_.select("id"))
+      .getOrElse(spark.read.parquet(new Path(gen, "assigned").toString)
+        .select(col(idCol).as("id")).distinct())
       .write.mode("overwrite").parquet(new Path(gen, "ids").toString)
     import spark.implicits._
     index.centroids.zipWithIndex
@@ -337,7 +339,13 @@ object Ann {
     val re =
       if (filesPerList == 1) idx.assigned.repartition(col("list"))
       else idx.assigned.repartition(col("list"), pmod(hash(idCol), lit(filesPerList)))
-    val gen = writeIvf(IvfIndex(re, idx.centroids), path)
+    // the id set is unchanged by compaction — carry the manifest over,
+    // coalesced from its accumulated append files to a byte-sized target
+    // (coalesce(1) would cap the rewrite at one task at corpus scale)
+    val idsTarget = graft.store.Compact.resolveTarget(0,
+      graft.store.Compact.dataSizeBytes(spark, new Path(gen0, "ids").toString), maxFileBytes)
+    val gen = writeIvf(IvfIndex(re, idx.centroids), path,
+      idsFrom = Some(ivfIds(spark, path).coalesce(idsTarget)))
     vacuumIvf(spark, path, keep)
     gen
   }

@@ -154,9 +154,12 @@ object Dedup {
     * healthy parquet file — [[compactMinhashIndex]] auto-sizes it from
     * measured bytes. `ids` is the compact id manifest the streaming replay
     * guard reads ([[minhashIndexIds]]) — derived by re-reading the written
-    * bands files (a pruned id-column scan), not by re-running the sketch.
-    * Returns the committed generation path. */
-  def writeMinhashIndex(idx: MinhashIndex, path: String, filesPerBucket: Int = 1): String = {
+    * bands files (a pruned id-column scan), not by re-running the sketch;
+    * a caller that already HAS the manifest passes it via `idsFrom` and
+    * skips the distinct (compaction does: its id set is unchanged by
+    * construction). Returns the committed generation path. */
+  def writeMinhashIndex(idx: MinhashIndex, path: String, filesPerBucket: Int = 1,
+      idsFrom: Option[DataFrame] = None): String = {
     val spark = idx.bands.sparkSession
     val gen = graft.store.Generations.claimNextGen(spark, path)
     val withBkt = idx.bands.drop("__bkt").withColumn("__bkt", bandBucket(col("bandkey")))
@@ -165,7 +168,8 @@ object Dedup {
       else withBkt.repartition(col("__bkt"), pmod(hash(col("id")), lit(filesPerBucket)))
     re.write.mode("overwrite").partitionBy("__bkt").parquet(s"$gen/bands")
     idx.shingles.write.mode("overwrite").parquet(s"$gen/shingles")
-    spark.read.parquet(s"$gen/bands").select("id").distinct()
+    idsFrom.map(_.select("id"))
+      .getOrElse(spark.read.parquet(s"$gen/bands").select("id").distinct())
       .write.mode("overwrite").parquet(s"$gen/ids")
     graft.store.Generations.commit(spark, gen)
     gen.toString
@@ -397,8 +401,14 @@ object Dedup {
         shinglesFiles <= math.max(minFiles, shinglesTarget)) 0
     else {
       val idx = readMinhashIndex(spark, path)
+      // compaction never changes the id set — carry the manifest over
+      // (coalesced from its accumulated append files) instead of paying a
+      // fresh distinct over the whole bands relation
+      val idsTarget = Compact.resolveTarget(
+        targetFiles, Compact.dataSizeBytes(spark, s"$gen/ids"), maxFileBytes)
       writeMinhashIndex(MinhashIndex(
-        idx.bands, idx.shingles.coalesce(shinglesTarget)), path, filesPerBucket)
+        idx.bands, idx.shingles.coalesce(shinglesTarget)), path, filesPerBucket,
+        idsFrom = Some(minhashIndexIds(spark, path).coalesce(idsTarget)))
       graft.store.Generations.vacuum(spark, path, keep)
       1
     }

@@ -106,7 +106,12 @@ object Streams {
         prev.unionByName(events.select(CdcStateCols.map(col): _*)),
         Seq("product_id"), "crawled_at", Seq(col("price").desc))
       val root = s"$historyPath/_latest"
-      val gen = new Path(new Path(root), f"gen_$batchId%06d")
+      // %012d, not Generations' %06d: companion generation NAMES carry the
+      // batch id, and vacuum/latest resolution sort lexicographically — a
+      // six-digit pad would misorder past batch 999999 (vacuum would then
+      // drop the NEWEST generation). Twelve digits outlive any stream; the
+      // layout is new in r7, so there is no narrower legacy data to match.
+      val gen = new Path(new Path(root), f"gen_$batchId%012d")
       val fs = gen.getFileSystem(spark.sparkContext.hadoopConfiguration)
       // a replayed batch rewrites its own generation (deterministic from
       // gen_{N-1} + the batch, so the rewrite is byte-identical)

@@ -95,7 +95,7 @@ class StreamsSpec extends SparkSpec {
     // accumulated batch_id= event partitions
     val st = Streams.cdcState(spark, histPath, batchId = 3L).get
     assert(st.inputFiles.nonEmpty &&
-      st.inputFiles.forall(_.contains("/_latest/gen_000002/")),
+      st.inputFiles.forall(_.contains("/_latest/gen_000000000002/")),
       s"derive input should be the gen_2 companion, got ${st.inputFiles.toSeq}")
     // ... and it is O(keys): one row per product after four events across
     // three batches — flat in stream length
