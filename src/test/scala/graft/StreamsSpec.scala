@@ -175,6 +175,38 @@ class StreamsSpec extends SparkSpec {
       ("p2", "sales_change", 50.0, 50.0, null, 8L)))
   }
 
+  test("statefulCdc state survives a query restart via the checkpoint (file source)") {
+    val dir = Files.createTempDirectory("graft_scdc_resume").toString
+    val srcDir = s"$dir/src"; val outDir = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    def source() = spark.readStream
+      .schema("product_id STRING, price DOUBLE, sales_count BIGINT, crawled_at TIMESTAMP")
+      .parquet(srcDir).as[Streams.ProductObs]
+    def run(): Unit = {
+      val q = Streams.statefulCdc(source()).writeStream
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", outDir).outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+    Seq(Streams.ProductObs("p1", 100.0, 5L, ts("2024-01-01 00:00:00")))
+      .toDS().write.mode("append").parquet(srcDir)
+    run()
+    // RESTART from the same checkpoint: the (price, sales) state must be
+    // restored from the state store — the new observation classifies as a
+    // price_change against the restored 100.0, NOT as a fresh first_crawl
+    Seq(Streams.ProductObs("p1", 120.0, 5L, ts("2024-01-02 00:00:00")))
+      .toDS().write.mode("append").parquet(srcDir)
+    run()
+    val got = spark.read.parquet(outDir)
+      .select("product_id", "crawl_type", "price", "previous_price", "price_change")
+      .orderBy("crawled_at")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        if (r.isNullAt(3)) null else r.getDouble(3),
+        if (r.isNullAt(4)) null else r.getDouble(4))).toSeq
+    assert(got === Seq(
+      ("p1", "first_crawl", 100.0, null, null),
+      ("p1", "price_change", 120.0, 100.0, 20.0)))
+  }
+
   test("ingestSink: per-batch dedup ingest, replay-idempotent, compaction-bounded") {
     import graft.operators.Dedup
     implicit val sqlCtx = spark.sqlContext
