@@ -14,15 +14,23 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // The generated `events` table stores TIMESTAMP(NANOS) which Spark's
-    // TimestampType (µs) cannot hold; read nanos as long and convert
-    // (truncating to µs). Everything downstream sees a plain TimestampType.
+    // The generated `events` table has stored `ts` as TIMESTAMP(NANOS)
+    // (readable only as long, via the legacy conf) in some drops and as
+    // TIMESTAMP(MICROS) (which parquet marks NTZ) in others. Normalize by
+    // the schema actually read, so everything downstream sees a plain
+    // TimestampType either way.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.col("ts") / 1000L cast org.apache.spark.sql.types.LongType))
-    else df
+    if (name == "events") {
+      import org.apache.spark.sql.functions.{col, timestamp_micros}
+      import org.apache.spark.sql.types.{LongType, TimestampType}
+      val ts = df.schema("ts").dataType match {
+        case LongType => timestamp_micros((col("ts") / 1000L).cast(LongType))
+        case TimestampType => col("ts")
+        case _ => col("ts").cast(TimestampType) // TIMESTAMP_NTZ µs drop (session TZ is UTC)
+      }
+      df.withColumn("ts", ts)
+    } else df
   }
 
   def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
