@@ -1254,6 +1254,94 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, nprobe = 4)
         .withColumn("rank", col("rank").cast(LongType))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // --- §2.10 STATEFUL CDC, oracle-gated: flatMapGroupsWithState over a
+    //     file-sourced stream, three day-sliced micro-batches with a query
+    //     RESTART between each — classification state crosses batches via
+    //     the checkpointed state store, never driver memory. The oracle is
+    //     the lag-window form of the same classification: per key, ordered
+    //     by (crawled_at, price, sales_count) — exactly statefulCdc's
+    //     in-batch sort, and the day slices respect that order across
+    //     batches, so stream output ≡ the global window. Like q65 this RUNS
+    //     streaming queries at construction; per-(sfDir, pid) scratch wiped
+    //     at entry. ---------------------------------------------------------
+    "q75_stateful_cdc" -> ((s, dir) => {
+      import graft.streaming.Streams
+      val root = scratch("q75", dir)
+      val srcDir = s"$root/src"; val outDir = s"$root/out"; val ckpt = s"$root/ckpt"
+      val obs = t(s, dir, "events").filter(col("user_id") % 3 === 0).select(
+        concat(lit("u"), col("user_id").cast(StringType)).as("product_id"),
+        col("value").as("price"),
+        (col("event_id") % 100).cast(LongType).as("sales_count"),
+        col("ts").as("crawled_at"))
+      def run(): Unit = {
+        import s.implicits._
+        val src = s.readStream
+          .schema("product_id STRING, price DOUBLE, sales_count BIGINT, crawled_at TIMESTAMP")
+          .parquet(srcDir).as[Streams.ProductObs]
+        val q = Streams.statefulCdc(src).writeStream
+          .option("checkpointLocation", ckpt)
+          .format("parquet").option("path", outDir).outputMode("append").start()
+        q.processAllAvailable(); q.stop()
+      }
+      val cuts = Seq("2024-01-11 00:00:00", "2024-01-21 00:00:00").map(c => lit(c).cast(TimestampType))
+      val slices = Seq(
+        obs.filter(col("crawled_at") < cuts(0)),
+        obs.filter(col("crawled_at") >= cuts(0) && col("crawled_at") < cuts(1)),
+        obs.filter(col("crawled_at") >= cuts(1)))
+      slices.foreach { sl =>
+        sl.write.mode("append").parquet(srcDir)
+        run() // one micro-batch per slice; restart restores state from the checkpoint
+      }
+      s.read.parquet(outDir)
+        .select(col("product_id"), col("crawl_type"), col("price"),
+          col("previous_price"), col("price_change"), col("sales_change"),
+          date_trunc("second", col("crawled_at")).as("crawled_at"))
+        .orderBy(col("product_id"), col("crawled_at"))
+    }),
+
+    // --- §2.10 streaming CDC SINK, oracle-gated end-to-end: three keyed
+    //     day-slice batches through cdcProcessBatch (the exact foreachBatch
+    //     body cdcSink runs) — each derives against the maintained
+    //     latest-per-key COMPANION generation, writes its own batch_id=
+    //     event partition, and commits the next companion generation. The
+    //     oracle collapses the companion recursion to a lag window over
+    //     per-(key, batch) head rows: a no_change row never enters the
+    //     companion but carries values identical to the prior state, so
+    //     "previous state" ≡ the key's previous batch head row. Like q65
+    //     this RUNS generational writes at construction; per-(sfDir, pid)
+    //     scratch wiped at entry. -------------------------------------------
+    "q76_cdc_sink" -> ((s, dir) => {
+      val root = scratch("q76", dir)
+      val histPath = s"$root/history"
+      val ev = t(s, dir, "events").select(
+        col("user_id").as("product_id"),
+        col("value").as("price"),
+        (col("value") + 10.0).as("original_price"),
+        lit(null).cast(DoubleType).as("discount_percent"),
+        (col("event_id") % 100).as("sales_count"),
+        col("ts").as("crawled_at"),
+        col("event_id"))
+      val cuts = Seq("2024-01-11 00:00:00", "2024-01-21 00:00:00").map(c => lit(c).cast(TimestampType))
+      val slices = Seq(
+        ev.filter(col("crawled_at") < cuts(0)),
+        ev.filter(col("crawled_at") >= cuts(0) && col("crawled_at") < cuts(1)),
+        ev.filter(col("crawled_at") >= cuts(1)))
+      slices.zipWithIndex.foreach { case (sl, i) =>
+        val batch = Merge.latestPerKey(sl, Seq("product_id"), "crawled_at",
+          Seq(col("event_id").desc)).drop("event_id")
+        graft.streaming.Streams.cdcProcessBatch(batch, histPath, i.toLong)
+      }
+      s.read.parquet(histPath)
+        .select(col("product_id"), col("price"), col("original_price"),
+          col("discount_percent"), col("discount_amount"),
+          col("price_change"), col("price_change_percent"),
+          col("previous_price"), col("previous_original_price"), col("previous_discount_percent"),
+          col("sales_count"), col("sales_change"), col("is_flash_sale"), col("crawl_type"),
+          date_trunc("second", col("crawled_at")).as("crawled_at"),
+          col("batch_id").cast(LongType).as("batch_id"))
+        .orderBy(col("batch_id"), col("product_id"))
     })
   )
 
@@ -2518,6 +2606,94 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) rk FROM scored
         |)
         |SELECT query_id, CAST(rk AS BIGINT) rank, neighbor_id, cosine FROM r WHERE rk <= 5
-        |ORDER BY query_id, rank""".stripMargin
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // statefulCdc processes each key's observations in (crawled_at, price,
+    // sales_count) order — within a batch by its explicit sort, across
+    // batches because the day slices partition crawled_at — so the stream's
+    // state recursion collapses to one lag window in that exact order.
+    "q75_stateful_cdc" ->
+      """WITH obs AS (
+        |  SELECT 'u' || user_id product_id, value price,
+        |    CAST(event_id % 100 AS BIGINT) sales_count, ts crawled_at
+        |  FROM events WHERE user_id % 3 = 0
+        |), seq AS (
+        |  SELECT *, lag(price) OVER w prev_price, lag(sales_count) OVER w prev_sales
+        |  FROM obs
+        |  WINDOW w AS (PARTITION BY product_id ORDER BY crawled_at, price, sales_count)
+        |), typed AS (
+        |  SELECT product_id,
+        |    CASE WHEN prev_price IS NULL THEN 'first_crawl'
+        |         WHEN price != prev_price THEN 'price_change'
+        |         WHEN sales_count != prev_sales THEN 'sales_change' END crawl_type,
+        |    price, prev_price previous_price,
+        |    CASE WHEN prev_price IS NOT NULL AND price != prev_price
+        |      THEN price - prev_price END price_change,
+        |    CASE WHEN prev_price IS NOT NULL AND price = prev_price AND sales_count != prev_sales
+        |      THEN sales_count - prev_sales END sales_change,
+        |    date_trunc('second', crawled_at) crawled_at
+        |  FROM seq
+        |)
+        |SELECT * FROM typed WHERE crawl_type IS NOT NULL
+        |ORDER BY product_id, crawled_at""".stripMargin,
+
+    // cdcProcessBatch derives each batch against the latest-per-key
+    // companion built from prior batches' CHANGED rows. A no_change row
+    // never enters the companion but carries values identical to the state
+    // it matched, so per key "previous state" ≡ the previous batch's head
+    // row — the companion recursion collapses to a lag window over
+    // per-(key, batch) head rows ordered by batch id.
+    "q76_cdc_sink" ->
+      """WITH ev AS (
+        |  SELECT user_id product_id, value price, value + 10.0 original_price,
+        |    CAST(NULL AS DOUBLE) discount_percent, event_id % 100 sales_count,
+        |    ts crawled_at, event_id,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-11 00:00:00' THEN 0
+        |         WHEN ts < TIMESTAMP '2024-01-21 00:00:00' THEN 1 ELSE 2 END batch_id
+        |  FROM events
+        |), heads AS (
+        |  SELECT * FROM ev
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY product_id, batch_id ORDER BY crawled_at DESC, event_id DESC) = 1
+        |), valid AS (
+        |  SELECT * FROM heads WHERE product_id IS NOT NULL AND price IS NOT NULL
+        |), seq AS (
+        |  SELECT *,
+        |    lag(price) OVER w previous_price,
+        |    lag(original_price) OVER w previous_original_price,
+        |    lag(discount_percent) OVER w previous_discount_percent,
+        |    lag(sales_count) OVER w previous_sales_count
+        |  FROM valid WINDOW w AS (PARTITION BY product_id ORDER BY batch_id)
+        |), typed AS (
+        |  SELECT *,
+        |    CASE WHEN previous_sales_count IS NOT NULL AND sales_count IS NOT NULL
+        |      THEN sales_count - previous_sales_count END sales_change,
+        |    (previous_price IS NULL AND previous_original_price IS NULL
+        |      AND previous_discount_percent IS NULL) first_crawl,
+        |    ((price IS DISTINCT FROM previous_price)
+        |      OR (original_price IS DISTINCT FROM previous_original_price)
+        |      OR (discount_percent IS DISTINCT FROM previous_discount_percent)) price_changed
+        |  FROM seq
+        |), ev2 AS (
+        |  SELECT *,
+        |    CASE WHEN first_crawl THEN 'price_change' WHEN price_changed THEN 'price_change'
+        |         WHEN sales_change IS NOT NULL AND sales_change != 0 THEN 'sales_change'
+        |         ELSE 'no_change' END crawl_type,
+        |    CASE WHEN original_price IS NOT NULL AND price IS NOT NULL
+        |      THEN original_price - price END discount_amount
+        |  FROM typed
+        |)
+        |SELECT product_id, price, original_price, discount_percent, discount_amount,
+        |  CASE WHEN NOT first_crawl AND crawl_type = 'price_change' AND price IS NOT NULL
+        |    AND previous_price IS NOT NULL THEN price - previous_price END price_change,
+        |  CASE WHEN NOT first_crawl AND crawl_type = 'price_change' AND price IS NOT NULL
+        |    AND previous_price IS NOT NULL AND previous_price > 0
+        |    THEN round((price - previous_price) / previous_price * 100, 2) END price_change_percent,
+        |  previous_price, previous_original_price, previous_discount_percent,
+        |  sales_count, sales_change,
+        |  (coalesce(discount_percent, 0) >= 30 OR coalesce(discount_amount, 0) >= 100000) is_flash_sale,
+        |  crawl_type, date_trunc('second', crawled_at) crawled_at,
+        |  CAST(batch_id AS BIGINT) batch_id
+        |FROM ev2 WHERE crawl_type != 'no_change' ORDER BY batch_id, product_id""".stripMargin
   )
 }
