@@ -285,6 +285,38 @@ object Streams {
   def annIngestLedger(spark: SparkSession, indexPath: String): DataFrame =
     spark.read.parquet(s"$indexPath/_ledger")
 
+  /** Switch stateful streaming to the RocksDB state store with changelog
+    * checkpointing — the large-state configuration. The default
+    * HDFS-backed provider keeps every key's state AS JVM OBJECTS on the
+    * executor heap and uploads a full snapshot per batch: fine for
+    * window/session aggregates bounded by a watermark horizon, a scale
+    * ceiling for [[statefulCdc]]-style per-entity state, where the state is
+    * bounded by CATALOG size (one entry per product/document) and a 100 TB
+    * corpus's catalog does not fit a heap. RocksDB keeps state off-heap
+    * with disk spill, and changelog checkpointing uploads per-batch DELTAS
+    * instead of full snapshots — commit cost ∝ batch, not state size.
+    *
+    * Session-level because Spark resolves the provider from the session
+    * conf when a query STARTS; queries already running are unaffected, and
+    * a restarted query keeps the provider recorded in its checkpoint
+    * (offsets/metadata), so flip this BEFORE the first start of a given
+    * checkpoint. Output is provider-independent — StreamsSpec asserts
+    * statefulCdc emits identical events under both providers. */
+  def useRocksDbState(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+  }
+
+  /** Revert [[useRocksDbState]] to the default heap-backed provider (for
+    * sessions that interleave small-state and large-state queries). */
+  def useDefaultState(spark: SparkSession): Unit = {
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.unset(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+  }
+
   // --- custom state: flatMapGroupsWithState CDC -----------------------------
 
   /** One observation of a product (the post-transform streaming shape). */
