@@ -71,18 +71,46 @@ object Bench {
             "must not cross bench queries (use persistedIvfCached)")
         name -> sec
       }
-    def timedPass(): (Map[String, Double], String) = {
+    def timedPass(passIdx: Int): (Map[String, Double], String, Boolean) = {
       val (load0, rd0, wr0) = envSnapshot()
       val r = pass().toMap
       val (load1, rd1, wr1) = envSnapshot()
+      // SELF-ADJUDICATION: was this pass's window environmentally clean?
+      // Calibrated from the six checked-in r7 sf0.1 runs
+      // (docs/evidence/bench_r7_*.json): clean pass-1 1-min loadavg_before
+      // 0.62-2.10 (the r7 driver's contaminated window started at 2.49);
+      // clean self sector-writes ≈ 850 k (pass 1, scratch index builds)
+      // vs ≈ 25-70 k (pass 2, everything already laid out). Pass 2's
+      // loadavg_before is SELF-inflated by pass 1's 32-thread burst
+      // (observed up to 4.59 in clean runs), so for pass 2 the write
+      // delta — far above the pass's own write pattern means a co-tenant
+      // I/O storm — is the only usable signal.
+      val load1m = load0.split("\\s+").headOption.flatMap(_.toDoubleOption).getOrElse(0.0)
+      val wrDelta = wr1 - wr0
+      val dirty =
+        if (passIdx == 0) load1m > 2.25 || wrDelta > 1400000L
+        else wrDelta > 250000L
       val env = s"""{"loadavg_before":"$load0","loadavg_after":"$load1"""" +
-        s""","sectors_read_delta":${rd1 - rd0},"sectors_written_delta":${wr1 - wr0}}"""
-      (r, env)
+        s""","sectors_read_delta":${rd1 - rd0},"sectors_written_delta":$wrDelta""" +
+        s""","contaminated":$dirty}"""
+      (r, env, dirty)
     }
-    val (r1, env1) = timedPass()
-    val (r2, env2) = timedPass()
+    val (r1, env1, dirty1) = timedPass(0)
+    val (r2, env2, dirty2) = timedPass(1)
+    // a contaminated pass is EXCLUDED from the min-of-N headline (its
+    // numbers stay in per_run for adjudication); if both are contaminated
+    // the min is reported anyway, flagged — do not read it at face value
+    val use: String => Double =
+      if (dirty1 && !dirty2) r2.apply
+      else if (dirty2 && !dirty1) r1.apply
+      else name => math.min(r1(name), r2(name))
+    val note =
+      if (dirty1 && dirty2) "both passes contaminated; min reported, unreliable"
+      else if (dirty1) "pass 1 contaminated, excluded from headline"
+      else if (dirty2) "pass 2 contaminated, excluded from headline"
+      else "clean"
     val results = r1.keys.toSeq.sorted.map { name =>
-      val sec = math.min(r1(name), r2(name))
+      val sec = use(name)
       System.err.println(f"[bench] $name%-26s $sec%8.2fs  (r1 ${r1(name)}%.2f r2 ${r2(name)}%.2f)")
       name -> sec
     }
@@ -95,7 +123,7 @@ object Bench {
         .mkString("{", ",", "}")
     }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"run_totals":[${fmt(r1.values.sum)},${fmt(r2.values.sum)}],"per_run":$runs,"env":[$env1,$env2]}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"run_totals":[${fmt(r1.values.sum)},${fmt(r2.values.sum)}],"contaminated":[$dirty1,$dirty2],"contamination_note":"$note","per_run":$runs,"env":[$env1,$env2]}"""
     // stop Spark BEFORE emitting the JSON line, then quiesce both streams:
     // sbt reads stdout and stderr on separate threads and interleaves them
     // by arrival, so a JSON line printed while per-query stderr lines are

@@ -2612,18 +2612,24 @@ object SparkEntry {
     // sales_count) order — within a batch by its explicit sort, across
     // batches because the day slices partition crawled_at — so the stream's
     // state recursion collapses to one lag window in that exact order.
+    // `ts IS NOT NULL` matches the stream side explicitly: the query's day
+    // slices drop NULL-ts rows (every range comparison yields null), so the
+    // oracle must too — shipped drops have no null ts, but the gate should
+    // not depend on that staying true. First sight classifies as
+    // price_change (the reference's "first crawl counts as change"),
+    // matching the batch CDC surface.
     "q75_stateful_cdc" ->
       """WITH obs AS (
         |  SELECT 'u' || user_id product_id, value price,
         |    CAST(event_id % 100 AS BIGINT) sales_count, ts crawled_at
-        |  FROM events WHERE user_id % 3 = 0
+        |  FROM events WHERE user_id % 3 = 0 AND ts IS NOT NULL
         |), seq AS (
         |  SELECT *, lag(price) OVER w prev_price, lag(sales_count) OVER w prev_sales
         |  FROM obs
         |  WINDOW w AS (PARTITION BY product_id ORDER BY crawled_at, price, sales_count)
         |), typed AS (
         |  SELECT product_id,
-        |    CASE WHEN prev_price IS NULL THEN 'first_crawl'
+        |    CASE WHEN prev_price IS NULL THEN 'price_change'
         |         WHEN price != prev_price THEN 'price_change'
         |         WHEN sales_count != prev_sales THEN 'sales_change' END crawl_type,
         |    price, prev_price previous_price,
@@ -2650,7 +2656,10 @@ object SparkEntry {
         |    ts crawled_at, event_id,
         |    CASE WHEN ts < TIMESTAMP '2024-01-11 00:00:00' THEN 0
         |         WHEN ts < TIMESTAMP '2024-01-21 00:00:00' THEN 1 ELSE 2 END batch_id
-        |  FROM events
+        |  -- ts IS NOT NULL matches the query's slice semantics: a NULL-ts row
+        |  -- falls out of every range filter on the Spark side, while the CASE
+        |  -- above would route it to batch 2 — the sides must agree explicitly
+        |  FROM events WHERE ts IS NOT NULL
         |), heads AS (
         |  SELECT * FROM ev
         |  QUALIFY row_number() OVER (

@@ -157,14 +157,19 @@ object Dedup {
     * bands files (a pruned id-column scan), not by re-running the sketch;
     * a caller that already HAS the manifest passes it via `idsFrom` and
     * skips the distinct (compaction does: its id set is unchanged by
-    * construction). Returns the committed generation path. */
+    * construction). `bandsBytesHint`: a caller that knows the bands
+    * relation's byte size (compaction measured it for auto-sizing) lets a
+    * small index skip the 64-way bucket shuffle — one task writes the same
+    * ≤1-file-per-bucket layout. Returns the committed generation path. */
   def writeMinhashIndex(idx: MinhashIndex, path: String, filesPerBucket: Int = 1,
-      idsFrom: Option[DataFrame] = None): String = {
+      idsFrom: Option[DataFrame] = None, bandsBytesHint: Long = -1L): String = {
     val spark = idx.bands.sparkSession
     val gen = graft.store.Generations.claimNextGen(spark, path)
     val withBkt = idx.bands.drop("__bkt").withColumn("__bkt", bandBucket(col("bandkey")))
     val re =
-      if (filesPerBucket <= 1) withBkt.repartition(col("__bkt"))
+      if (bandsBytesHint >= 0 && bandsBytesHint <= graft.store.Compact.DefaultMaxFileBytes &&
+          filesPerBucket <= 1) withBkt.coalesce(1)
+      else if (filesPerBucket <= 1) withBkt.repartition(col("__bkt"))
       else withBkt.repartition(col("__bkt"), pmod(hash(col("id")), lit(filesPerBucket)))
     re.write.mode("overwrite").partitionBy("__bkt").parquet(s"$gen/bands")
     idx.shingles.write.mode("overwrite").parquet(s"$gen/shingles")
@@ -234,20 +239,40 @@ object Dedup {
     * target, soft). Bands landed but the manifest did not → the replay
     * re-runs the batch through the candidate probe with its own ids
     * already on the index side, and the resulting self-pairs would make
-    * each document its own best match — corruption, not degradation. */
+    * each document its own best match — corruption, not degradation.
+    *
+    * `idsFrom`: a caller that already materialized the batch's DISTINCT
+    * ids (e.g. [[ingestCycle]]'s checkpointed verdicts) passes them here
+    * and skips a re-scan + distinct of the batch. `docsHint` (batch doc
+    * count, when the caller knows it): a small append's banding relation
+    * is written by ONE task (`coalesce(1)` — still at most one file per
+    * touched bucket, which is all `repartition(__bkt)` achieves) instead
+    * of paying a 64-way shuffle whose every task writes a near-empty
+    * file; large appends keep the shuffle for write parallelism. */
   def appendToMinhashIndex(
       batch: DataFrame, path: String, idCol: String, textCol: String,
-      shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4): Unit = {
+      shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4,
+      idsFrom: Option[DataFrame] = None, docsHint: Long = -1L): Unit = {
     val gen = graft.store.Generations.requireCommitted(batch.sparkSession, path)
-    batch.select(col(idCol).as("id")).distinct().coalesce(1)
+    idsFrom.map(_.toDF("id"))
+      .getOrElse(batch.select(col(idCol).as("id")).distinct())
+      .coalesce(1)
       .write.mode("append").parquet(s"$gen/ids")
-    minhashBandKeys(batch, idCol, textCol, shingleN, numHashes, bands)
+    val banded = minhashBandKeys(batch, idCol, textCol, shingleN, numHashes, bands)
       .withColumn("__bkt", bandBucket(col("bandkey")))
-      .repartition(col("__bkt"))
-      .write.mode("append").partitionBy("__bkt").parquet(s"$gen/bands")
+    val laid =
+      if (docsHint >= 0 && docsHint <= SmallAppendDocs) banded.coalesce(1)
+      else banded.repartition(col("__bkt"))
+    laid.write.mode("append").partitionBy("__bkt").parquet(s"$gen/bands")
     shingleRows(batch, idCol, textCol, shingleN)
       .write.mode("append").parquet(s"$gen/shingles")
   }
+
+  /** Batch-size cutoff below which an append's banding relation skips the
+    * bucket shuffle ([[appendToMinhashIndex]]'s `docsHint`): 64k docs ×
+    * `bands` band keys is a few tens of MB — one write task handles it,
+    * and the resulting layout (≤1 file per touched bucket) is identical. */
+  val SmallAppendDocs = 65536L
 
   /** Incremental near-dup dedup: annotate each document of a NEW batch with
     * its best near-dup match in an already-indexed corpus. Returns one row
@@ -351,7 +376,13 @@ object Dedup {
     val (total, dups) = (agg.getLong(0), agg.getLong(1))
     val survivors = batch.join(
       verdicts.filter(!col("is_dup")).select(col("id").as(idCol)), Seq(idCol), "left_semi")
-    appendToMinhashIndex(survivors, path, idCol, textCol, shingleN, numHashes, bands)
+    // the survivor ids already sit in the checkpointed verdicts — hand them
+    // to the append (skips a batch re-scan + distinct for the manifest) along
+    // with the known survivor count (lets a small append skip the bucket
+    // shuffle) — the q71/q73 fixed-job-overhead trim
+    appendToMinhashIndex(survivors, path, idCol, textCol, shingleN, numHashes, bands,
+      idsFrom = Some(verdicts.filter(!col("is_dup")).select(col("id"))),
+      docsHint = total - dups)
     val (bandsFiles, shinglesFiles) = minhashFileCounts(spark, path)
     val candidatePairs = cands.count()
     // the verdicts checkpoint broke the lineage; cands' blocks are dead
@@ -408,7 +439,8 @@ object Dedup {
         targetFiles, Compact.dataSizeBytes(spark, s"$gen/ids"), maxFileBytes)
       writeMinhashIndex(MinhashIndex(
         idx.bands, idx.shingles.coalesce(shinglesTarget)), path, filesPerBucket,
-        idsFrom = Some(minhashIndexIds(spark, path).coalesce(idsTarget)))
+        idsFrom = Some(minhashIndexIds(spark, path).coalesce(idsTarget)),
+        bandsBytesHint = bandsBytes)
       graft.store.Generations.vacuum(spark, path, keep)
       1
     }

@@ -61,27 +61,36 @@ object Streams {
     * The companion lives at `historyPath/_latest/gen_<batchId>/` — a
     * generation PER BATCH, committed with the [[graft.store.Generations]]
     * marker discipline (underscore prefix keeps it invisible to readers of
-    * the event tree). Batch N derives against the newest committed
-    * generation with id < N, then writes gen_N = latestPerKey(prev ∪ its
-    * own events). max-by (ts, tieBreakers) is associative, so the
-    * incremental companion equals a global latest-per-key over all prior
-    * events — the derivation is semantically identical to the full-log
-    * read, the cost is not.
+    * the event tree). Most generations are DELTAS — just the batch's own
+    * changed rows, O(batch) bytes — and every `collapseEvery`-th batch
+    * writes a FULL collapse (latestPerKey over base ∪ deltas, flagged by a
+    * `_FULL` marker). Batch N derives against latestPerKey(newest full
+    * generation with id < N ∪ the deltas between it and N); max-by (ts,
+    * tieBreakers) is associative, so that equals a global latest-per-key
+    * over all prior events. The per-batch WRITE is O(batch) (the r7 shape —
+    * a full O(catalog) rewrite per micro-batch — made the companion write
+    * the dominant cost at a 10⁹-key catalog with minute-level batches; the
+    * read side is unchanged at O(catalog + collapseEvery·batch)).
     *
     * At-least-once `foreachBatch` delivery CONVERGES: a replayed batch
-    * resolves gen_{N-1} — STRICTLY-EARLIER state, its own half-committed
-    * outputs invisible by construction (deriving against its own events
-    * would classify everything no_change and erase them) — and overwrites
-    * both its `batch_id=N` event partition and its gen_N companion with
-    * byte-identical results. Superseded companion generations are vacuumed
-    * (keep=2: gen_{N-1} must survive until batch N+1 commits, for exactly
-    * this replay path). Readers of `historyPath` see one extra `batch_id`
-    * partition column. */
-  def cdcSink(batchStream: DataFrame, historyPath: String, checkpointPath: String): StreamingQuery =
+    * resolves only generations with id STRICTLY below its own — its
+    * half-committed outputs invisible by construction (deriving against its
+    * own events would classify everything no_change and erase them) — and
+    * overwrites both its `batch_id=N` event partition and its gen_N
+    * companion generation with byte-identical results (the full-vs-delta
+    * decision depends only on strictly-earlier generations, so it replays
+    * identically too). Superseded generations are dropped by [[cdcVacuum]]:
+    * everything strictly OLDER than the second-newest full collapse — the
+    * newest full + its trailing deltas reconstruct any state a replay of
+    * the current batch can need, and the one-older full survives for the
+    * reader-in-flight window, exactly Generations.vacuum's keep=2 rationale.
+    * Readers of `historyPath` see one extra `batch_id` partition column. */
+  def cdcSink(batchStream: DataFrame, historyPath: String, checkpointPath: String,
+      collapseEvery: Int = 8): StreamingQuery =
     batchStream.writeStream
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        cdcProcessBatch(batch, historyPath, batchId)
+        cdcProcessBatch(batch, historyPath, batchId, collapseEvery)
         ()
       }
       .start()
@@ -90,21 +99,51 @@ object Streams {
   private val CdcStateCols = Seq(
     "product_id", "price", "original_price", "discount_percent", "sales_count", "crawled_at")
 
+  /** Committed companion generations with id strictly below `batchId`, as
+    * (id, path, isFull), ascending. */
+  private def cdcGensBelow(spark: SparkSession, historyPath: String,
+      batchId: Long): Seq[(Long, Path, Boolean)] =
+    Generations.genDirs(spark, s"$historyPath/_latest")
+      .map(p => (p.getName.drop(4).toLong, p))
+      .filter { case (id, p) => id < batchId && Generations.isCommitted(spark, p) }
+      .sortBy(_._1)
+      .map { case (id, p) =>
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        (id, p, fs.exists(new Path(p, "_FULL")))
+      }
+
   /** One [[cdcSink]] micro-batch, factored out so a replay is directly
-    * testable: derive against the strictly-earlier companion, overwrite the
-    * batch's event partition, write the batch's companion generation. */
-  private[graft] def cdcProcessBatch(batch: DataFrame, historyPath: String, batchId: Long): Unit = {
+    * testable: derive against the strictly-earlier companion state,
+    * overwrite the batch's event partition, write the batch's companion
+    * generation — a DELTA of the batch's own events unless `collapseEvery`
+    * deltas have accumulated since the last full collapse (then a full). */
+  private[graft] def cdcProcessBatch(batch: DataFrame, historyPath: String, batchId: Long,
+      collapseEvery: Int = 8): Unit = {
     val spark = batch.sparkSession
     scopedUnpersist(spark) {
-      val prev = cdcState(spark, historyPath, batchId)
+      val gens = cdcGensBelow(spark, historyPath, batchId)
+      val prev = cdcStateFrom(spark, gens)
         .getOrElse(batch.select(CdcStateCols.map(col): _*).limit(0))
       // materialized once: the events feed both the partition write and the
-      // companion merge (and the scoped wrapper frees the blocks per batch)
+      // companion write (and the scoped wrapper frees the blocks per batch)
       val events = History.deriveEvents(batch, prev, None).localCheckpoint()
       events.write.mode("overwrite").parquet(s"$historyPath/batch_id=$batchId")
-      val next = Merge.latestPerKey(
-        prev.unionByName(events.select(CdcStateCols.map(col): _*)),
-        Seq("product_id"), "crawled_at", Seq(col("price").desc))
+      // the batch's delta: its own changed rows only, collapsed to one per
+      // key below. A no_change row never enters any generation — it carries
+      // values identical to the state it matched, so dropping it cannot
+      // change any future derive.
+      val delta = events.select(CdcStateCols.map(col): _*)
+      // full collapse when collapseEvery deltas piled up since the last
+      // full (or no full exists yet — the first batch seeds the base).
+      // Decided from strictly-earlier generations only, so a replay makes
+      // the identical choice.
+      val deltasSinceFull = gens.reverse.takeWhile(!_._3).size
+      val isFull = gens.isEmpty || !gens.exists(_._3) || deltasSinceFull + 1 >= collapseEvery
+      val next =
+        if (isFull) Merge.latestPerKey(prev.unionByName(delta),
+          Seq("product_id"), "crawled_at", Seq(col("price").desc))
+        else Merge.latestPerKey(delta,
+          Seq("product_id"), "crawled_at", Seq(col("price").desc))
       val root = s"$historyPath/_latest"
       // %012d, not Generations' %06d: companion generation NAMES carry the
       // batch id, and vacuum/latest resolution sort lexicographically — a
@@ -114,27 +153,75 @@ object Streams {
       val gen = new Path(new Path(root), f"gen_$batchId%012d")
       val fs = gen.getFileSystem(spark.sparkContext.hadoopConfiguration)
       // a replayed batch rewrites its own generation (deterministic from
-      // gen_{N-1} + the batch, so the rewrite is byte-identical)
+      // the strictly-earlier generations + the batch, so the rewrite is
+      // byte-identical)
       fs.delete(gen, true)
       next.write.mode("overwrite").parquet(new Path(gen, "state").toString)
+      if (isFull) fs.create(new Path(gen, "_FULL"), false).close()
       Generations.commit(spark, gen)
-      Generations.vacuum(spark, root, keep = 2)
+      cdcVacuum(spark, historyPath, batchId + 1)
     }
   }
 
-  /** The latest-per-key CDC state batch `batchId` must derive against: the
-    * newest COMMITTED companion generation with id STRICTLY below it (a
-    * replayed batch never sees its own output). None before the first
-    * commit. Public surface so specs can assert the derive input is the
-    * companion — one generation directory, O(keys) rows — and not the
-    * accumulated `batch_id=` event partitions. */
-  def cdcState(spark: SparkSession, historyPath: String, batchId: Long): Option[DataFrame] = {
-    val root = s"$historyPath/_latest"
-    Generations.genDirs(spark, root)
-      .map(p => (p.getName.drop(4).toLong, p))
-      .filter { case (id, p) => id < batchId && Generations.isCommitted(spark, p) }
-      .sortBy(_._1).lastOption
-      .map { case (_, p) => spark.read.parquet(new Path(p, "state").toString) }
+  /** The latest-per-key CDC state batch `batchId` must derive against:
+    * latestPerKey over the newest COMMITTED full collapse with id STRICTLY
+    * below it plus the delta generations between the two (a replayed batch
+    * never sees its own output). None before the first commit. Public
+    * surface so specs can assert the derive input is the companion — a
+    * bounded set of `_latest` generation directories, O(keys +
+    * collapseEvery·batch) rows — and not the accumulated `batch_id=` event
+    * partitions. */
+  def cdcState(spark: SparkSession, historyPath: String, batchId: Long): Option[DataFrame] =
+    cdcStateFrom(spark, cdcGensBelow(spark, historyPath, batchId))
+
+  private def cdcStateFrom(spark: SparkSession,
+      gens: Seq[(Long, Path, Boolean)]): Option[DataFrame] = {
+    if (gens.isEmpty) None
+    else {
+      // the newest full collapse anchors the read; deltas after it overlay.
+      // (A legacy pre-delta layout has no _FULL markers; each of its
+      // generations is a full state, and latestPerKey over their union is
+      // that state — the next processed batch then writes a marked full
+      // and re-anchors.)
+      val fromFull = {
+        val i = gens.lastIndexWhere(_._3)
+        if (i >= 0) gens.drop(i) else gens
+      }
+      // a batch whose rows all matched state writes an EMPTY delta — no
+      // part files, so it must be skipped, not schema-inferred over
+      val dirs = fromFull.map { case (_, p, _) => new Path(p, "state") }
+        .filter { d =>
+          val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.exists(d) && fs.listStatus(d).exists { st =>
+            val n = st.getPath.getName
+            st.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }
+        }
+      if (dirs.isEmpty) None
+      else Some(Merge.latestPerKey(spark.read.parquet(dirs.map(_.toString): _*),
+        Seq("product_id"), "crawled_at", Seq(col("price").desc)))
+    }
+  }
+
+  /** Drop companion generations no replay can need: everything strictly
+    * older than the SECOND-newest full collapse below `batchId`. The newest
+    * full + its trailing deltas serve every future derive; the one-older
+    * full (and the deltas after it, which reconstruct the newest full's
+    * state) survive for a replay of a batch whose own generation WAS the
+    * newest full — it resolves strictly-earlier state, exactly the window
+    * keep=2 protects in [[graft.store.Generations.vacuum]]. */
+  private def cdcVacuum(spark: SparkSession, historyPath: String, batchId: Long): Unit = {
+    val gens = cdcGensBelow(spark, historyPath, batchId)
+    val fulls = gens.filter(_._3)
+    if (fulls.size >= 2) {
+      val floor = fulls(fulls.size - 2)._1
+      gens.filter(_._1 < floor).foreach { case (_, p, _) =>
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.delete(p, true))
+          throw new java.io.IOException(
+            s"cdcVacuum: delete($p) failed (filesystem returned false)")
+      }
+    }
   }
 
   /** Run `body`, then unpersist every persistent RDD it created — the
@@ -258,19 +345,26 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         scopedUnpersist(spark) {
-          // materialized once: the batch feeds the guard anti-join and the
-          // ledger count; fresh feeds the append and the ledger
+          // materialized once: the batch feeds the guard join and the append
           val b = batch.localCheckpoint()
           // id manifest, not a distinct over the whole assigned tree
           val known = Ann.ivfIds(spark, indexPath).select(col("id").as(idCol))
-          val fresh = b.join(known, Seq(idCol), "left_anti").localCheckpoint()
+          // ONE ledger job, not two count()s: a left join against the
+          // manifest counts total and fresh rows in the same pass (the
+          // MinHash twin gets its counts free from IngestStats; this is
+          // the IVF sink's equivalent)
+          val agg = b.join(known.withColumn("__known", lit(1)), Seq(idCol), "left")
+            .agg(count(lit(1)).as("rows"),
+              count(when(col("__known").isNull, 1)).as("appended")).head
+          val (rows, appended) = (agg.getLong(0), agg.getLong(1))
+          val fresh = b.join(known.drop("__known"), Seq(idCol), "left_anti")
           Ann.appendToIvf(fresh, indexPath, idCol, vecCol)
           val counts = Ann.ivfFileCounts(spark, indexPath)
           val maxFiles = if (counts.isEmpty) 0 else counts.values.max
           val compacted = maxFiles > compactAt
           if (compacted) Ann.compactIvf(spark, indexPath)
           import spark.implicits._
-          Seq((b.count(), fresh.count(), maxFiles, compacted))
+          Seq((rows, appended, maxFiles, compacted))
             .toDF("rows", "appended", "max_list_files", "compacted")
             .coalesce(1)
             .write.mode("overwrite").parquet(s"$indexPath/_ledger/batch_id=$batchId")
@@ -284,6 +378,65 @@ object Streams {
     * under its index root — the IVF twin of [[ingestLedger]]. */
   def annIngestLedger(spark: SparkSession, indexPath: String): DataFrame =
     spark.read.parquet(s"$indexPath/_ledger")
+
+  /** S9 archival for the STREAMING event tree — the lifecycle step that
+    * keeps a long-running [[cdcSink]]'s `batch_id=` partitions from
+    * accumulating forever (the batch path has [[graft.store.Store.archiveHistory]];
+    * this is its ts-range twin over batch partitions, ref
+    * postgres_storage.py:1825-1848). A partition is expired when its
+    * NEWEST `tsCol` value is strictly below `cutoff` — every row older than
+    * the horizon — and expired partitions are MOVED whole under
+    * `historyPath/_archive/` with checked FileSystem renames: no data is
+    * read, rewritten, or copied, and the underscore prefix keeps archived
+    * partitions invisible to readers of the event tree (and to the
+    * companion's generation machinery, which lives under `_latest/`).
+    *
+    * Cost: one directory listing, a scan of the LIVE partitions' `tsCol`
+    * column for the per-partition max (parquet min/max page stats make
+    * this column-pruned and cheap; sustained archival keeps the live tree
+    * bounded, so the scan does not grow with stream age), one rename per
+    * expired partition, and a row-count of only the expired partitions for
+    * the return value. Re-runs are idempotent: an already-archived
+    * partition name merges file-by-file (part names carry task UUIDs).
+    * Run from the stream owner between batches — maintenance under the
+    * sink's single-writer discipline, like history compaction. */
+  def archiveEventLog(spark: SparkSession, historyPath: String, cutoff: String,
+      tsCol: String = "crawled_at"): Long = {
+    val root = new Path(historyPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0L
+    val parts = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+    if (parts.isEmpty) return 0L
+    // per-partition max(ts): batch_id comes from the dir name via basePath
+    val live = spark.read.option("basePath", historyPath)
+      .parquet(parts.map(_.getPath.toString): _*)
+    val expired = live.groupBy("batch_id")
+      .agg(max(col(tsCol)).as("__max_ts"))
+      .filter(col("__max_ts") < lit(cutoff).cast("timestamp"))
+      .select(col("batch_id").cast("long")).collect().map(_.getLong(0)).toSet
+    if (expired.isEmpty) return 0L
+    val expiredDirs = parts.filter(st =>
+      expired.contains(st.getPath.getName.stripPrefix("batch_id=").toLong))
+    val n = spark.read.parquet(expiredDirs.map(_.getPath.toString): _*).count()
+    val destRoot = new Path(root, "_archive")
+    def checked(ok: Boolean, what: String): Unit =
+      if (!ok) throw new java.io.IOException(
+        s"archiveEventLog: $what failed (filesystem returned false)")
+    checked(fs.mkdirs(destRoot), s"mkdirs($destRoot)")
+    expiredDirs.foreach { st =>
+      val dest = new Path(destRoot, st.getPath.getName)
+      if (!fs.exists(dest)) checked(fs.rename(st.getPath, dest), s"rename(${st.getPath} -> $dest)")
+      else {
+        fs.listStatus(st.getPath).foreach { part =>
+          val pdest = new Path(dest, part.getPath.getName)
+          checked(fs.rename(part.getPath, pdest), s"rename(${part.getPath} -> $pdest)")
+        }
+        checked(fs.delete(st.getPath, true), s"delete(${st.getPath})")
+      }
+    }
+    n
+  }
 
   /** Switch stateful streaming to the RocksDB state store with changelog
     * checkpointing — the large-state configuration. The default
@@ -335,8 +488,13 @@ object Streams {
     * product, so classification needs no storage read per batch (unlike
     * [[cdcSink]], whose foreachBatch re-reads the history snapshot). This is
     * the `flatMapGroupsWithState` form of the reference's change logger
-    * (postgres_storage.py:1250-1478): first_crawl on first sight, then
-    * price_change / sales_change; unchanged observations emit nothing.
+    * (postgres_storage.py:1250-1478): a first sighting classifies as
+    * price_change — the reference's "first crawl counts as change"
+    * (postgres_storage.py:1322), the same rule [[graft.operators.History]]'s
+    * batch form and `ColumnOps.crawlType` apply, so the streaming and batch
+    * CDC surfaces agree — then price_change / sales_change; unchanged
+    * observations emit nothing. A first sighting is distinguishable in the
+    * output by its null `previous_price`.
     *
     * Scale: state is one (double, long) pair per product — bounded by
     * catalog size, not stream length; per-batch work is a hash shuffle on
@@ -347,14 +505,19 @@ object Streams {
       .flatMapGroupsWithState[PriceState, ChangeEvent](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (id: String, rows: Iterator[ProductObs], state: GroupState[PriceState]) =>
-          // deterministic in-batch order regardless of shuffle arrival
-          val ordered = rows.toSeq.sortBy(r => (r.crawled_at.getTime, r.price, r.sales_count))
+          // deterministic in-batch order regardless of shuffle arrival —
+          // FULL timestamp precision ((millis, nanos) carries the
+          // microseconds), matching the q75 oracle's ORDER BY crawled_at:
+          // ordering by getTime alone would sequence two same-millisecond
+          // observations differently from the oracle's µs-aware sort
+          val ordered = rows.toSeq.sortBy(r =>
+            (r.crawled_at.getTime, r.crawled_at.getNanos, r.price, r.sales_count))
           val out = Seq.newBuilder[ChangeEvent]
           var cur = state.getOption
           ordered.foreach { r =>
             cur match {
               case None =>
-                out += ChangeEvent(id, "first_crawl", r.price, None, None, None, r.crawled_at)
+                out += ChangeEvent(id, "price_change", r.price, None, None, None, r.crawled_at)
               case Some(prev) if prev.price != r.price =>
                 out += ChangeEvent(id, "price_change", r.price, Some(prev.price),
                   Some(r.price - prev.price), None, r.crawled_at)

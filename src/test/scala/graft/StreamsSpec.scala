@@ -91,12 +91,13 @@ class StreamsSpec extends SparkSpec {
     assert(spark.read.parquet(histPath).select("batch_id").distinct()
       .as[Long].collect().toSet == Set(0L, 1L, 2L))
     // THE SCALE CONTRACT: the next batch's derive input is the companion —
-    // every backing file lives in ONE committed generation dir, never the
+    // every backing file lives under committed `_latest` generation dirs
+    // (the newest full collapse + its trailing deltas), never the
     // accumulated batch_id= event partitions
     val st = Streams.cdcState(spark, histPath, batchId = 3L).get
     assert(st.inputFiles.nonEmpty &&
-      st.inputFiles.forall(_.contains("/_latest/gen_000000000002/")),
-      s"derive input should be the gen_2 companion, got ${st.inputFiles.toSeq}")
+      st.inputFiles.forall(f => f.contains("/_latest/gen_") && !f.contains("batch_id=")),
+      s"derive input should be companion generations, got ${st.inputFiles.toSeq}")
     // ... and it is O(keys): one row per product after four events across
     // three batches — flat in stream length
     assert(st.count() === 2)
@@ -120,6 +121,107 @@ class StreamsSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq === eventsBefore)
     assert(Streams.cdcState(spark, histPath, batchId = 3L).get
       .collect().map(_.toString).sorted.toSeq === stateBefore)
+  }
+
+  test("cdc companion: deltas are O(batch), collapses periodic, replays of both converge") {
+    val dir = Files.createTempDirectory("graft_cdc_delta").toString
+    val histPath = s"$dir/history"
+    val latestRoot = new org.apache.hadoop.fs.Path(s"$histPath/_latest")
+    val fs = latestRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def day(d: Int) = ts(f"2024-01-$d%02d 00:00:00")
+    // batch 0 seeds a 50-key catalog; each later batch touches 3 keys
+    val seed = (0 until 50).map(i => Crawl(s"p$i", 100.0 + i, 200.0, null, 1L, day(1)))
+    def touch(k: Int) = (0 until 3).map { j =>
+      val i = 3 * (k - 1) + j
+      Crawl(s"p$i", 100.0 + i + k, 200.0, null, 1L, day(k + 1))
+    }
+    def genDir(id: Long) = new org.apache.hadoop.fs.Path(latestRoot, f"gen_$id%012d")
+    def isFull(id: Long) = fs.exists(new org.apache.hadoop.fs.Path(genDir(id), "_FULL"))
+    def stateRows(id: Long) =
+      spark.read.parquet(new org.apache.hadoop.fs.Path(genDir(id), "state").toString).count()
+    Streams.cdcProcessBatch(seed.toDF, histPath, 0L, collapseEvery = 3)
+    Streams.cdcProcessBatch(touch(1).toDF, histPath, 1L, collapseEvery = 3)
+    Streams.cdcProcessBatch(touch(2).toDF, histPath, 2L, collapseEvery = 3)
+    // batch 0 seeds a full base; batches 1-2 write O(batch) deltas — 3 rows
+    // each against a 50-key catalog, NOT a full rewrite
+    assert(isFull(0) && stateRows(0) === 50)
+    assert(!isFull(1) && stateRows(1) === 3)
+    assert(!isFull(2) && stateRows(2) === 3)
+    // replay of a DELTA batch converges: byte-identical events + state
+    val ev2 = spark.read.parquet(s"$histPath/batch_id=2").collect().map(_.toString).sorted.toSeq
+    val st3 = Streams.cdcState(spark, histPath, 3L).get.collect().map(_.toString).sorted.toSeq
+    Streams.cdcProcessBatch(touch(2).toDF, histPath, 2L, collapseEvery = 3)
+    assert(spark.read.parquet(s"$histPath/batch_id=2")
+      .collect().map(_.toString).sorted.toSeq === ev2)
+    assert(Streams.cdcState(spark, histPath, 3L).get
+      .collect().map(_.toString).sorted.toSeq === st3)
+    assert(!isFull(2), "a replayed delta batch must re-decide delta")
+    // the third delta-candidate collapses: full state, one row per key
+    Streams.cdcProcessBatch(touch(3).toDF, histPath, 3L, collapseEvery = 3)
+    assert(isFull(3) && stateRows(3) === 50)
+    // replay of a COLLAPSE batch converges too (decision and bytes)
+    val st4 = Streams.cdcState(spark, histPath, 4L).get.collect().map(_.toString).sorted.toSeq
+    Streams.cdcProcessBatch(touch(3).toDF, histPath, 3L, collapseEvery = 3)
+    assert(isFull(3) && stateRows(3) === 50)
+    assert(Streams.cdcState(spark, histPath, 4L).get
+      .collect().map(_.toString).sorted.toSeq === st4)
+    // two more deltas, then the second collapse at batch 6 — vacuum drops
+    // everything strictly older than the SECOND-newest full (gen_3): the
+    // retained window still reconstructs any state a replay can ask for
+    Streams.cdcProcessBatch(touch(4).toDF, histPath, 4L, collapseEvery = 3)
+    Streams.cdcProcessBatch(touch(5).toDF, histPath, 5L, collapseEvery = 3)
+    Streams.cdcProcessBatch(touch(6).toDF, histPath, 6L, collapseEvery = 3)
+    assert(isFull(6))
+    val remaining = graft.store.Generations.genDirs(spark, latestRoot.toString)
+      .map(_.getName.drop(4).toLong).toSet
+    assert(remaining === Set(3L, 4L, 5L, 6L),
+      s"vacuum should keep gen_3 (second-newest full) and newer, got $remaining")
+    // the collapsed state equals the ground truth: every touch applied over
+    // the seed — the delta/collapse machinery lost nothing
+    val want = (0 until 50).map { i =>
+      val k = i / 3 + 1 // batch that touched p_i (touch(k) covers 3(k-1)..3(k-1)+2)
+      if (k <= 6) (s"p$i", 100.0 + i + k) else (s"p$i", 100.0 + i)
+    }.toMap
+    val got = Streams.cdcState(spark, histPath, 7L).get
+      .select("product_id", "price")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === want)
+  }
+
+  test("archiveEventLog moves fully-expired batch partitions, conserving rows") {
+    val dir = Files.createTempDirectory("graft_cdc_archive").toString
+    val histPath = s"$dir/history"
+    // three batches on distinct days; every row of batches 0-1 predates the
+    // cutoff, batch 2 straddles nothing (all newer)
+    Streams.cdcProcessBatch(Seq(
+      Crawl("p1", 100.0, 120.0, null, 5L, ts("2024-01-01 00:00:00")),
+      Crawl("p2", 50.0, 60.0, null, 1L, ts("2024-01-01 06:00:00"))).toDF, histPath, 0L)
+    Streams.cdcProcessBatch(Seq(
+      Crawl("p1", 110.0, 120.0, null, 5L, ts("2024-01-02 00:00:00"))).toDF, histPath, 1L)
+    Streams.cdcProcessBatch(Seq(
+      Crawl("p1", 115.0, 120.0, null, 5L, ts("2024-01-03 00:00:00")),
+      Crawl("p2", 55.0, 60.0, null, 1L, ts("2024-01-03 06:00:00"))).toDF, histPath, 2L)
+    val totalBefore = spark.read.parquet(histPath).count()
+    val liveBefore = spark.read.parquet(histPath)
+      .groupBy("batch_id").count().collect()
+      .map(r => r.getAs[Number]("batch_id").longValue() -> r.getLong(1)).toMap
+    val archived = Streams.archiveEventLog(spark, histPath, "2024-01-02 12:00:00")
+    assert(archived === liveBefore(0L) + liveBefore(1L))
+    // the live tree now holds only batch 2; the archive holds 0 and 1; no
+    // row was lost or copied
+    val live = spark.read.parquet(histPath)
+    assert(live.select("batch_id").distinct().as[Long].collect().toSet === Set(2L))
+    val arch = spark.read.option("basePath", s"$histPath/_archive")
+      .parquet(s"$histPath/_archive")
+    assert(arch.select("batch_id").distinct().as[Long].collect().toSet === Set(0L, 1L))
+    assert(live.count() + arch.count() === totalBefore)
+    // the companion under _latest is untouched — the next batch still
+    // derives against full state (p1's previous price survives archival)
+    val st = Streams.cdcState(spark, histPath, 3L).get
+    assert(st.filter(col("product_id") === "p1").select("price")
+      .as[Double].head() === 115.0)
+    // idempotent: nothing left to archive at the same cutoff
+    assert(Streams.archiveEventLog(spark, histPath, "2024-01-02 12:00:00") === 0L)
   }
 
   test("curation gates and mixture sampling run unchanged on a stream") {
@@ -168,9 +270,11 @@ class StreamsSpec extends SparkSpec {
         if (r.isNullAt(3)) null else r.getDouble(3),
         if (r.isNullAt(4)) null else r.getDouble(4),
         if (r.isNullAt(5)) null else r.getLong(5))).toSeq
+    // first sight classifies as price_change with a null previous_price —
+    // the reference's "first crawl counts as change", same as the batch CDC
     assert(got === Seq(
-      ("p1", "first_crawl", 100.0, null, null, null),
-      ("p2", "first_crawl", 50.0, null, null, null),
+      ("p1", "price_change", 100.0, null, null, null),
+      ("p2", "price_change", 50.0, null, null, null),
       ("p1", "price_change", 120.0, 100.0, 20.0, null),
       ("p2", "sales_change", 50.0, 50.0, null, 8L)))
   }
@@ -192,7 +296,8 @@ class StreamsSpec extends SparkSpec {
     run()
     // RESTART from the same checkpoint: the (price, sales) state must be
     // restored from the state store — the new observation classifies as a
-    // price_change against the restored 100.0, NOT as a fresh first_crawl
+    // price_change AGAINST the restored 100.0 (previous_price 100.0,
+    // price_change 20.0), not as a fresh first sighting (null previous)
     Seq(Streams.ProductObs("p1", 120.0, 5L, ts("2024-01-02 00:00:00")))
       .toDS().write.mode("append").parquet(srcDir)
     run()
@@ -203,8 +308,81 @@ class StreamsSpec extends SparkSpec {
         if (r.isNullAt(3)) null else r.getDouble(3),
         if (r.isNullAt(4)) null else r.getDouble(4))).toSeq
     assert(got === Seq(
-      ("p1", "first_crawl", 100.0, null, null),
+      ("p1", "price_change", 100.0, null, null),
       ("p1", "price_change", 120.0, 100.0, 20.0)))
+  }
+
+  test("statefulCdc under RocksDB + changelog matches the default provider across a restart") {
+    // the documented 100 TB configuration (off-heap state + per-batch delta
+    // uploads), exercised end-to-end: same two-batch file-source scenario
+    // with a query RESTART between batches, run under both providers —
+    // output must be identical, and each checkpoint restores under the
+    // provider it was started with
+    def runScenario(sub: String, rocks: Boolean): Seq[String] = {
+      val dir = Files.createTempDirectory(s"graft_scdc_$sub").toString
+      val srcDir = s"$dir/src"; val outDir = s"$dir/out"; val ckpt = s"$dir/ckpt"
+      if (rocks) Streams.useRocksDbState(spark) else Streams.useDefaultState(spark)
+      try {
+        def run(): Unit = {
+          val q = Streams.statefulCdc(
+            spark.readStream
+              .schema("product_id STRING, price DOUBLE, sales_count BIGINT, crawled_at TIMESTAMP")
+              .parquet(srcDir).as[Streams.ProductObs]).writeStream
+            .option("checkpointLocation", ckpt)
+            .format("parquet").option("path", outDir).outputMode("append").start()
+          q.processAllAvailable(); q.stop()
+        }
+        Seq(Streams.ProductObs("p1", 100.0, 5L, ts("2024-01-01 00:00:00")),
+            Streams.ProductObs("p2", 50.0, 1L, ts("2024-01-01 00:00:00")))
+          .toDS().write.mode("append").parquet(srcDir)
+        run()
+        Seq(Streams.ProductObs("p1", 120.0, 5L, ts("2024-01-02 00:00:00")),
+            Streams.ProductObs("p2", 50.0, 9L, ts("2024-01-02 00:00:00")))
+          .toDS().write.mode("append").parquet(srcDir)
+        run() // restart: state must restore from this provider's checkpoint
+      } finally Streams.useDefaultState(spark)
+      spark.read.parquet(outDir)
+        .select("product_id", "crawl_type", "price", "previous_price",
+          "price_change", "sales_change", "crawled_at")
+        .collect().map(_.toString).sorted.toSeq
+    }
+    val rocks = runScenario("rocks", rocks = true)
+    val default = runScenario("default", rocks = false)
+    assert(rocks.nonEmpty && rocks === default,
+      "statefulCdc output must be provider-independent")
+  }
+
+  test("ingestSink runs and resumes under the RocksDB provider") {
+    // foreachBatch sinks keep their durable state in the index layout, not
+    // the state store — but the stream's checkpoint machinery still runs
+    // under the configured provider, so pin that the documented RocksDB
+    // configuration survives a start + restart of the ingest sink
+    import graft.operators.Dedup
+    val docs = Tables.load(spark, sfDir, "documents").filter(col("doc_id") < 600)
+    val corpus = docs.filter(col("doc_id") % 3 === 0)
+    val b1df = docs.filter(col("doc_id") % 3 === 1)
+    val b2df = docs.filter(col("doc_id") % 3 === 2)
+    val dir = Files.createTempDirectory("graft_ingest_rocks").toString
+    val srcDir = s"$dir/src"; val idxPath = s"$dir/index"
+    val vPath = s"$dir/verdicts"; val ckpt = s"$dir/ckpt"
+    Dedup.writeMinhashIndex(Dedup.buildMinhashIndex(corpus, "doc_id", "text"), idxPath)
+    Streams.useRocksDbState(spark)
+    try {
+      def source() = spark.readStream
+        .schema("doc_id BIGINT, text STRING").parquet(srcDir)
+      b1df.select("doc_id", "text").write.mode("append").parquet(srcDir)
+      val q1 = Streams.ingestSink(source(), idxPath, vPath, ckpt,
+        "doc_id", "text", threshold = 0.3)
+      q1.processAllAvailable(); q1.stop()
+      b2df.select("doc_id", "text").write.mode("append").parquet(srcDir)
+      val q2 = Streams.ingestSink(source(), idxPath, vPath, ckpt,
+        "doc_id", "text", threshold = 0.3)
+      q2.processAllAvailable(); q2.stop()
+    } finally Streams.useDefaultState(spark)
+    val v = spark.read.parquet(vPath)
+    assert(v.select("batch_id").distinct().as[Long].collect().toSet === Set(0L, 1L))
+    assert(v.count() === b1df.count() + b2df.count(),
+      "each document verdicted exactly once across the provider-flipped restart")
   }
 
   test("ingestSink: per-batch dedup ingest, replay-idempotent, compaction-bounded") {
