@@ -168,7 +168,7 @@ object Dedup {
     val withBkt = idx.bands.drop("__bkt").withColumn("__bkt", bandBucket(col("bandkey")))
     val re =
       if (bandsBytesHint >= 0 && bandsBytesHint <= graft.store.Compact.DefaultMaxFileBytes &&
-          filesPerBucket <= 1) withBkt.coalesce(1)
+          filesPerBucket <= 1) withBkt.repartition(1) // parallel scan, single writer
       else if (filesPerBucket <= 1) withBkt.repartition(col("__bkt"))
       else withBkt.repartition(col("__bkt"), pmod(hash(col("id")), lit(filesPerBucket)))
     re.write.mode("overwrite").partitionBy("__bkt").parquet(s"$gen/bands")
@@ -260,8 +260,12 @@ object Dedup {
       .write.mode("append").parquet(s"$gen/ids")
     val banded = minhashBandKeys(batch, idCol, textCol, shingleN, numHashes, bands)
       .withColumn("__bkt", bandBucket(col("bandkey")))
+    // repartition(1), NOT coalesce(1): coalesce collapses the UPSTREAM
+    // tokenize+sketch stage to one core (measured q71 6.3 → 10.1 s);
+    // repartition keeps the compute 32-way and funnels only the tiny
+    // banding relation through one writer task
     val laid =
-      if (docsHint >= 0 && docsHint <= SmallAppendDocs) banded.coalesce(1)
+      if (docsHint >= 0 && docsHint <= SmallAppendDocs) banded.repartition(1)
       else banded.repartition(col("__bkt"))
     laid.write.mode("append").partitionBy("__bkt").parquet(s"$gen/bands")
     shingleRows(batch, idCol, textCol, shingleN)
@@ -499,29 +503,36 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, threshold: Double,
       denseVocabBits: Int = DenseVocabBits): DataFrame = {
-    // ONE corpus scan materializes the exploded shingle relation (narrow:
-    // id + shingle string); vocab build and both downstream paths read the
-    // checkpoint instead of re-running normalize+tokenize+explode
-    val sh = shingleRows(docs, idCol, textCol, shingleN).localCheckpoint()
-    // Size probe only: a distributed countDistinct aggregate — NO global
-    // sort, NO id assignment. At corpus scale the vocabulary is billions of
-    // shingles; anything that funnels it through one task (e.g. an
-    // unpartitioned row_number window) is a driver-adjacent bottleneck, so
-    // dense ids exist only on the dense path below, where the vocab is
-    // <= denseVocabBits rows and is collected + rebuilt driver-side.
-    val vocabSize = sh.agg(count_distinct(col("s"))).head.getLong(0)
-    if (vocabSize == 0) {
+    // ONE corpus scan materializes the exploded shingle relation — RAW
+    // (id, shingle) rows, duplicates included: the dense path's bit_or is
+    // idempotent and derives set sizes from the bitmap popcount, so only
+    // the inverted path pays the per-doc-distinct shuffle (it counts
+    // intersections row-by-row and would overcount duplicates)
+    val sh = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+      .repartition(col("id"))
+      .select(col("id"), explode(rawNgrams(col("__toks"), shingleN)).as("s"))
+      .localCheckpoint()
+    // Size probe AND dense vocab in one pass: distinct().limit(bits + 1)
+    // stops the limit at denseVocabBits + 1 rows, so a big vocabulary
+    // collects at most bits+1 strings (route decision), a small one
+    // collects exactly the vocab the dense path needs — the former
+    // count_distinct + second distinct scan paid two aggregate passes
+    // over the shingle relation for the same information. No global sort,
+    // no id assignment: at corpus scale the vocabulary is billions of
+    // shingles, and dense ids exist only below, where vocab fits bits.
+    val probe = sh.select("s").distinct().limit(denseVocabBits + 1)
+      .collect().map(_.getString(0))
+    if (probe.isEmpty) {
       // no shingles at all (empty corpus / all-empty docs) -> no pairs; the
       // dense path would otherwise build a zero-word bitmap (empty reduce)
       sh.select(col("id").as("id_a"), col("id").as("id_b"),
         lit(0.0).as("jaccard")).limit(0)
-    } else if (vocabSize <= denseVocabBits) {
+    } else if (probe.length <= denseVocabBits) {
       val spark = sh.sparkSession
       import spark.implicits._
-      val vocab = sh.select("s").distinct().as[String].collect().sorted
-        .zipWithIndex.toSeq.toDF("s", "v")
-      ngramJaccardDense(sh, vocab, threshold, vocabSize.toInt)
-    } else ngramJaccardInverted(sh, threshold)
+      val vocab = probe.sorted.zipWithIndex.toSeq.toDF("s", "v")
+      ngramJaccardDense(sh, vocab, threshold, probe.length)
+    } else ngramJaccardInverted(sh.distinct(), threshold)
   }
 
   /** Vocabulary-size cutoff for the dense bitmap strategy (16 longs/doc). */
@@ -564,10 +575,15 @@ object Dedup {
       expr(s"bit_or(if(v div 64 = $w, shiftleft(cast(1 as bigint), cast(v % 64 as int)), 0L))").as(s"w$w")
     }
     // one tiny row per doc (n + `words` longs); localCheckpoint so the two
-    // join sides don't each re-scan + re-aggregate the corpus
+    // join sides don't each re-scan + re-aggregate the corpus. `sh` may
+    // carry duplicate (id, s) rows — bit_or is idempotent, and the DISTINCT
+    // set size comes from the bitmap's own popcount, which is what lets the
+    // caller skip the corpus-wide distinct shuffle on this path.
+    val nCol = (0 until words).map(w => bit_count(col(s"w$w")).cast("long")).reduce(_ + _)
     val unblocked = sh.join(broadcast(vocab), Seq("s"))
       .groupBy("id")
-      .agg(count(lit(1)).as("n"), bitAggs: _*)
+      .agg(bitAggs.head, bitAggs.tail: _*)
+      .withColumn("n", nCol)
       .localCheckpoint()
     // Block count scales with the corpus: total pair work is ~n²/2 no matter
     // the blocking, but blocks bound rows-per-task (≈ n/blocks per side) so
@@ -588,20 +604,38 @@ object Dedup {
     }.reduce(_ + _)
     val jaccardCol = round(interCol.cast("double") /
       (col("x.n") + col("y.n") - interCol).cast("double"), 6)
+    // The hot-loop threshold is the INTEGER-relaxed form: J = I/(n_a+n_b−I)
+    // ≥ t ⟺ I·(1+t) ≥ t·(n_a+n_b), evaluated with ONE pass over the
+    // popcount chain and no division/round per pair (jaccardCol references
+    // interCol twice and codegen does not CSE join conditions — the exact
+    // form doubled the per-pair bit_count work, the dominant dense-path
+    // cost). t is relaxed by 1e-6 because the CONTRACT compares the
+    // 6-dp-rounded jaccard: a pair whose raw J rounds UP across t (J ≥
+    // t − 5e-7) must survive the join for the exact post-filter to see it.
+    // The length filter uses the same relaxed t for the same reason.
+    val tr = threshold - 1e-6
     // cross-block pairs appear once by construction; same-block pairs are
     // ordered by id. Output ids are normalized with least/greatest.
-    // The Jaccard threshold sits IN the join condition: the hash join then
-    // emits only true matches instead of materializing every candidate
-    // pair's row for a downstream filter (n² candidates, ~n survivors).
+    // The (relaxed) threshold sits IN the join condition: the hash join
+    // emits only near-matches instead of materializing every candidate
+    // pair's row for a downstream filter (n² candidates, ~n survivors);
+    // the exact 6-dp filter then runs over survivors only.
     vecs.as("x").join(broadcast(blockPairs), col("x.b") === col("b1"))
       .join(broadcast(vecs.as("y")),
         col("y.b") === col("b2") &&
         (col("b1") < col("b2") || col("x.id") < col("y.id")) &&
-        col("x.n") >= col("y.n") * threshold && col("y.n") >= col("x.n") * threshold &&
-        jaccardCol >= threshold)
+        col("x.n") >= col("y.n") * tr && col("y.n") >= col("x.n") * tr &&
+        interCol.cast("double") * (1.0 + tr) >= (col("x.n") + col("y.n")).cast("double") * tr)
       .select(least(col("x.id"), col("y.id")).as("id_a"),
         greatest(col("x.id"), col("y.id")).as("id_b"),
         jaccardCol.as("jaccard"))
+      // materialize the ~n survivors BEFORE the exact filter: without the
+      // barrier Catalyst pushes `jaccard >= t` back into the join condition,
+      // re-evaluating the popcount chain two more times per CANDIDATE pair
+      // (measured 4.8 → 7.1 s — worse than the exact-in-join form it was
+      // meant to replace)
+      .localCheckpoint()
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Minimum block count for the dense all-pairs equi-join plan. */
