@@ -379,6 +379,45 @@ object Streams {
   def annIngestLedger(spark: SparkSession, indexPath: String): DataFrame =
     spark.read.parquet(s"$indexPath/_ledger")
 
+  /** Archive all but the newest `keepLatest` `batch_id=` partitions of a
+    * per-batch output tree ([[ingestSink]] verdicts, [[annIngestSink]]
+    * ledgers — trees whose rows carry no timestamp, so [[archiveEventLog]]'s
+    * ts-range predicate cannot apply; batch ids are the stream's own
+    * monotone clock). Same move discipline: whole-directory renames under
+    * `<path>/_archive/`, no data read or copied, idempotent re-runs,
+    * underscore prefix invisible to live readers. `keepLatest ≥ 1` keeps
+    * the newest batches hot for operational queries; a replayed batch can
+    * only be the CURRENT one, which is always retained. Returns the number
+    * of partitions moved. */
+  def archiveBatchOutputs(spark: SparkSession, path: String, keepLatest: Int): Long = {
+    require(keepLatest >= 1, "keepLatest must be >= 1")
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0L
+    val parts = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+      .sortBy(st => st.getPath.getName.stripPrefix("batch_id=").toLong)
+    val expired = parts.dropRight(keepLatest)
+    if (expired.isEmpty) return 0L
+    val destRoot = new Path(root, "_archive")
+    def checked(ok: Boolean, what: String): Unit =
+      if (!ok) throw new java.io.IOException(
+        s"archiveBatchOutputs: $what failed (filesystem returned false)")
+    checked(fs.mkdirs(destRoot), s"mkdirs($destRoot)")
+    expired.foreach { st =>
+      val dest = new Path(destRoot, st.getPath.getName)
+      if (!fs.exists(dest)) checked(fs.rename(st.getPath, dest), s"rename(${st.getPath} -> $dest)")
+      else {
+        fs.listStatus(st.getPath).foreach { part =>
+          val pdest = new Path(dest, part.getPath.getName)
+          checked(fs.rename(part.getPath, pdest), s"rename(${part.getPath} -> $pdest)")
+        }
+        checked(fs.delete(st.getPath, true), s"delete(${st.getPath})")
+      }
+    }
+    expired.size.toLong
+  }
+
   /** S9 archival for the STREAMING event tree — the lifecycle step that
     * keeps a long-running [[cdcSink]]'s `batch_id=` partitions from
     * accumulating forever (the batch path has [[graft.store.Store.archiveHistory]];

@@ -224,6 +224,24 @@ class StreamsSpec extends SparkSpec {
     assert(Streams.archiveEventLog(spark, histPath, "2024-01-02 12:00:00") === 0L)
   }
 
+  test("archiveBatchOutputs keeps the newest batches hot, moves the rest whole") {
+    val dir = Files.createTempDirectory("graft_batch_archive").toString
+    val vPath = s"$dir/verdicts"
+    (0L to 4L).foreach { bid =>
+      Seq((bid * 10, false)).toDF("id", "is_dup")
+        .write.mode("overwrite").parquet(s"$vPath/batch_id=$bid")
+    }
+    val moved = Streams.archiveBatchOutputs(spark, vPath, keepLatest = 2)
+    assert(moved === 3L)
+    val live = spark.read.parquet(vPath)
+    assert(live.select("batch_id").distinct().as[Long].collect().toSet === Set(3L, 4L))
+    val arch = spark.read.option("basePath", s"$vPath/_archive").parquet(s"$vPath/_archive")
+    assert(arch.select("batch_id").distinct().as[Long].collect().toSet === Set(0L, 1L, 2L))
+    assert(live.count() + arch.count() === 5L)
+    // idempotent: nothing more to move at the same keepLatest
+    assert(Streams.archiveBatchOutputs(spark, vPath, keepLatest = 2) === 0L)
+  }
+
   test("curation gates and mixture sampling run unchanged on a stream") {
     // the corpus gate expressions and the hash-threshold mixture filter are
     // stateless column expressions — the SAME code is streaming-safe with
