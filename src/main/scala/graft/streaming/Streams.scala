@@ -69,8 +69,13 @@ object Streams {
     * tieBreakers) is associative, so that equals a global latest-per-key
     * over all prior events. The per-batch WRITE is O(batch) (the r7 shape —
     * a full O(catalog) rewrite per micro-batch — made the companion write
-    * the dominant cost at a 10⁹-key catalog with minute-level batches; the
-    * read side is unchanged at O(catalog + collapseEvery·batch)).
+    * the dominant cost at a 10⁹-key catalog with minute-level batches),
+    * and the per-batch READ partition-prunes: generations are laid out by
+    * `__kbkt = hash(key) % [[CdcKeyBuckets]]` and the derive reads only
+    * the batch's buckets (state for keys outside the batch cannot affect
+    * its events), so a micro-batch touching few keys reads O(catalog ×
+    * touched-buckets/64 + collapseEvery·batch), not the whole companion.
+    * Only the every-collapseEvery-th collapse pays a full read+write.
     *
     * At-least-once `foreachBatch` delivery CONVERGES: a replayed batch
     * resolves only generations with id STRICTLY below its own — its
@@ -99,6 +104,21 @@ object Streams {
   private val CdcStateCols = Seq(
     "product_id", "price", "original_price", "discount_percent", "sales_count", "crawled_at")
 
+  /** Key-hash partition dirs in each companion generation. The per-batch
+    * derive needs previous state for the BATCH's keys only, so generations
+    * are laid out by `__kbkt = hash(product_id) % CdcKeyBuckets` and the
+    * derive's companion read partition-prunes to the batch's bucket set —
+    * O(touched buckets) of the catalog instead of the whole companion per
+    * micro-batch, the read-side twin of the delta-write bound. A key hashes
+    * to the same bucket in every generation, so pruning the full+delta
+    * union can never hide a key's newest state. 64 keeps the bucket list a
+    * bounded driver-side literal (same capped-collect exception as the
+    * MinHash band buckets). */
+  val CdcKeyBuckets = 64
+
+  private def keyBucket(c: org.apache.spark.sql.Column) =
+    pmod(hash(c), lit(CdcKeyBuckets))
+
   /** Committed companion generations with id strictly below `batchId`, as
     * (id, path, isFull), ascending. */
   private def cdcGensBelow(spark: SparkSession, historyPath: String,
@@ -122,7 +142,12 @@ object Streams {
     val spark = batch.sparkSession
     scopedUnpersist(spark) {
       val gens = cdcGensBelow(spark, historyPath, batchId)
-      val prev = cdcStateFrom(spark, gens)
+      // the derive needs previous state for the BATCH's keys only — prune
+      // the companion read to their buckets (≤ CdcKeyBuckets small ints,
+      // a deliberate capped driver-side collect)
+      val batchBuckets = batch.select(keyBucket(col("product_id")).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val prev = cdcStateFrom(spark, gens, pruneTo = Some(batchBuckets))
         .getOrElse(batch.select(CdcStateCols.map(col): _*).limit(0))
       // materialized once: the events feed both the partition write and the
       // companion write (and the scoped wrapper frees the blocks per batch)
@@ -139,8 +164,11 @@ object Streams {
       // the identical choice.
       val deltasSinceFull = gens.reverse.takeWhile(!_._3).size
       val isFull = gens.isEmpty || !gens.exists(_._3) || deltasSinceFull + 1 >= collapseEvery
+      // a collapse folds the WHOLE catalog — unpruned read — not just the
+      // batch's buckets
       val next =
-        if (isFull) Merge.latestPerKey(prev.unionByName(delta),
+        if (isFull) Merge.latestPerKey(
+          cdcStateFrom(spark, gens).getOrElse(delta.limit(0)).unionByName(delta),
           Seq("product_id"), "crawled_at", Seq(col("price").desc))
         else Merge.latestPerKey(delta,
           Seq("product_id"), "crawled_at", Seq(col("price").desc))
@@ -156,7 +184,13 @@ object Streams {
       // the strictly-earlier generations + the batch, so the rewrite is
       // byte-identical)
       fs.delete(gen, true)
-      next.write.mode("overwrite").parquet(new Path(gen, "state").toString)
+      val laid = next.withColumn("__kbkt", keyBucket(col("product_id")))
+      // collapse: parallel key shuffle, one file per bucket; delta: the
+      // few changed rows funnel through one writer (repartition, never
+      // coalesce — coalesce would single-thread the upstream derive)
+      (if (isFull) laid.repartition(col("__kbkt")) else laid.repartition(1))
+        .write.mode("overwrite").partitionBy("__kbkt")
+        .parquet(new Path(gen, "state").toString)
       if (isFull) fs.create(new Path(gen, "_FULL"), false).close()
       Generations.commit(spark, gen)
       cdcVacuum(spark, historyPath, batchId + 1)
@@ -170,12 +204,15 @@ object Streams {
     * surface so specs can assert the derive input is the companion — a
     * bounded set of `_latest` generation directories, O(keys +
     * collapseEvery·batch) rows — and not the accumulated `batch_id=` event
-    * partitions. */
-  def cdcState(spark: SparkSession, historyPath: String, batchId: Long): Option[DataFrame] =
-    cdcStateFrom(spark, cdcGensBelow(spark, historyPath, batchId))
+    * partitions. `pruneTo` restricts the read to the given `__kbkt`
+    * buckets (what the per-batch derive does with the batch's own bucket
+    * set); correct for any key set that hashes into those buckets. */
+  def cdcState(spark: SparkSession, historyPath: String, batchId: Long,
+      pruneTo: Option[Seq[Int]] = None): Option[DataFrame] =
+    cdcStateFrom(spark, cdcGensBelow(spark, historyPath, batchId), pruneTo)
 
-  private def cdcStateFrom(spark: SparkSession,
-      gens: Seq[(Long, Path, Boolean)]): Option[DataFrame] = {
+  private def cdcStateFrom(spark: SparkSession, gens: Seq[(Long, Path, Boolean)],
+      pruneTo: Option[Seq[Int]] = None): Option[DataFrame] = {
     if (gens.isEmpty) None
     else {
       // the newest full collapse anchors the read; deltas after it overlay.
@@ -188,18 +225,39 @@ object Streams {
         if (i >= 0) gens.drop(i) else gens
       }
       // a batch whose rows all matched state writes an EMPTY delta — no
-      // part files, so it must be skipped, not schema-inferred over
+      // part files (bucketed layout: no __kbkt= dirs), so it must be
+      // skipped, not schema-inferred over
       val dirs = fromFull.map { case (_, p, _) => new Path(p, "state") }
         .filter { d =>
           val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
           fs.exists(d) && fs.listStatus(d).exists { st =>
             val n = st.getPath.getName
-            st.isFile && !n.startsWith("_") && !n.startsWith(".")
+            // data = __kbkt= partition dirs (bucketed layout; they DO start
+            // with "_" — Spark's reader keeps underscore names containing
+            // "=") or plain part files (legacy flat layout)
+            (st.isDirectory && n.startsWith("__kbkt=")) ||
+              (st.isFile && !n.startsWith("_") && !n.startsWith("."))
           }
         }
       if (dirs.isEmpty) None
-      else Some(Merge.latestPerKey(spark.read.parquet(dirs.map(_.toString): _*),
-        Seq("product_id"), "crawled_at", Seq(col("price").desc)))
+      else {
+        // per-dir reads, then union: a legacy flat generation and a
+        // bucketed one cannot share a single multi-path read (conflicting
+        // partition discovery); K ≤ collapseEvery dirs keeps this cheap.
+        // `pruneTo` applies as a PartitionFilter wherever the layout
+        // carries __kbkt — the derive's O(touched buckets) read.
+        val frames = dirs.map { d =>
+          val df = spark.read.parquet(d.toString)
+          val pruned = pruneTo match {
+            case Some(b) if df.columns.contains("__kbkt") =>
+              df.filter(col("__kbkt").isin(b: _*))
+            case _ => df
+          }
+          if (pruned.columns.contains("__kbkt")) pruned.drop("__kbkt") else pruned
+        }
+        Some(Merge.latestPerKey(frames.reduce(_ unionByName _),
+          Seq("product_id"), "crawled_at", Seq(col("price").desc)))
+      }
     }
   }
 

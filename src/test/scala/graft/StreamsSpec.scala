@@ -147,6 +147,39 @@ class StreamsSpec extends SparkSpec {
     assert(isFull(0) && stateRows(0) === 50)
     assert(!isFull(1) && stateRows(1) === 3)
     assert(!isFull(2) && stateRows(2) === 3)
+    // THE READ-SIDE SCALE CONTRACT: the derive prunes the companion read
+    // to the batch's key buckets — a 3-key probe opens only those keys'
+    // __kbkt= partition dirs, not the 50-key catalog's
+    val b1Buckets = touch(1).toDF
+      .select(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(col("product_id")),
+        org.apache.spark.sql.functions.lit(Streams.CdcKeyBuckets)).as("b"))
+      .distinct().as[Int].collect().toSet
+    val prunedSt = Streams.cdcState(spark, histPath, 3L,
+      pruneTo = Some(b1Buckets.toSeq)).get
+    // the bucket filter must land as a PARTITION filter on the companion
+    // scans (partitions never opened), not a post-read filter; inputFiles
+    // can't show this — it lists the relation pre-pruning
+    val prunedPlan = prunedSt.queryExecution.executedPlan.toString
+    assert(prunedPlan.contains("PartitionFilters") && prunedPlan.contains("__kbkt"),
+      prunedPlan.take(1500))
+    // semantic pruning effect: the pruned state holds exactly the catalog
+    // keys hashing into the batch's buckets — a strict subset of the
+    // 50-key catalog — and nothing else
+    val fullSt0 = Streams.cdcState(spark, histPath, 3L).get
+    val expectRows = fullSt0.filter(
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(col("product_id")),
+        org.apache.spark.sql.functions.lit(Streams.CdcKeyBuckets)).isin(b1Buckets.toSeq: _*))
+      .count()
+    assert(prunedSt.count() === expectRows && expectRows < fullSt0.count(),
+      s"pruned rows ${prunedSt.count()} vs expected $expectRows of ${fullSt0.count()}")
+    // and the pruned state agrees with the full state on those keys
+    val fullSt = Streams.cdcState(spark, histPath, 3L).get
+    assert(prunedSt.filter(col("product_id").isin("p0", "p1", "p2"))
+      .collect().map(_.toString).sorted.toSeq ===
+      fullSt.filter(col("product_id").isin("p0", "p1", "p2"))
+        .collect().map(_.toString).sorted.toSeq)
     // replay of a DELTA batch converges: byte-identical events + state
     val ev2 = spark.read.parquet(s"$histPath/batch_id=2").collect().map(_.toString).sorted.toSeq
     val st3 = Streams.cdcState(spark, histPath, 3L).get.collect().map(_.toString).sorted.toSeq
