@@ -600,34 +600,67 @@ object Streams {
     import obs.sparkSession.implicits._
     obs.groupByKey(_.product_id)
       .flatMapGroupsWithState[PriceState, ChangeEvent](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (id: String, rows: Iterator[ProductObs], state: GroupState[PriceState]) =>
-          // deterministic in-batch order regardless of shuffle arrival —
-          // FULL timestamp precision ((millis, nanos) carries the
-          // microseconds), matching the q75 oracle's ORDER BY crawled_at:
-          // ordering by getTime alone would sequence two same-millisecond
-          // observations differently from the oracle's µs-aware sort
-          val ordered = rows.toSeq.sortBy(r =>
-            (r.crawled_at.getTime, r.crawled_at.getNanos, r.price, r.sales_count))
-          val out = Seq.newBuilder[ChangeEvent]
-          var cur = state.getOption
-          ordered.foreach { r =>
-            cur match {
-              case None =>
-                out += ChangeEvent(id, "price_change", r.price, None, None, None, r.crawled_at)
-              case Some(prev) if prev.price != r.price =>
-                out += ChangeEvent(id, "price_change", r.price, Some(prev.price),
-                  Some(r.price - prev.price), None, r.crawled_at)
-              case Some(prev) if prev.sales != r.sales_count =>
-                out += ChangeEvent(id, "sales_change", r.price, Some(prev.price),
-                  None, Some(r.sales_count - prev.sales), r.crawled_at)
-              case _ => // no_change: not logged (F7)
-            }
-            cur = Some(PriceState(r.price, r.sales_count))
-          }
-          state.update(cur.get)
-          out.result().iterator
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(cdcClassify)
+  }
+
+  /** [[statefulCdc]] BOOTSTRAPPED from a batch snapshot — the migration
+    * path from the batch store's latest-per-key companion
+    * ([[graft.store.Store.latest]]) into streaming CDC. Keys present in
+    * `snapshot` (cols: product_id, price, sales_count) classify their
+    * first streamed observation AGAINST the snapshot values instead of as
+    * a first sighting, so switching a running catalog from batch to
+    * streaming CDC does not emit a change event per catalog entry on the
+    * first micro-batch (at a 10⁹-key catalog, a reclassification storm).
+    *
+    * Scale: the initial state is a distributed Dataset, hash-shuffled by
+    * key ONCE when the query starts (Spark's native initial-state support)
+    * — never collected, never broadcast. Use only on a FRESH checkpoint:
+    * Spark applies initial state at first start; a restart restores from
+    * the state store and ignores it. */
+  def statefulCdcFrom(obs: Dataset[ProductObs], snapshot: DataFrame): Dataset[ChangeEvent] = {
+    import obs.sparkSession.implicits._
+    val init = snapshot
+      .select(col("product_id").cast("string").as("_1"),
+        struct(col("price").cast("double").as("price"),
+          col("sales_count").cast("long").as("sales")).as("_2"))
+      .as[(String, PriceState)]
+      .groupByKey(_._1).mapValues(_._2)
+    obs.groupByKey(_.product_id)
+      .flatMapGroupsWithState[PriceState, ChangeEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout, init)(cdcClassify)
+  }
+
+  /** The per-key classification both stateful CDC forms share. */
+  private def cdcClassify(id: String, rows: Iterator[ProductObs],
+      state: GroupState[PriceState]): Iterator[ChangeEvent] = {
+    // deterministic in-batch order regardless of shuffle arrival —
+    // FULL timestamp precision ((millis, nanos) carries the
+    // microseconds), matching the q75 oracle's ORDER BY crawled_at:
+    // ordering by getTime alone would sequence two same-millisecond
+    // observations differently from the oracle's µs-aware sort
+    val ordered = rows.toSeq.sortBy(r =>
+      (r.crawled_at.getTime, r.crawled_at.getNanos, r.price, r.sales_count))
+    val out = Seq.newBuilder[ChangeEvent]
+    var cur = state.getOption
+    ordered.foreach { r =>
+      cur match {
+        case None =>
+          out += ChangeEvent(id, "price_change", r.price, None, None, None, r.crawled_at)
+        case Some(prev) if prev.price != r.price =>
+          out += ChangeEvent(id, "price_change", r.price, Some(prev.price),
+            Some(r.price - prev.price), None, r.crawled_at)
+        case Some(prev) if prev.sales != r.sales_count =>
+          out += ChangeEvent(id, "sales_change", r.price, Some(prev.price),
+            None, Some(r.sales_count - prev.sales), r.crawled_at)
+        case _ => // no_change: not logged (F7)
       }
+      cur = Some(PriceState(r.price, r.sales_count))
+    }
+    // foreach, not .get: with bootstrapped initial state the first batch
+    // invokes the function for initial keys that have no batch rows —
+    // `cur` is the (unchanged) initial state there, but stay total anyway
+    cur.foreach(state.update)
+    out.result().iterator
   }
 
 }

@@ -330,6 +330,38 @@ class StreamsSpec extends SparkSpec {
       ("p2", "sales_change", 50.0, 50.0, null, 8L)))
   }
 
+  test("statefulCdcFrom bootstraps state from a batch snapshot (migration path)") {
+    implicit val sqlCtx = spark.sqlContext
+    // the batch store's latest-per-key shape: p1 was last seen at 100.0/5
+    val snapshot = Seq(("p1", 100.0, 5L)).toDF("product_id", "price", "sales_count")
+    val mem = MemoryStream[Streams.ProductObs]
+    val q = Streams.statefulCdcFrom(mem.toDS(), snapshot)
+      .writeStream.format("memory").queryName("scdc_boot").outputMode("append").start()
+    mem.addData(
+      Streams.ProductObs("p1", 120.0, 5L, ts("2024-01-02 00:00:00")), // known key
+      Streams.ProductObs("p2", 50.0, 1L, ts("2024-01-02 00:00:00"))) // new key
+    q.processAllAvailable()
+    // second batch: p1 unchanged (no event), p2 sales move
+    mem.addData(
+      Streams.ProductObs("p1", 120.0, 5L, ts("2024-01-03 00:00:00")),
+      Streams.ProductObs("p2", 50.0, 9L, ts("2024-01-03 00:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("scdc_boot")
+      .select("product_id", "crawl_type", "price", "previous_price", "price_change", "sales_change")
+      .orderBy("crawled_at", "product_id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        if (r.isNullAt(3)) null else r.getDouble(3),
+        if (r.isNullAt(4)) null else r.getDouble(4),
+        if (r.isNullAt(5)) null else r.getLong(5))).toSeq
+    assert(got === Seq(
+      // p1 classifies against the SNAPSHOT, not as a first sighting — the
+      // whole point of the migration path
+      ("p1", "price_change", 120.0, 100.0, 20.0, null),
+      ("p2", "price_change", 50.0, null, null, null),
+      ("p2", "sales_change", 50.0, 50.0, null, 8L)))
+  }
+
   test("statefulCdc state survives a query restart via the checkpoint (file source)") {
     val dir = Files.createTempDirectory("graft_scdc_resume").toString
     val srcDir = s"$dir/src"; val outDir = s"$dir/out"; val ckpt = s"$dir/ckpt"
