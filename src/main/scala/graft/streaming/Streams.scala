@@ -70,12 +70,13 @@ object Streams {
     * over all prior events. The per-batch WRITE is O(batch) (the r7 shape —
     * a full O(catalog) rewrite per micro-batch — made the companion write
     * the dominant cost at a 10⁹-key catalog with minute-level batches),
-    * and the per-batch READ partition-prunes: generations are laid out by
-    * `__kbkt = hash(key) % [[CdcKeyBuckets]]` and the derive reads only
-    * the batch's buckets (state for keys outside the batch cannot affect
-    * its events), so a micro-batch touching few keys reads O(catalog ×
-    * touched-buckets/64 + collapseEvery·batch), not the whole companion.
-    * Only the every-collapseEvery-th collapse pays a full read+write.
+    * and the per-batch READ partition-prunes: full collapses are laid out
+    * by `__kbkt = hash(key) % [[CdcKeyBuckets]]` and the derive reads only
+    * the batch's buckets of them (state for keys outside the batch cannot
+    * affect its events; flat deltas are O(batch) and row-filtered), so a
+    * micro-batch touching few keys reads O(catalog × touched-buckets/64 +
+    * collapseEvery·batch), not the whole companion. Only the
+    * every-collapseEvery-th collapse pays a full read+write.
     *
     * At-least-once `foreachBatch` delivery CONVERGES: a replayed batch
     * resolves only generations with id STRICTLY below its own — its
@@ -184,13 +185,21 @@ object Streams {
       // the strictly-earlier generations + the batch, so the rewrite is
       // byte-identical)
       fs.delete(gen, true)
-      val laid = next.withColumn("__kbkt", keyBucket(col("product_id")))
-      // collapse: parallel key shuffle, one file per bucket; delta: the
-      // few changed rows funnel through one writer (repartition, never
-      // coalesce — coalesce would single-thread the upstream derive)
-      (if (isFull) laid.repartition(col("__kbkt")) else laid.repartition(1))
-        .write.mode("overwrite").partitionBy("__kbkt")
-        .parquet(new Path(gen, "state").toString)
+      // Only COLLAPSES get the bucketed layout: they are the catalog-sized
+      // relation the per-batch prune pays for. A delta is O(batch) — its
+      // read costs nothing to leave whole, and partitioning it would write
+      // ≤ CdcKeyBuckets tiny files per micro-batch for no read saving
+      // (measured 3× on the q76 gate). Deltas stay one flat file
+      // (repartition, never coalesce — coalesce would single-thread the
+      // upstream derive); cdcStateFrom row-filters them when pruning.
+      if (isFull)
+        next.withColumn("__kbkt", keyBucket(col("product_id")))
+          .repartition(col("__kbkt"))
+          .write.mode("overwrite").partitionBy("__kbkt")
+          .parquet(new Path(gen, "state").toString)
+      else
+        next.repartition(1)
+          .write.mode("overwrite").parquet(new Path(gen, "state").toString)
       if (isFull) fs.create(new Path(gen, "_FULL"), false).close()
       Generations.commit(spark, gen)
       cdcVacuum(spark, historyPath, batchId + 1)
@@ -241,17 +250,21 @@ object Streams {
         }
       if (dirs.isEmpty) None
       else {
-        // per-dir reads, then union: a legacy flat generation and a
-        // bucketed one cannot share a single multi-path read (conflicting
+        // per-dir reads, then union: a flat delta generation and a bucketed
+        // collapse cannot share a single multi-path read (conflicting
         // partition discovery); K ≤ collapseEvery dirs keeps this cheap.
-        // `pruneTo` applies as a PartitionFilter wherever the layout
-        // carries __kbkt — the derive's O(touched buckets) read.
+        // `pruneTo` lands as a PartitionFilter on bucketed collapses — the
+        // O(touched buckets) read of the catalog-sized relation — and as a
+        // row filter on flat deltas/legacy gens (deltas are O(batch); a
+        // legacy full gen re-anchors bucketed at its next collapse).
         val frames = dirs.map { d =>
           val df = spark.read.parquet(d.toString)
           val pruned = pruneTo match {
             case Some(b) if df.columns.contains("__kbkt") =>
               df.filter(col("__kbkt").isin(b: _*))
-            case _ => df
+            case Some(b) =>
+              df.filter(keyBucket(col("product_id")).isin(b: _*))
+            case None => df
           }
           if (pruned.columns.contains("__kbkt")) pruned.drop("__kbkt") else pruned
         }
