@@ -1342,6 +1342,82 @@ object SparkEntry {
           date_trunc("second", col("crawled_at")).as("crawled_at"),
           col("batch_id").cast(LongType).as("batch_id"))
         .orderBy(col("batch_id"), col("product_id"))
+    }),
+
+    // --- S9 for the STREAMING event tree, oracle-gated: the q76 pipeline
+    //     followed by archiveEventLog at a cutoff that fully expires
+    //     batches 0-1 (every row older) but not batch 2. The query returns
+    //     the LIVE tree after the move — the oracle recomputes the same
+    //     derivation relationally and keeps only the unexpired batch, so a
+    //     hash match proves the archive moved exactly the expired
+    //     partitions and nothing else (a lost or double-moved row changes
+    //     the live set). Companion generations under `_latest/` are
+    //     untouched by construction. -----------------------------------------
+    "q77_event_archive" -> ((s, dir) => {
+      val root = scratch("q77", dir)
+      val histPath = s"$root/history"
+      val ev = t(s, dir, "events").select(
+        col("user_id").as("product_id"),
+        col("value").as("price"),
+        (col("value") + 10.0).as("original_price"),
+        lit(null).cast(DoubleType).as("discount_percent"),
+        (col("event_id") % 100).as("sales_count"),
+        col("ts").as("crawled_at"),
+        col("event_id"))
+      val cuts = Seq("2024-01-11 00:00:00", "2024-01-21 00:00:00").map(c => lit(c).cast(TimestampType))
+      val slices = Seq(
+        ev.filter(col("crawled_at") < cuts(0)),
+        ev.filter(col("crawled_at") >= cuts(0) && col("crawled_at") < cuts(1)),
+        ev.filter(col("crawled_at") >= cuts(1)))
+      slices.zipWithIndex.foreach { case (sl, i) =>
+        val batch = Merge.latestPerKey(sl, Seq("product_id"), "crawled_at",
+          Seq(col("event_id").desc)).drop("event_id")
+        graft.streaming.Streams.cdcProcessBatch(batch, histPath, i.toLong)
+      }
+      graft.streaming.Streams.archiveEventLog(s, histPath, "2024-01-21 00:00:00")
+      s.read.parquet(histPath)
+        .select(col("product_id"), col("price"), col("previous_price"),
+          col("price_change"), col("sales_count"), col("sales_change"),
+          col("crawl_type"), date_trunc("second", col("crawled_at")).as("crawled_at"),
+          col("batch_id").cast(LongType).as("batch_id"))
+        .orderBy(col("product_id"))
+    }),
+
+    // --- §2.10 batch→streaming MIGRATION, oracle-gated: statefulCdcFrom
+    //     seeds the state store from a batch snapshot (latest-per-key over
+    //     the pre-cutoff history — Store.latest's shape), then streams the
+    //     post-cutoff observations through a file source. Known keys
+    //     classify their first streamed observation against the SNAPSHOT
+    //     (previous_price = the snapshot value), unseen keys as first
+    //     sightings — the oracle reproduces this by unioning the seed rows
+    //     as virtual order-0 observations under the same lag window. ---------
+    "q78_bootstrap_cdc" -> ((s, dir) => {
+      import graft.streaming.Streams
+      val root = scratch("q78", dir)
+      val srcDir = s"$root/src"; val outDir = s"$root/out"; val ckpt = s"$root/ckpt"
+      val obs = t(s, dir, "events").filter(col("user_id") % 3 === 0).select(
+        concat(lit("u"), col("user_id").cast(StringType)).as("product_id"),
+        col("value").as("price"),
+        (col("event_id") % 100).cast(LongType).as("sales_count"),
+        col("ts").as("crawled_at"))
+      val cut = lit("2024-01-16 00:00:00").cast(TimestampType)
+      val snapshot = Merge.latestPerKey(
+        obs.filter(col("crawled_at") < cut),
+        Seq("product_id"), "crawled_at", Seq(col("price").desc, col("sales_count").desc))
+      obs.filter(col("crawled_at") >= cut).write.mode("overwrite").parquet(srcDir)
+      import s.implicits._
+      val src = s.readStream
+        .schema("product_id STRING, price DOUBLE, sales_count BIGINT, crawled_at TIMESTAMP")
+        .parquet(srcDir).as[Streams.ProductObs]
+      val q = Streams.statefulCdcFrom(src, snapshot).writeStream
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", outDir).outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      s.read.parquet(outDir)
+        .select(col("product_id"), col("crawl_type"), col("price"),
+          col("previous_price"), col("price_change"), col("sales_change"),
+          date_trunc("second", col("crawled_at")).as("crawled_at"))
+        .orderBy(col("product_id"), col("crawled_at"))
     })
   )
 
@@ -2703,6 +2779,99 @@ object SparkEntry {
         |  (coalesce(discount_percent, 0) >= 30 OR coalesce(discount_amount, 0) >= 100000) is_flash_sale,
         |  crawl_type, date_trunc('second', crawled_at) crawled_at,
         |  CAST(batch_id AS BIGINT) batch_id
-        |FROM ev2 WHERE crawl_type != 'no_change' ORDER BY batch_id, product_id""".stripMargin
+        |FROM ev2 WHERE crawl_type != 'no_change' ORDER BY batch_id, product_id""".stripMargin,
+
+    // q77 = the q76 derivation with only the LIVE (unexpired) batch
+    // surviving archival: batches 0-1 expire wholly below the cutoff, so
+    // the live tree is exactly batch 2's events. A hash match proves the
+    // archive moved the expired partitions and ONLY them.
+    "q77_event_archive" ->
+      """WITH ev AS (
+        |  SELECT user_id product_id, value price, value + 10.0 original_price,
+        |    CAST(NULL AS DOUBLE) discount_percent, event_id % 100 sales_count,
+        |    ts crawled_at, event_id,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-11 00:00:00' THEN 0
+        |         WHEN ts < TIMESTAMP '2024-01-21 00:00:00' THEN 1 ELSE 2 END batch_id
+        |  FROM events WHERE ts IS NOT NULL
+        |), heads AS (
+        |  SELECT * FROM ev
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY product_id, batch_id ORDER BY crawled_at DESC, event_id DESC) = 1
+        |), valid AS (
+        |  SELECT * FROM heads WHERE product_id IS NOT NULL AND price IS NOT NULL
+        |), seq AS (
+        |  SELECT *,
+        |    lag(price) OVER w previous_price,
+        |    lag(original_price) OVER w previous_original_price,
+        |    lag(discount_percent) OVER w previous_discount_percent,
+        |    lag(sales_count) OVER w previous_sales_count
+        |  FROM valid WINDOW w AS (PARTITION BY product_id ORDER BY batch_id)
+        |), typed AS (
+        |  SELECT *,
+        |    CASE WHEN previous_sales_count IS NOT NULL AND sales_count IS NOT NULL
+        |      THEN sales_count - previous_sales_count END sales_change,
+        |    (previous_price IS NULL AND previous_original_price IS NULL
+        |      AND previous_discount_percent IS NULL) first_crawl,
+        |    ((price IS DISTINCT FROM previous_price)
+        |      OR (original_price IS DISTINCT FROM previous_original_price)
+        |      OR (discount_percent IS DISTINCT FROM previous_discount_percent)) price_changed
+        |  FROM seq
+        |), ev2 AS (
+        |  SELECT *,
+        |    CASE WHEN first_crawl THEN 'price_change' WHEN price_changed THEN 'price_change'
+        |         WHEN sales_change IS NOT NULL AND sales_change != 0 THEN 'sales_change'
+        |         ELSE 'no_change' END crawl_type
+        |  FROM typed
+        |)
+        |SELECT product_id, price, previous_price,
+        |  CASE WHEN NOT first_crawl AND crawl_type = 'price_change' AND price IS NOT NULL
+        |    AND previous_price IS NOT NULL THEN price - previous_price END price_change,
+        |  sales_count, sales_change, crawl_type,
+        |  date_trunc('second', crawled_at) crawled_at,
+        |  CAST(batch_id AS BIGINT) batch_id
+        |FROM ev2 WHERE crawl_type != 'no_change' AND batch_id = 2
+        |ORDER BY product_id""".stripMargin,
+
+    // q78: statefulCdcFrom's snapshot bootstrap collapses to the same lag
+    // window as q75 with the pre-cutoff latest-per-key rows unioned in as
+    // virtual order-0 observations — they seed each key's first lag, then
+    // drop out of the output (ord = 0 rows are state, not events).
+    "q78_bootstrap_cdc" ->
+      """WITH obs AS (
+        |  SELECT 'u' || user_id product_id, value price,
+        |    CAST(event_id % 100 AS BIGINT) sales_count, ts crawled_at
+        |  FROM events WHERE user_id % 3 = 0 AND ts IS NOT NULL
+        |), seed AS (
+        |  SELECT product_id, price, sales_count,
+        |    CAST(NULL AS TIMESTAMP) crawled_at, 0 ord
+        |  FROM obs WHERE crawled_at < TIMESTAMP '2024-01-16 00:00:00'
+        |  QUALIFY row_number() OVER (PARTITION BY product_id
+        |    ORDER BY crawled_at DESC, price DESC, sales_count DESC) = 1
+        |), post AS (
+        |  SELECT product_id, price, sales_count, crawled_at, 1 ord FROM obs
+        |  WHERE crawled_at >= TIMESTAMP '2024-01-16 00:00:00'
+        |), uni AS (
+        |  SELECT * FROM seed UNION ALL SELECT * FROM post
+        |), seq AS (
+        |  SELECT *, lag(price) OVER w prev_price, lag(sales_count) OVER w prev_sales
+        |  FROM uni
+        |  WINDOW w AS (PARTITION BY product_id ORDER BY ord, crawled_at, price, sales_count)
+        |), typed AS (
+        |  SELECT product_id,
+        |    CASE WHEN prev_price IS NULL THEN 'price_change'
+        |         WHEN price != prev_price THEN 'price_change'
+        |         WHEN sales_count != prev_sales THEN 'sales_change' END crawl_type,
+        |    price, prev_price previous_price,
+        |    CASE WHEN prev_price IS NOT NULL AND price != prev_price
+        |      THEN price - prev_price END price_change,
+        |    CASE WHEN prev_price IS NOT NULL AND price = prev_price AND sales_count != prev_sales
+        |      THEN sales_count - prev_sales END sales_change,
+        |    date_trunc('second', crawled_at) crawled_at, ord
+        |  FROM seq
+        |)
+        |SELECT product_id, crawl_type, price, previous_price, price_change,
+        |  sales_change, crawled_at
+        |FROM typed WHERE ord = 1 AND crawl_type IS NOT NULL
+        |ORDER BY product_id, crawled_at""".stripMargin
   )
 }
