@@ -8,6 +8,50 @@ object Bench {
   private def fmt(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+  /** A contamination threshold, overridable per host: system property
+    * first (`-Dgraft.bench.<name>=`), then env (`GRAFT_BENCH_<NAME>`), then
+    * the r7-calibrated default. The defaults were calibrated on the round-7
+    * sandbox's host/storage (docs/evidence/bench_r7_*.json) and will
+    * misclassify passes on a machine with a different idle load or write
+    * pattern — the emitted JSON records the thresholds used so any
+    * consumer can re-adjudicate from per_run. */
+  private def threshold(name: String, default: Double): Double =
+    sys.props.get(s"graft.bench.$name")
+      .orElse(sys.env.get("GRAFT_BENCH_" + name.toUpperCase(java.util.Locale.ROOT)))
+      .flatMap(_.toDoubleOption).getOrElse(default)
+
+  /** Fixed deterministic CPU canary: a single-threaded LCG+xorshift loop
+    * with PINNED iteration count, timed. The sandbox's speed shifts
+    * between rounds (r8 measured ×1.36 vs r7) and single-number totals are
+    * ±30% between runs, so cross-round adjudication needs a unit of "this
+    * host's CPU second" embedded in the artifact itself: the canary's
+    * seconds scale with host slowness exactly like a pure-CPU query's, and
+    * `sec / canary_sec` is a host-normalized query time comparable across
+    * rounds. Iterations are a constant — never tuned per host — and the
+    * result is folded into a sink check so the loop cannot be
+    * dead-code-eliminated. Run min-of-2 after one warmup rep: the JIT
+    * compiles the loop on rep 1, reps 2-3 measure steady state. */
+  val CanaryIters = 400000000L
+
+  private def canaryRep(): Double = {
+    var h = 0x9E3779B97F4A7C15L
+    var i = 0L
+    val t0 = System.nanoTime()
+    while (i < CanaryIters) {
+      h = h * 6364136223846793005L + 1442695040888963407L
+      h ^= (h >>> 33)
+      i += 1
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    if (h == 42L) System.err.println("canary sink") // defeat DCE; never true
+    sec
+  }
+
+  private def canarySec(): Double = {
+    canaryRep() // warmup: JIT-compile the loop
+    math.min(canaryRep(), canaryRep())
+  }
+
   /** One machine-environment snapshot: the 3 loadavg fields plus total
     * sectors read/written summed over physical block devices (loop/ram
     * excluded). Deltas across a pass make an environmentally contaminated
@@ -71,7 +115,8 @@ object Bench {
             "must not cross bench queries (use persistedIvfCached)")
         name -> sec
       }
-    def timedPass(passIdx: Int): (Map[String, Double], String, Boolean) = {
+    def timedPass(passIdx: Int): (Map[String, Double], String, Boolean, Double) = {
+      val canary = canarySec()
       val (load0, rd0, wr0) = envSnapshot()
       val r = pass().toMap
       val (load1, rd1, wr1) = envSnapshot()
@@ -88,15 +133,16 @@ object Bench {
       val load1m = load0.split("\\s+").headOption.flatMap(_.toDoubleOption).getOrElse(0.0)
       val wrDelta = wr1 - wr0
       val dirty =
-        if (passIdx == 0) load1m > 2.25 || wrDelta > 1400000L
-        else wrDelta > 250000L
+        if (passIdx == 0) load1m > threshold("load1m_max", 2.25) ||
+          wrDelta > threshold("pass1_wr_max", 1400000.0)
+        else wrDelta > threshold("pass2_wr_max", 250000.0)
       val env = s"""{"loadavg_before":"$load0","loadavg_after":"$load1"""" +
         s""","sectors_read_delta":${rd1 - rd0},"sectors_written_delta":$wrDelta""" +
-        s""","contaminated":$dirty}"""
-      (r, env, dirty)
+        s""","canary_sec":${fmt(canary)},"contaminated":$dirty}"""
+      (r, env, dirty, canary)
     }
-    val (r1, env1, dirty1) = timedPass(0)
-    val (r2, env2, dirty2) = timedPass(1)
+    val (r1, env1, dirty1, can1) = timedPass(0)
+    val (r2, env2, dirty2, can2) = timedPass(1)
     // a contaminated pass is EXCLUDED from the min-of-N headline (its
     // numbers stay in per_run for adjudication); if both are contaminated
     // the min is reported anyway, flagged — do not read it at face value
@@ -116,6 +162,14 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // host-normalized per-query times: seconds divided by the best canary
+    // rep of the run — "query time in canary units", comparable across
+    // rounds on shifting sandbox hosts (a ×1.4 slower host inflates the
+    // canary and the query alike, so the ratio holds still). The raw
+    // numbers stay the headline; these are the cross-round signal.
+    val canMin = math.min(can1, can2)
+    val qsNorm = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v / canMin) }
+      .mkString("{", ",", "}")
     // per-run per-query values go INTO the JSON (not just stderr) so a
     // run-to-run anomaly on one query can be adjudicated from the artifact
     val runs = Seq(r1, r2).map { r =>
@@ -123,7 +177,11 @@ object Bench {
         .mkString("{", ",", "}")
     }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"run_totals":[${fmt(r1.values.sum)},${fmt(r2.values.sum)}],"contaminated":[$dirty1,$dirty2],"contamination_note":"$note","per_run":$runs,"env":[$env1,$env2]}"""
+    val thresholds = s"""{"load1m_max":${fmt(threshold("load1m_max", 2.25))}""" +
+      s""","pass1_wr_max":${fmt(threshold("pass1_wr_max", 1400000.0))}""" +
+      s""","pass2_wr_max":${fmt(threshold("pass2_wr_max", 250000.0))}""" +
+      s""","calibrated_on":"r7 sandbox host (docs/evidence/bench_r7_*.json)"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"run_totals":[${fmt(r1.values.sum)},${fmt(r2.values.sum)}],"contaminated":[$dirty1,$dirty2],"contamination_note":"$note","canary_sec":[${fmt(can1)},${fmt(can2)}],"canary_iters":$CanaryIters,"queries_per_canary":$qsNorm,"contamination_thresholds":$thresholds,"per_run":$runs,"env":[$env1,$env2]}"""
     // stop Spark BEFORE emitting the JSON line, then quiesce both streams:
     // sbt reads stdout and stderr on separate threads and interleaves them
     // by arrival, so a JSON line printed while per-query stderr lines are

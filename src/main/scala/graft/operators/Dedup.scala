@@ -160,14 +160,19 @@ object Dedup {
     * construction). `bandsBytesHint`: a caller that knows the bands
     * relation's byte size (compaction measured it for auto-sizing) lets a
     * small index skip the 64-way bucket shuffle — one task writes the same
-    * ≤1-file-per-bucket layout. Returns the committed generation path. */
+    * ≤1-file-per-bucket layout. The single-writer shortcut compares the
+    * hint against the CALLER's `maxFileBytes` (compaction threads its own
+    * budget through), not the global default — a caller with a smaller
+    * file-size budget keeps the bucket shuffle for relations above it.
+    * Returns the committed generation path. */
   def writeMinhashIndex(idx: MinhashIndex, path: String, filesPerBucket: Int = 1,
-      idsFrom: Option[DataFrame] = None, bandsBytesHint: Long = -1L): String = {
+      idsFrom: Option[DataFrame] = None, bandsBytesHint: Long = -1L,
+      maxFileBytes: Long = graft.store.Compact.DefaultMaxFileBytes): String = {
     val spark = idx.bands.sparkSession
     val gen = graft.store.Generations.claimNextGen(spark, path)
     val withBkt = idx.bands.drop("__bkt").withColumn("__bkt", bandBucket(col("bandkey")))
     val re =
-      if (bandsBytesHint >= 0 && bandsBytesHint <= graft.store.Compact.DefaultMaxFileBytes &&
+      if (bandsBytesHint >= 0 && bandsBytesHint <= maxFileBytes &&
           filesPerBucket <= 1) withBkt.repartition(1) // parallel scan, single writer
       else if (filesPerBucket <= 1) withBkt.repartition(col("__bkt"))
       else withBkt.repartition(col("__bkt"), pmod(hash(col("id")), lit(filesPerBucket)))
@@ -254,7 +259,12 @@ object Dedup {
       shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4,
       idsFrom: Option[DataFrame] = None, docsHint: Long = -1L): Unit = {
     val gen = graft.store.Generations.requireCommitted(batch.sparkSession, path)
-    idsFrom.map(_.toDF("id"))
+    // .distinct() on idsFrom too: callers pass verdict rows (one per batch
+    // row by contract), but a batch that violates ids-uniqueness would
+    // otherwise write duplicate manifest entries that inflate every future
+    // replay guard's id relation — survivor sets are small, the distinct
+    // is cheap insurance
+    idsFrom.map(_.toDF("id").distinct())
       .getOrElse(batch.select(col(idCol).as("id")).distinct())
       .coalesce(1)
       .write.mode("append").parquet(s"$gen/ids")
@@ -444,7 +454,7 @@ object Dedup {
       writeMinhashIndex(MinhashIndex(
         idx.bands, idx.shingles.coalesce(shinglesTarget)), path, filesPerBucket,
         idsFrom = Some(minhashIndexIds(spark, path).coalesce(idsTarget)),
-        bandsBytesHint = bandsBytes)
+        bandsBytesHint = bandsBytes, maxFileBytes = maxFileBytes)
       graft.store.Generations.vacuum(spark, path, keep)
       1
     }

@@ -89,6 +89,21 @@ object Compact {
     * (big enough to amortize footer/open cost, small enough to split). */
   val DefaultMaxFileBytes: Long = 128L << 20
 
+  /** Total row count of the visible data files under each of `dirs`, read
+    * from parquet FOOTERS only: one driver-side footer open per file, no
+    * Spark job, no data pages touched. This is how the archival sweeps
+    * report how many rows they moved without re-scanning data they are
+    * about to rename away — O(file count) metadata, not O(bytes). */
+  def footerRowCount(spark: SparkSession, dirs: Seq[Path]): Long =
+    dirs.iterator.flatMap { d =>
+      dataFiles(spark, d.toString).iterator.map { f =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            f, spark.sparkContext.hadoopConfiguration))
+        try rd.getRecordCount finally rd.close()
+      }
+    }.sum
+
   /** `targetFiles` if explicit (> 0), else `ceil(bytes / maxFileBytes)`. */
   def resolveTarget(targetFiles: Int, bytes: Long, maxFileBytes: Long): Int = {
     require(targetFiles >= 0, "targetFiles must be >= 0 (0 = auto-size)")

@@ -201,14 +201,28 @@ class Store(spark: SparkSession, root: String, buckets: Int = 0) {
   def compactHistory(table: String, targetFiles: Int = 0, minFiles: Int = 1): Int =
     Compact.partitionedDir(spark, s"$root/$table/append", "__date", targetFiles, minFiles)
 
+  /** Compact the ARCHIVE tree's `__date=` partitions — the retention tier
+    * [[archiveHistory]] moves expired partitions into. Archival is a pure
+    * rename, so the archive inherits every small file the live tree ever
+    * accumulated and then grows forever; without an occasional compaction
+    * pass a year of archived history is millions of tiny files even though
+    * nobody ever rewrote a byte. Same partition-local [[Compact]] rewrite
+    * as [[compactHistory]], same single-writer discipline (run it from
+    * whoever owns the archival cycle — the archive has no readers in the
+    * hot path, so scheduling is easy). Returns partitions rewritten. */
+  def compactArchive(table: String, targetFiles: Int = 0, minFiles: Int = 1): Int =
+    Compact.partitionedDir(spark, s"$root/${table}_archive/append", "__date",
+      targetFiles, minFiles)
+
   /** S9 — archive history partitions older than `cutoff` (yyyy-MM-dd): MOVE
     * the expired `__date=` partition directories under
     * `<table>_archive/append` with FileSystem renames. The table is
     * partitioned by `__date` and the archive predicate is a pure partition
     * predicate, so live partitions are never read, rewritten, or touched —
     * at 100 TB of history an archive run costs one directory listing, one
-    * rename per expired partition, and a row-count scan of ONLY the expired
-    * partitions (for the return value). Ref: postgres_storage.py:1825-1848.
+    * rename per expired partition, and — for the return value — one
+    * parquet footer read per expired file (driver-side metadata, no Spark
+    * job, no data pages). Ref: postgres_storage.py:1825-1848.
     */
   def archiveHistory(table: String, cutoff: String, tsCol: String = "crawled_at"): Long = {
     val dir = new Path(s"$root/$table/append")
@@ -220,7 +234,7 @@ class Store(spark: SparkSession, root: String, buckets: Int = 0) {
         name.stripPrefix("__date=") < cutoff // yyyy-MM-dd sorts lexicographically
     }
     if (expired.isEmpty) return 0L
-    val n = spark.read.parquet(expired.map(_.getPath.toString): _*).count()
+    val n = Compact.footerRowCount(spark, expired.map(_.getPath))
     val destRoot = new Path(s"$root/${table}_archive/append")
     // FileSystem.mkdirs/rename report failure as `false`, not an exception,
     // on several implementations (object stores especially) — an unchecked

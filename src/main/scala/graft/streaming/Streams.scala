@@ -64,7 +64,11 @@ object Streams {
     * the event tree). Most generations are DELTAS — just the batch's own
     * changed rows, O(batch) bytes — and every `collapseEvery`-th batch
     * writes a FULL collapse (latestPerKey over base ∪ deltas, flagged by a
-    * `_FULL` marker). Batch N derives against latestPerKey(newest full
+    * `_FULL` marker) — or earlier, the moment the accumulated delta bytes
+    * since the last full exceed `collapseBytesFrac` of its size, so
+    * skewed batch sizes cannot pile a multi-×-catalog overlay onto every
+    * derive in the window before a count-based collapse arrives. Batch N
+    * derives against latestPerKey(newest full
     * generation with id < N ∪ the deltas between it and N); max-by (ts,
     * tieBreakers) is associative, so that equals a global latest-per-key
     * over all prior events. The per-batch WRITE is O(batch) (the r7 shape —
@@ -92,11 +96,11 @@ object Streams {
     * reader-in-flight window, exactly Generations.vacuum's keep=2 rationale.
     * Readers of `historyPath` see one extra `batch_id` partition column. */
   def cdcSink(batchStream: DataFrame, historyPath: String, checkpointPath: String,
-      collapseEvery: Int = 8): StreamingQuery =
+      collapseEvery: Int = 8, collapseBytesFrac: Double = 0.5): StreamingQuery =
     batchStream.writeStream
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        cdcProcessBatch(batch, historyPath, batchId, collapseEvery)
+        cdcProcessBatch(batch, historyPath, batchId, collapseEvery, collapseBytesFrac)
         ()
       }
       .start()
@@ -136,10 +140,18 @@ object Streams {
   /** One [[cdcSink]] micro-batch, factored out so a replay is directly
     * testable: derive against the strictly-earlier companion state,
     * overwrite the batch's event partition, write the batch's companion
-    * generation — a DELTA of the batch's own events unless `collapseEvery`
-    * deltas have accumulated since the last full collapse (then a full). */
+    * generation — a DELTA of the batch's own events unless a collapse is
+    * due: `collapseEvery` deltas have accumulated since the last full
+    * collapse, OR (the bytes trigger) the accumulated delta bytes since
+    * that full exceed `collapseBytesFrac` of its size. The count trigger
+    * alone is blind to skew — 8 catalog-sized deltas before a count-based
+    * collapse make every derive in that window read a multi-×-catalog
+    * overlay; the bytes trigger bounds the overlay the moment it outgrows
+    * the fraction. Both are decided from COMMITTED strictly-earlier
+    * generations only (immutable bytes, vacuum-protected), so a replayed
+    * batch makes the identical delta-vs-full choice. */
   private[graft] def cdcProcessBatch(batch: DataFrame, historyPath: String, batchId: Long,
-      collapseEvery: Int = 8): Unit = {
+      collapseEvery: Int = 8, collapseBytesFrac: Double = 0.5): Unit = {
     val spark = batch.sparkSession
     scopedUnpersist(spark) {
       val gens = cdcGensBelow(spark, historyPath, batchId)
@@ -160,11 +172,27 @@ object Streams {
       // change any future derive.
       val delta = events.select(CdcStateCols.map(col): _*)
       // full collapse when collapseEvery deltas piled up since the last
-      // full (or no full exists yet — the first batch seeds the base).
-      // Decided from strictly-earlier generations only, so a replay makes
-      // the identical choice.
+      // full (or no full exists yet — the first batch seeds the base), or
+      // when their accumulated BYTES outgrew collapseBytesFrac of that
+      // full (skewed batch sizes reach catalog-scale overlay long before
+      // the count trigger). Decided from strictly-earlier generations
+      // only — committed parquet bytes never change and cdcVacuum keeps
+      // every generation at or after the second-newest full — so a replay
+      // makes the identical choice.
       val deltasSinceFull = gens.reverse.takeWhile(!_._3).size
-      val isFull = gens.isEmpty || !gens.exists(_._3) || deltasSinceFull + 1 >= collapseEvery
+      val lastFullIdx = gens.lastIndexWhere(_._3)
+      val bytesDue = lastFullIdx >= 0 && deltasSinceFull > 0 && {
+        def stateBytes(p: Path): Long = {
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val st = new Path(p, "state")
+          if (fs.exists(st)) fs.getContentSummary(st).getLength else 0L
+        }
+        val fullBytes = stateBytes(gens(lastFullIdx)._2)
+        val deltaBytes = gens.drop(lastFullIdx + 1).map(g => stateBytes(g._2)).sum
+        fullBytes > 0 && deltaBytes >= collapseBytesFrac * fullBytes
+      }
+      val isFull = gens.isEmpty || !gens.exists(_._3) ||
+        deltasSinceFull + 1 >= collapseEvery || bytesDue
       // a collapse folds the WHOLE catalog — unpruned read — not just the
       // batch's buckets
       val next =
@@ -428,7 +456,13 @@ object Streams {
             .agg(count(lit(1)).as("rows"),
               count(when(col("__known").isNull, 1)).as("appended")).head
           val (rows, appended) = (agg.getLong(0), agg.getLong(1))
+          // materialized BEFORE the append: appendToIvf writes the batch's
+          // ids into the manifest first, and a lazily re-evaluated anti-join
+          // against a refreshed manifest listing would then see the batch's
+          // own ids and append zero vectors — the guard join must be
+          // evaluated exactly once, against the pre-append manifest
           val fresh = b.join(known.drop("__known"), Seq(idCol), "left_anti")
+            .localCheckpoint()
           Ann.appendToIvf(fresh, indexPath, idCol, vecCol)
           val counts = Ann.ivfFileCounts(spark, indexPath)
           val maxFiles = if (counts.isEmpty) 0 else counts.values.max
@@ -505,8 +539,9 @@ object Streams {
     * column for the per-partition max (parquet min/max page stats make
     * this column-pruned and cheap; sustained archival keeps the live tree
     * bounded, so the scan does not grow with stream age), one rename per
-    * expired partition, and a row-count of only the expired partitions for
-    * the return value. Re-runs are idempotent: an already-archived
+    * expired partition, and — for the return value — one parquet FOOTER
+    * read per expired file (driver-side metadata, no Spark job, no data
+    * pages). Re-runs are idempotent: an already-archived
     * partition name merges file-by-file (part names carry task UUIDs).
     * Run from the stream owner between batches — maintenance under the
     * sink's single-writer discipline, like history compaction. */
@@ -528,7 +563,12 @@ object Streams {
     if (expired.isEmpty) return 0L
     val expiredDirs = parts.filter(st =>
       expired.contains(st.getPath.getName.stripPrefix("batch_id=").toLong))
-    val n = spark.read.parquet(expiredDirs.map(_.getPath.toString): _*).count()
+    // row count from parquet FOOTERS, not a scan: the return value must not
+    // cost O(archived bytes) — a horizon sweep over months of partitions
+    // would otherwise re-read everything it is about to rename away. One
+    // driver-side footer open per expired file (bounded by the sweep's own
+    // file count), no Spark job, no data pages touched.
+    val n = graft.store.Compact.footerRowCount(spark, expiredDirs.map(_.getPath))
     val destRoot = new Path(root, "_archive")
     def checked(ok: Boolean, what: String): Unit =
       if (!ok) throw new java.io.IOException(
@@ -547,6 +587,28 @@ object Streams {
     }
     n
   }
+
+  /** Compact a streaming `_archive/` tree's `batch_id=` partitions — the
+    * retention tier [[archiveEventLog]] and [[archiveBatchOutputs]] move
+    * expired partitions into. The moves are pure renames, so the archive
+    * inherits every part file the live tree ever wrote: a batch partition
+    * carries up to one file per write task (32 on the test rig, hundreds
+    * on a cluster) plus whatever re-archival merges added — this pass
+    * rewrites each oversized partition down to
+    * ~[[graft.store.Compact.DefaultMaxFileBytes]] files, partition-local
+    * (cost ∝ data in partitions over the threshold, each rewritten
+    * independently; already-compact partitions are listed and skipped).
+    * What it deliberately does NOT change: the partition COUNT — one dir
+    * per archived batch is the layout readers address, and directory
+    * growth is bounded by batch cadence, not data size (a year of
+    * minute-level batches ≈ 500k dirs — a listing problem long after the
+    * per-partition file explosion would have been one). Single-writer
+    * discipline: run it from the archival owner — the archive has no
+    * hot-path readers. Returns the number of partitions rewritten. */
+  def compactArchive(spark: SparkSession, path: String,
+      targetFiles: Int = 0, minFiles: Int = 1): Int =
+    graft.store.Compact.partitionedDir(
+      spark, s"$path/_archive", "batch_id", targetFiles, minFiles)
 
   /** Switch stateful streaming to the RocksDB state store with changelog
     * checkpointing — the large-state configuration. The default
@@ -608,13 +670,45 @@ object Streams {
     *
     * Scale: state is one (double, long) pair per product — bounded by
     * catalog size, not stream length; per-batch work is a hash shuffle on
-    * the key, identical to any streaming agg. */
-  def statefulCdc(obs: Dataset[ProductObs]): Dataset[ChangeEvent] = {
+    * the key, identical to any streaming agg.
+    *
+    * `ttl`: optional staleness horizon (e.g. `Some("30 days")`). Without
+    * it, per-key state is catalog-bounded but NEVER evicted — delisted /
+    * dead keys accumulate in the state store forever, the last
+    * unbounded-growth path in a long-running deployment. With a TTL the
+    * query runs under `ProcessingTimeTimeout`: a key whose horizon elapses
+    * with no observation is REMOVED from the store (no event emitted —
+    * expiry is an eviction, not a change), and its next observation
+    * re-classifies as a first sighting, exactly like a key never seen.
+    * This is the streaming twin of the reference's recency/staleness
+    * cleanup policy (tasks/detail.py:196-216 skips products crawled
+    * recently and ages the rest out; archive cycle
+    * postgres_storage.py:1825-1848): state is bounded by the LIVE catalog
+    * — keys observed within the horizon — not the all-time catalog.
+    *
+    * Operational note: under ProcessingTimeTimeout the state operator
+    * reports it may need another batch at EVERY trigger (any trigger is a
+    * potential timeout sweep), so a TTL'd query on the default
+    * run-as-fast-as-possible trigger churns empty sweep batches
+    * back-to-back, and `processAllAvailable()` never returns (the
+    * no-new-data signal it waits for is never raised). Run TTL'd queries
+    * with an explicit `Trigger.ProcessingTime(...)` interval sized to the
+    * horizon (sweeps cost one checkpoint commit each), and poll sink
+    * progress instead of processAllAvailable — StreamsSpec's TTL case
+    * shows the pattern. */
+  def statefulCdc(obs: Dataset[ProductObs], ttl: Option[String] = None): Dataset[ChangeEvent] = {
     import obs.sparkSession.implicits._
     obs.groupByKey(_.product_id)
       .flatMapGroupsWithState[PriceState, ChangeEvent](
-        OutputMode.Append, GroupStateTimeout.NoTimeout)(cdcClassify)
+        OutputMode.Append, timeoutConf(ttl))(cdcClassify(ttl))
   }
+
+  /** ProcessingTimeTimeout iff a TTL is set: flatMapGroupsWithState pins
+    * the timeout mode at query start, and setTimeoutDuration throws under
+    * NoTimeout — the two must always travel together. */
+  private def timeoutConf(ttl: Option[String]): GroupStateTimeout =
+    if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+    else GroupStateTimeout.NoTimeout
 
   /** [[statefulCdc]] BOOTSTRAPPED from a batch snapshot — the migration
     * path from the batch store's latest-per-key companion
@@ -629,8 +723,14 @@ object Streams {
     * key ONCE when the query starts (Spark's native initial-state support)
     * — never collected, never broadcast. Use only on a FRESH checkpoint:
     * Spark applies initial state at first start; a restart restores from
-    * the state store and ignores it. */
-  def statefulCdcFrom(obs: Dataset[ProductObs], snapshot: DataFrame): Dataset[ChangeEvent] = {
+    * the state store and ignores it.
+    *
+    * `ttl` as on [[statefulCdc]]; snapshot-seeded keys get their horizon
+    * armed on the first batch (Spark invokes the function for every
+    * initial-state key), so a bootstrapped catalog's dead keys age out on
+    * the same clock as streamed ones. */
+  def statefulCdcFrom(obs: Dataset[ProductObs], snapshot: DataFrame,
+      ttl: Option[String] = None): Dataset[ChangeEvent] = {
     import obs.sparkSession.implicits._
     val init = snapshot
       .select(col("product_id").cast("string").as("_1"),
@@ -640,12 +740,19 @@ object Streams {
       .groupByKey(_._1).mapValues(_._2)
     obs.groupByKey(_.product_id)
       .flatMapGroupsWithState[PriceState, ChangeEvent](
-        OutputMode.Append, GroupStateTimeout.NoTimeout, init)(cdcClassify)
+        OutputMode.Append, timeoutConf(ttl), init)(cdcClassify(ttl))
   }
 
   /** The per-key classification both stateful CDC forms share. */
-  private def cdcClassify(id: String, rows: Iterator[ProductObs],
+  private def cdcClassify(ttl: Option[String])(id: String, rows: Iterator[ProductObs],
       state: GroupState[PriceState]): Iterator[ChangeEvent] = {
+    // horizon elapsed with no observation: evict. No event is emitted —
+    // expiry is state hygiene, not a data change — and the key's next
+    // observation finds no state, re-classifying as a first sighting
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
     // deterministic in-batch order regardless of shuffle arrival —
     // FULL timestamp precision ((millis, nanos) carries the
     // microseconds), matching the q75 oracle's ORDER BY crawled_at:
@@ -671,8 +778,13 @@ object Streams {
     }
     // foreach, not .get: with bootstrapped initial state the first batch
     // invokes the function for initial keys that have no batch rows —
-    // `cur` is the (unchanged) initial state there, but stay total anyway
-    cur.foreach(state.update)
+    // `cur` is the (unchanged) initial state there, but stay total anyway.
+    // Every update re-arms the TTL clock (an observation refreshes the
+    // key's horizon; the bootstrap pass arms snapshot-seeded keys too).
+    cur.foreach { s =>
+      state.update(s)
+      ttl.foreach(state.setTimeoutDuration)
+    }
     out.result().iterator
   }
 

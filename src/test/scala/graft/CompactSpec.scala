@@ -44,6 +44,67 @@ class CompactSpec extends SparkSpec {
     assert(store.compactHistory("hist") === 0)
   }
 
+  test("compactArchive (history): archived date partitions compact, rows conserved") {
+    val root = tmp("graft_compact_arch")
+    val store = new Store(spark, root)
+    // several append bursts build multi-file date partitions, then the
+    // whole window expires into the archive by pure renames — the archive
+    // inherits every small file
+    for (b <- 1 to 3) {
+      val events = Seq(
+        (s"p$b", b * 10.0, "2024-01-01 10:00:00"),
+        (s"q$b", b * 20.0, "2024-01-02 10:00:00"))
+        .toDF("product_id", "price", "ts")
+        .select(col("product_id"), col("price"), col("ts").cast("timestamp").as("crawled_at"))
+      store.appendHistory("hist", events)
+    }
+    val moved = store.archiveHistory("hist", "2024-03-01")
+    assert(moved === 6L)
+    def files(date: String) =
+      Compact.dataFileCount(spark, s"$root/hist_archive/append/__date=$date")
+    def digest() = spark.read.option("basePath", s"$root/hist_archive/append")
+      .parquet(s"$root/hist_archive/append")
+      .collect().map(_.toString).sorted.toSeq
+    assert(files("2024-01-01") >= 3, "the archive inherits the appends' small files")
+    val before = digest()
+    val n = store.compactArchive("hist")
+    assert(n === 2, "both archived date partitions get rewritten")
+    assert(files("2024-01-01") === 1 && files("2024-01-02") === 1)
+    assert(digest() === before, "compaction must conserve archived rows exactly")
+    // idempotent: nothing left above the threshold
+    assert(store.compactArchive("hist") === 0)
+  }
+
+  test("compactArchive (streaming): archived batch partitions compact, rows conserved") {
+    import graft.streaming.Streams
+    val dir = tmp("graft_compact_sarch")
+    val histPath = s"$dir/history"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // three multi-row batches; the event writes fan out over write tasks,
+    // so each batch_id= partition holds several part files
+    for (b <- 0 to 2) {
+      val rows = (0 until 64).map { i =>
+        (s"p$i", 100.0 + b, 120.0, Option.empty[Double], 5L,
+          ts(f"2024-01-${b + 1}%02d 00:00:00"))
+      }.toDF("product_id", "price", "original_price", "discount_percent",
+        "sales_count", "crawled_at")
+      Streams.cdcProcessBatch(rows, histPath, b.toLong)
+    }
+    val archived = Streams.archiveEventLog(spark, histPath, "2024-01-03 00:00:00")
+    assert(archived === 128L, "batches 0 and 1 (64 price-change events each) expire")
+    val archRoot = s"$histPath/_archive"
+    def files(b: Int) = Compact.dataFileCount(spark, s"$archRoot/batch_id=$b")
+    def digest() = spark.read.option("basePath", archRoot).parquet(archRoot)
+      .collect().map(_.toString).sorted.toSeq
+    assert((0 to 1).map(files).sum > 2, "archived batch partitions carry multiple part files")
+    val before = digest()
+    val n = Streams.compactArchive(spark, histPath)
+    assert(n >= 1, "oversized archived batch partitions must be rewritten")
+    assert((0 to 1).forall(files(_) === 1))
+    assert(digest() === before, "compaction must conserve archived rows exactly")
+    assert(Streams.compactArchive(spark, histPath) === 0)
+  }
+
   test("compactMinhashIndex: reader-atomic generation swap, counts drop, relations identical") {
     val docs = Tables.load(spark, sfDir, "documents")
     val corpus = docs.filter(col("doc_id") % 3 === 0)

@@ -221,6 +221,65 @@ class StreamsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("cdc companion: bytes trigger collapses early under skewed batches, replay-deterministic") {
+    // the count trigger alone is blind to skew: a catalog-sized delta
+    // early in the window would sit as an overlay on every derive until
+    // the collapseEvery-th batch. The bytes trigger collapses the moment
+    // accumulated delta bytes outgrow half the last full — decided from
+    // committed strictly-earlier generations only, so replays agree.
+    def ts2(d: Int) = ts(f"2024-02-$d%02d 00:00:00")
+    def crawl(i: Int, d: Int) = Crawl(s"p$i", 10.0 + i + d, 20.0, null, 1L, ts2(d))
+    def run(dir: String, frac: Double): (Long => Boolean, Long => Long) = {
+      val histPath = s"$dir/history"
+      val latestRoot = new org.apache.hadoop.fs.Path(s"$histPath/_latest")
+      val fs = latestRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def genDir(id: Long) = new org.apache.hadoop.fs.Path(latestRoot, f"gen_$id%012d")
+      def isFull(id: Long) = fs.exists(new org.apache.hadoop.fs.Path(genDir(id), "_FULL"))
+      def stateRows(id: Long) = spark.read
+        .parquet(new org.apache.hadoop.fs.Path(genDir(id), "state").toString).count()
+      // batch 0: tiny 4-key seed -> full base; batch 1: a 500-key delta
+      // (no prior deltas when it decides, so it stays a delta); batch 2:
+      // 3 keys — the PRIOR delta's bytes dwarf the 4-key full
+      Streams.cdcProcessBatch((0 until 4).map(crawl(_, 1)).toDF, s"$dir/history", 0L,
+        collapseEvery = 8, collapseBytesFrac = frac)
+      Streams.cdcProcessBatch((4 until 504).map(crawl(_, 2)).toDF, s"$dir/history", 1L,
+        collapseEvery = 8, collapseBytesFrac = frac)
+      Streams.cdcProcessBatch((4 until 7).map(crawl(_, 3)).toDF, s"$dir/history", 2L,
+        collapseEvery = 8, collapseBytesFrac = frac)
+      (isFull, stateRows)
+    }
+    val (isFull, stateRows) = run(
+      Files.createTempDirectory("graft_cdc_bytes").toString, frac = 0.5)
+    assert(isFull(0) && !isFull(1), "large batch 1 must still be a delta (no prior deltas)")
+    assert(isFull(2) && stateRows(2) === 504,
+      "batch 2 must collapse EARLY: accumulated delta bytes >> 0.5 x full")
+    // replay of the early collapse decides identically and converges
+    val dir2 = s"${Files.createTempDirectory("graft_cdc_bytes2")}"
+    val histPath2 = s"$dir2/history"
+    Streams.cdcProcessBatch((0 until 4).map(crawl(_, 1)).toDF, histPath2, 0L,
+      collapseEvery = 8)
+    Streams.cdcProcessBatch((4 until 504).map(crawl(_, 2)).toDF, histPath2, 1L,
+      collapseEvery = 8)
+    Streams.cdcProcessBatch((4 until 7).map(crawl(_, 3)).toDF, histPath2, 2L,
+      collapseEvery = 8)
+    val st = Streams.cdcState(spark, histPath2, 3L).get
+      .collect().map(_.toString).sorted.toSeq
+    Streams.cdcProcessBatch((4 until 7).map(crawl(_, 3)).toDF, histPath2, 2L,
+      collapseEvery = 8)
+    val fs2 = new org.apache.hadoop.fs.Path(histPath2).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs2.exists(new org.apache.hadoop.fs.Path(
+      s"$histPath2/_latest/gen_${"%012d".format(2)}/_FULL")),
+      "a replayed bytes-triggered collapse must re-decide full")
+    assert(Streams.cdcState(spark, histPath2, 3L).get
+      .collect().map(_.toString).sorted.toSeq === st)
+    // control: with the trigger disabled the same shape stays a delta —
+    // what the pure count trigger would have done
+    val (isFullOff, _) = run(
+      Files.createTempDirectory("graft_cdc_bytes_off").toString, frac = Double.MaxValue)
+    assert(!isFullOff(2), "frac=MaxValue must disable the bytes trigger")
+  }
+
   test("archiveEventLog moves fully-expired batch partitions, conserving rows") {
     val dir = Files.createTempDirectory("graft_cdc_archive").toString
     val histPath = s"$dir/history"
@@ -255,6 +314,86 @@ class StreamsSpec extends SparkSpec {
       .as[Double].head() === 115.0)
     // idempotent: nothing left to archive at the same cutoff
     assert(Streams.archiveEventLog(spark, histPath, "2024-01-02 12:00:00") === 0L)
+  }
+
+  test("archiveEventLog's return count is footer metadata, not a scan of expired partitions") {
+    val dir = Files.createTempDirectory("graft_cdc_archive_meta").toString
+    val histPath = s"$dir/history"
+    Streams.cdcProcessBatch(Seq(
+      Crawl("p1", 100.0, 120.0, null, 5L, ts("2024-01-01 00:00:00")),
+      Crawl("p2", 50.0, 60.0, null, 1L, ts("2024-01-01 06:00:00"))).toDF, histPath, 0L)
+    Streams.cdcProcessBatch(Seq(
+      Crawl("p1", 110.0, 120.0, null, 5L, ts("2024-01-02 00:00:00"))).toDF, histPath, 1L)
+    Streams.cdcProcessBatch(Seq(
+      Crawl("p1", 115.0, 120.0, null, 5L, ts("2024-01-03 00:00:00"))).toDF, histPath, 2L)
+    // capture every executed plan during the sweep: the ONLY Spark job
+    // allowed is the per-partition max(ts) expiry scan — the return value
+    // must come from parquet footers (driver-side metadata), never a
+    // count() job re-reading the data it is about to rename away
+    val plans = scala.collection.mutable.ArrayBuffer[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val archived =
+      try {
+        val n = Streams.archiveEventLog(spark, histPath, "2024-01-02 12:00:00")
+        org.apache.spark.sql.graftx.Bridge.drainListenerBus(spark)
+        n
+      } finally spark.listenerManager.unregister(listener)
+    assert(archived === 3L) // batches 0 (2 rows) + 1 (1 row), same values as before
+    val captured = plans.synchronized { plans.toVector }
+    assert(captured.size === 1,
+      s"exactly one job (the max-ts expiry scan) may run, got ${captured.size}")
+    // ... and that scan is column-pruned to the timestamp — no full-row read
+    assert(captured.head.contains("crawled_at") && !captured.head.contains("original_price"),
+      captured.head.take(2000))
+  }
+
+  test("archiveEventLog between a LIVE cdcSink's triggers: derives stay correct") {
+    // the single-writer discipline the scaladoc prescribes, exercised with
+    // a RUNNING query: archival runs between triggers, the companion under
+    // _latest is untouched, and the next micro-batch still classifies
+    // against pre-archival state
+    val dir = Files.createTempDirectory("graft_cdc_live_archive").toString
+    val srcDir = s"$dir/src"; val histPath = s"$dir/history"; val ckpt = s"$dir/ckpt"
+    Seq(Crawl("p1", 100.0, 120.0, null, 5L, ts("2024-01-01 00:00:00")),
+        Crawl("p2", 50.0, 60.0, null, 1L, ts("2024-01-01 06:00:00")))
+      .toDF.write.mode("append").parquet(srcDir)
+    val q = Streams.cdcSink(
+      spark.readStream.schema(
+        "product_id STRING, price DOUBLE, original_price DOUBLE, " +
+        "discount_percent DOUBLE, sales_count BIGINT, crawled_at TIMESTAMP")
+        .parquet(srcDir),
+      histPath, ckpt)
+    try {
+      q.processAllAvailable() // batch 0: both first sightings
+      // BETWEEN triggers (query live but idle): expire batch 0 wholesale
+      val archived = Streams.archiveEventLog(spark, histPath, "2024-01-02 00:00:00")
+      assert(archived === 2L)
+      // next trigger: p1's new price must classify against the COMPANION
+      // state (previous 100.0), proving archival touched only the event
+      // tree, never the _latest generations the derive reads
+      Seq(Crawl("p1", 115.0, 120.0, null, 5L, ts("2024-01-03 00:00:00")))
+        .toDF.write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val live = spark.read.parquet(histPath)
+    assert(live.select("batch_id").distinct().as[Long].collect().toSet === Set(1L),
+      "archived batch 0 must be invisible to live readers")
+    val b1 = live.select("product_id", "crawl_type", "price", "previous_price", "price_change")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(b1 === Seq(("p1", "price_change", 115.0, 100.0, 15.0)))
+    // the archive holds exactly batch 0's two events
+    val arch = spark.read.option("basePath", s"$histPath/_archive")
+      .parquet(s"$histPath/_archive")
+    assert(arch.count() === 2L &&
+      arch.select("batch_id").distinct().as[Long].collect().toSet === Set(0L))
   }
 
   test("archiveBatchOutputs keeps the newest batches hot, moves the rest whole") {
@@ -360,6 +499,82 @@ class StreamsSpec extends SparkSpec {
       ("p1", "price_change", 120.0, 100.0, 20.0, null),
       ("p2", "price_change", 50.0, null, null, null),
       ("p2", "sales_change", 50.0, 50.0, null, 8L)))
+  }
+
+  test("statefulCdc TTL evicts idle keys; next observation re-classifies (default + RocksDB)") {
+    // the staleness horizon (the reference's recency/cleanup policy,
+    // tasks/detail.py:196-216): a key unobserved past the TTL leaves the
+    // state store, and its next observation is a FIRST sighting again.
+    // Run under both providers — eviction must be provider-independent.
+    //
+    // NO processAllAvailable here: under ProcessingTimeTimeout the state
+    // operator's shouldRunAnotherBatch is always true (every trigger is a
+    // potential timeout sweep), so the noNewData flag that call waits on
+    // is never raised — it would hang forever (measured: the first draft
+    // of this spec did). The query churns sweep batches continuously on
+    // the default trigger; the spec POLLS sink rows and state metrics.
+    implicit val sqlCtx = spark.sqlContext
+    def waitFor(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (!cond && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(cond, s"timed out waiting for: $what")
+    }
+    def runScenario(sub: String, rocks: Boolean): Unit = {
+      if (rocks) Streams.useRocksDbState(spark) else Streams.useDefaultState(spark)
+      try {
+        val mem = MemoryStream[Streams.ProductObs]
+        val q = Streams.statefulCdc(mem.toDS(), ttl = Some("2 seconds"))
+          .writeStream.format("memory").queryName(s"scdc_ttl_$sub")
+          .outputMode("append").start()
+        try {
+          mem.addData(Streams.ProductObs("p1", 100.0, 5L, ts("2024-01-01 00:00:00")))
+          waitFor("first sighting emitted")(spark.table(s"scdc_ttl_$sub").count() == 1)
+          // ~2s later a sweep batch evicts p1 — observable in the state
+          // metrics (the row leaves the store; no event is emitted)
+          waitFor("state row evicted")(Option(q.lastProgress)
+            .exists(_.stateOperators.headOption.exists(_.numRowsTotal == 0L)))
+          // p1's next observation re-classifies as a first sighting (null
+          // previous_price) — NOT as a 100 -> 120 change against state
+          // that no longer exists
+          mem.addData(Streams.ProductObs("p1", 120.0, 5L, ts("2024-01-03 00:00:00")))
+          waitFor("re-classified event emitted")(spark.table(s"scdc_ttl_$sub").count() == 2)
+        } finally q.stop()
+        val got = spark.table(s"scdc_ttl_$sub")
+          .select("product_id", "crawl_type", "price", "previous_price")
+          .orderBy("crawled_at")
+          .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+            if (r.isNullAt(3)) null else r.getDouble(3))).toSeq
+        assert(got === Seq(
+          ("p1", "price_change", 100.0, null),
+          ("p1", "price_change", 120.0, null)), // re-classified: state was evicted
+          s"[$sub] unexpected events: $got")
+      } finally Streams.useDefaultState(spark)
+    }
+    runScenario("default", rocks = false)
+    runScenario("rocks", rocks = true)
+  }
+
+  test("statefulCdc without TTL keeps state indefinitely (no spurious eviction)") {
+    // the TTL-off control: same shape, state must survive an idle gap far
+    // longer than the TTL the sibling spec evicts under
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.ProductObs]
+    val q = Streams.statefulCdc(mem.toDS())
+      .writeStream.format("memory").queryName("scdc_nottl")
+      .outputMode("append").start()
+    mem.addData(Streams.ProductObs("p1", 100.0, 5L, ts("2024-01-01 00:00:00")))
+    q.processAllAvailable()
+    Thread.sleep(3000) // > the sibling spec's 2s horizon
+    mem.addData(Streams.ProductObs("p1", 120.0, 5L, ts("2024-01-03 00:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("scdc_nottl")
+      .select("product_id", "previous_price")
+      .orderBy("crawled_at")
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else r.getDouble(1))).toSeq
+    assert(got === Seq(("p1", null), ("p1", 100.0)),
+      "without a TTL the 100.0 state must survive the idle gap")
   }
 
   test("statefulCdc state survives a query restart via the checkpoint (file source)") {
