@@ -1418,6 +1418,70 @@ object SparkEntry {
           col("previous_price"), col("price_change"), col("sales_change"),
           date_trunc("second", col("crawled_at")).as("crawled_at"))
         .orderBy(col("product_id"), col("crawled_at"))
+    }),
+
+    // --- §2.10 staleness re-classification, oracle-gated: q33's derivation
+    //     with a 15-day event-time horizon — previous state older than
+    //     (crawled_at - horizon) is treated as absent, so a product
+    //     returning after a long gap classifies as a first sighting (null
+    //     previous_*, no deltas) instead of a change against forgotten
+    //     state. The batch twin of statefulCdc's TTL eviction (the
+    //     reference's recency policy, tasks/detail.py:196-216), decided in
+    //     event time so it is deterministic and hash-gateable. --------------
+    "q79_stale_cdc" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("user_id").as("product_id"),
+        col("value").as("price"),
+        (col("value") + 10.0).as("original_price"),
+        lit(null).cast(DoubleType).as("discount_percent"),
+        (col("event_id") % 100).as("sales_count"),
+        col("ts").as("crawled_at"),
+        col("event_id"))
+      val hist = ev.filter(col("crawled_at") < lit("2024-01-16 00:00:00").cast(TimestampType)).drop("event_id")
+      val batch = Merge.latestPerKey(ev, Seq("product_id"), "crawled_at", Seq(col("event_id").desc)).drop("event_id")
+      History.deriveEvents(batch, hist, None, staleHorizon = Some("15 DAYS"))
+        .withColumn("crawled_at", date_trunc("second", col("crawled_at")))
+        .orderBy(col("product_id"))
+    }),
+
+    // --- archive retention tier, oracle-gated: the q77 pipeline, archival
+    //     at the same cutoff, then compactArchive rewriting each archived
+    //     partition's many per-task part files down to one. The query
+    //     returns the ARCHIVE tree — q77 gates what STAYED live, this gates
+    //     what MOVED: a hash match against the expired batches' derivation
+    //     proves the rename + rewrite conserved every row and value (a
+    //     compaction that dropped, duplicated, or mutated a row changes the
+    //     hash). Like q65/q76 this RUNS generational writes at
+    //     construction; per-(sfDir, pid) scratch wiped at entry. -------------
+    "q80_archive_compact" -> ((s, dir) => {
+      val root = scratch("q80", dir)
+      val histPath = s"$root/history"
+      val ev = t(s, dir, "events").select(
+        col("user_id").as("product_id"),
+        col("value").as("price"),
+        (col("value") + 10.0).as("original_price"),
+        lit(null).cast(DoubleType).as("discount_percent"),
+        (col("event_id") % 100).as("sales_count"),
+        col("ts").as("crawled_at"),
+        col("event_id"))
+      val cuts = Seq("2024-01-11 00:00:00", "2024-01-21 00:00:00").map(c => lit(c).cast(TimestampType))
+      val slices = Seq(
+        ev.filter(col("crawled_at") < cuts(0)),
+        ev.filter(col("crawled_at") >= cuts(0) && col("crawled_at") < cuts(1)),
+        ev.filter(col("crawled_at") >= cuts(1)))
+      slices.zipWithIndex.foreach { case (sl, i) =>
+        val batch = Merge.latestPerKey(sl, Seq("product_id"), "crawled_at",
+          Seq(col("event_id").desc)).drop("event_id")
+        graft.streaming.Streams.cdcProcessBatch(batch, histPath, i.toLong)
+      }
+      graft.streaming.Streams.archiveEventLog(s, histPath, "2024-01-21 00:00:00")
+      graft.streaming.Streams.compactArchive(s, histPath)
+      s.read.parquet(s"$histPath/_archive")
+        .select(col("product_id"), col("price"), col("previous_price"),
+          col("price_change"), col("sales_count"), col("sales_change"),
+          col("crawl_type"), date_trunc("second", col("crawled_at")).as("crawled_at"),
+          col("batch_id").cast(LongType).as("batch_id"))
+        .orderBy(col("batch_id"), col("product_id"))
     })
   )
 
@@ -2872,6 +2936,118 @@ object SparkEntry {
         |SELECT product_id, crawl_type, price, previous_price, price_change,
         |  sales_change, crawled_at
         |FROM typed WHERE ord = 1 AND crawl_type IS NOT NULL
-        |ORDER BY product_id, crawled_at""".stripMargin
+        |ORDER BY product_id, crawled_at""".stripMargin,
+
+    // q79 = q33's derivation with a 15-day staleness horizon (the prev→batch
+    // gap spans ~13-17 days at test SFs, so BOTH branches are exercised:
+    // fresh keys classify against real state, stale keys re-classify as
+    // first sightings): previous state older than (crawled_at - horizon)
+    // is nulled BEFORE classification, so first_crawl and every downstream
+    // delta see the re-classified state.
+    "q79_stale_cdc" ->
+      """WITH ev AS (
+        |  SELECT user_id product_id, value price, value + 10.0 original_price,
+        |    CAST(NULL AS DOUBLE) discount_percent, event_id % 100 sales_count, ts crawled_at, event_id
+        |  FROM events
+        |), hist AS (
+        |  SELECT product_id, price, original_price, discount_percent, sales_count, crawled_at
+        |  FROM ev WHERE crawled_at < TIMESTAMP '2024-01-16 00:00:00'
+        |), batch AS (
+        |  SELECT product_id, price, original_price, discount_percent, sales_count, crawled_at FROM ev
+        |  QUALIFY row_number() OVER (PARTITION BY product_id ORDER BY crawled_at DESC, event_id DESC) = 1
+        |), prev AS (
+        |  SELECT product_id, price previous_price, original_price previous_original_price,
+        |    discount_percent previous_discount_percent, sales_count previous_sales_count,
+        |    crawled_at previous_crawled_at FROM hist
+        |  QUALIFY row_number() OVER (PARTITION BY product_id ORDER BY crawled_at DESC, price DESC) = 1
+        |), joined AS (
+        |  SELECT b.product_id, b.price, b.original_price, b.discount_percent, b.sales_count, b.crawled_at,
+        |    (p.previous_crawled_at IS NOT NULL AND b.crawled_at IS NOT NULL
+        |      AND p.previous_crawled_at < b.crawled_at - INTERVAL 15 DAY) stale,
+        |    p.previous_price, p.previous_original_price, p.previous_discount_percent, p.previous_sales_count
+        |  FROM batch b LEFT JOIN prev p USING (product_id)
+        |  WHERE b.product_id IS NOT NULL AND b.price IS NOT NULL
+        |), fresh AS (
+        |  SELECT product_id, price, original_price, discount_percent, sales_count, crawled_at,
+        |    CASE WHEN stale THEN NULL ELSE previous_price END previous_price,
+        |    CASE WHEN stale THEN NULL ELSE previous_original_price END previous_original_price,
+        |    CASE WHEN stale THEN NULL ELSE previous_discount_percent END previous_discount_percent,
+        |    CASE WHEN stale THEN NULL ELSE previous_sales_count END previous_sales_count
+        |  FROM joined
+        |), typed AS (
+        |  SELECT *,
+        |    CASE WHEN previous_sales_count IS NOT NULL AND sales_count IS NOT NULL
+        |      THEN sales_count - previous_sales_count END sales_change,
+        |    (previous_price IS NULL AND previous_original_price IS NULL AND previous_discount_percent IS NULL) first_crawl,
+        |    ((price IS DISTINCT FROM previous_price) OR (original_price IS DISTINCT FROM previous_original_price)
+        |      OR (discount_percent IS DISTINCT FROM previous_discount_percent)) price_changed
+        |  FROM fresh
+        |), ev2 AS (
+        |  SELECT *,
+        |    CASE WHEN first_crawl THEN 'price_change' WHEN price_changed THEN 'price_change'
+        |         WHEN sales_change IS NOT NULL AND sales_change != 0 THEN 'sales_change'
+        |         ELSE 'no_change' END crawl_type,
+        |    CASE WHEN original_price IS NOT NULL AND price IS NOT NULL THEN original_price - price END discount_amount
+        |  FROM typed
+        |)
+        |SELECT product_id, price, original_price, discount_percent, discount_amount,
+        |  CASE WHEN NOT first_crawl AND crawl_type = 'price_change' AND price IS NOT NULL AND previous_price IS NOT NULL
+        |    THEN price - previous_price END price_change,
+        |  CASE WHEN NOT first_crawl AND crawl_type = 'price_change' AND price IS NOT NULL AND previous_price IS NOT NULL
+        |    AND previous_price > 0 THEN round((price - previous_price) / previous_price * 100, 2) END price_change_percent,
+        |  previous_price, previous_original_price, previous_discount_percent,
+        |  sales_count, sales_change,
+        |  (coalesce(discount_percent, 0) >= 30 OR coalesce(discount_amount, 0) >= 100000) is_flash_sale,
+        |  crawl_type, date_trunc('second', crawled_at) crawled_at
+        |FROM ev2 WHERE crawl_type != 'no_change' ORDER BY product_id""".stripMargin,
+
+    // q80 = the q76/q77 derivation restricted to the EXPIRED batches (0-1):
+    // exactly what archival moved under _archive/ and compaction rewrote.
+    "q80_archive_compact" ->
+      """WITH ev AS (
+        |  SELECT user_id product_id, value price, value + 10.0 original_price,
+        |    CAST(NULL AS DOUBLE) discount_percent, event_id % 100 sales_count,
+        |    ts crawled_at, event_id,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-11 00:00:00' THEN 0
+        |         WHEN ts < TIMESTAMP '2024-01-21 00:00:00' THEN 1 ELSE 2 END batch_id
+        |  FROM events WHERE ts IS NOT NULL
+        |), heads AS (
+        |  SELECT * FROM ev
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY product_id, batch_id ORDER BY crawled_at DESC, event_id DESC) = 1
+        |), valid AS (
+        |  SELECT * FROM heads WHERE product_id IS NOT NULL AND price IS NOT NULL
+        |), seq AS (
+        |  SELECT *,
+        |    lag(price) OVER w previous_price,
+        |    lag(original_price) OVER w previous_original_price,
+        |    lag(discount_percent) OVER w previous_discount_percent,
+        |    lag(sales_count) OVER w previous_sales_count
+        |  FROM valid WINDOW w AS (PARTITION BY product_id ORDER BY batch_id)
+        |), typed AS (
+        |  SELECT *,
+        |    CASE WHEN previous_sales_count IS NOT NULL AND sales_count IS NOT NULL
+        |      THEN sales_count - previous_sales_count END sales_change,
+        |    (previous_price IS NULL AND previous_original_price IS NULL
+        |      AND previous_discount_percent IS NULL) first_crawl,
+        |    ((price IS DISTINCT FROM previous_price)
+        |      OR (original_price IS DISTINCT FROM previous_original_price)
+        |      OR (discount_percent IS DISTINCT FROM previous_discount_percent)) price_changed
+        |  FROM seq
+        |), ev2 AS (
+        |  SELECT *,
+        |    CASE WHEN first_crawl THEN 'price_change' WHEN price_changed THEN 'price_change'
+        |         WHEN sales_change IS NOT NULL AND sales_change != 0 THEN 'sales_change'
+        |         ELSE 'no_change' END crawl_type
+        |  FROM typed
+        |)
+        |SELECT product_id, price, previous_price,
+        |  CASE WHEN NOT first_crawl AND crawl_type = 'price_change' AND price IS NOT NULL
+        |    AND previous_price IS NOT NULL THEN price - previous_price END price_change,
+        |  sales_count, sales_change, crawl_type,
+        |  date_trunc('second', crawled_at) crawled_at,
+        |  CAST(batch_id AS BIGINT) batch_id
+        |FROM ev2 WHERE crawl_type != 'no_change' AND batch_id < 2
+        |ORDER BY batch_id, product_id""".stripMargin
   )
 }

@@ -29,8 +29,24 @@ object History {
     * @param history  existing crawl_history (may be empty, same cols as output)
     * @param previousState  optional product_id→(brand, seller_name) snapshot of
     *                       the products table, for data_improvement detection
+    * @param staleHorizon  optional event-time staleness horizon (a Spark
+    *                 interval body, e.g. `"30 DAYS"`). A key's previous state
+    *                 older than `crawled_at - horizon` is treated as ABSENT:
+    *                 the observation re-classifies as a first sighting (null
+    *                 `previous_*`, no change deltas). This is the batch twin
+    *                 of [[graft.streaming.Streams.statefulCdc]]'s TTL
+    *                 eviction — the reference's recency policy ages out
+    *                 products not crawled within the horizon
+    *                 (tasks/detail.py:196-216), so a return after a long gap
+    *                 is a fresh crawl, not a change against forgotten state;
+    *                 both surfaces apply the same rule so a batch→streaming
+    *                 migration preserves classification semantics. Decided
+    *                 per row in EVENT time (deterministic, oracle-gateable
+    *                 as q79) where the streaming form necessarily uses the
+    *                 processing-time clock.
     */
-  def deriveEvents(batch: DataFrame, history: DataFrame, previousState: Option[DataFrame]): DataFrame = {
+  def deriveEvents(batch: DataFrame, history: DataFrame, previousState: Option[DataFrame],
+      staleHorizon: Option[String] = None): DataFrame = {
     // F7 — only rows with a key and a price are logged
     val valid = batch.filter(col("product_id").isNotNull && col("price").isNotNull)
 
@@ -43,9 +59,23 @@ object History {
         col("price").as("previous_price"),
         col("original_price").as("previous_original_price"),
         col("discount_percent").as("previous_discount_percent"),
-        col("sales_count").as("previous_sales_count"))
+        col("sales_count").as("previous_sales_count"),
+        col("crawled_at").as("__prev_ts"))
 
-    val withPrev = valid.join(prev, Seq("product_id"), "left")
+    val joined = valid.join(prev, Seq("product_id"), "left")
+    val withPrev = staleHorizon match {
+      case Some(h) =>
+        // stale iff BOTH timestamps exist and the gap exceeds the horizon —
+        // a null on either side keeps the fresh path (no surprise eviction
+        // on rows the data cannot date)
+        val stale = col("__prev_ts").isNotNull && col("crawled_at").isNotNull &&
+          col("__prev_ts") < col("crawled_at") - expr(s"INTERVAL $h")
+        Seq("previous_price", "previous_original_price",
+            "previous_discount_percent", "previous_sales_count")
+          .foldLeft(joined)((df, c) => df.withColumn(c, when(!stale, col(c))))
+          .drop("__prev_ts")
+      case None => joined.drop("__prev_ts")
+    }
 
     val improved: Column = previousState match {
       case Some(st) => col("__old_brand").isNotNull || col("__old_seller").isNotNull

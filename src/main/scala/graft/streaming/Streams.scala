@@ -610,6 +610,40 @@ object Streams {
     graft.store.Compact.partitionedDir(
       spark, s"$path/_archive", "batch_id", targetFiles, minFiles)
 
+  /** Final retention tier: DELETE archived `batch_id=` partitions with id
+    * strictly below `belowBatchId`. [[archiveEventLog]] /
+    * [[archiveBatchOutputs]] move expired partitions out of the live tree
+    * and [[compactArchive]] bounds their file counts, but nothing ever
+    * frees the bytes — at 100 TB the archive eventually needs an expiry, as
+    * the reference's own archive table would (its cleanup also deletes by
+    * age, postgres_storage.py:1825-1848). Batch ids are the stream's
+    * monotone clock (the same argument [[archiveBatchOutputs]] makes for
+    * trees without a row timestamp): a caller with a time-based policy maps
+    * its horizon to a batch-id floor from the trigger cadence, and every
+    * row in an archived event partition is already below the ts cutoff that
+    * expired it. Returns the number of rows deleted, counted from parquet
+    * FOOTERS (driver-side metadata, no Spark job — the [[archiveEventLog]]
+    * discipline); deletes are checked and idempotent (a re-run finds
+    * nothing below the floor). This is data DESTRUCTION — the caller owns
+    * the retention policy; nothing in the engine calls it implicitly. */
+  def purgeArchive(spark: SparkSession, path: String, belowBatchId: Long): Long = {
+    val root = new Path(s"$path/_archive")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0L
+    val expired = fs.listStatus(root).toSeq.filter { st =>
+      st.isDirectory && st.getPath.getName.startsWith("batch_id=") &&
+        st.getPath.getName.stripPrefix("batch_id=").toLong < belowBatchId
+    }
+    if (expired.isEmpty) return 0L
+    val n = graft.store.Compact.footerRowCount(spark, expired.map(_.getPath))
+    expired.foreach { st =>
+      if (!fs.delete(st.getPath, true))
+        throw new java.io.IOException(
+          s"purgeArchive: delete(${st.getPath}) failed (filesystem returned false)")
+    }
+    n
+  }
+
   /** Switch stateful streaming to the RocksDB state store with changelog
     * checkpointing — the large-state configuration. The default
     * HDFS-backed provider keeps every key's state AS JVM OBJECTS on the

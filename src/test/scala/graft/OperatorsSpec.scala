@@ -549,6 +549,33 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Map("p1" -> "price_change", "p2" -> "sales_change", "p4" -> "price_change"))
   }
 
+  test("deriveEvents staleHorizon re-classifies state older than the horizon as a first sighting") {
+    val hist = Seq(
+      ("p1", 100.0, 120.0, null.asInstanceOf[java.lang.Double], 5L, ts("2024-01-01 00:00:00")), // 14d old → stale
+      ("p2", 50.0, 60.0, null.asInstanceOf[java.lang.Double], 9L, ts("2024-01-12 00:00:00")),   // 3d old → fresh
+      ("p3", 70.0, 80.0, null.asInstanceOf[java.lang.Double], 3L, ts("2024-01-14 00:00:00")))   // 1d old → fresh
+      .toDF("product_id", "price", "original_price", "discount_percent", "sales_count", "crawled_at")
+    val batch = Seq(
+      ("p1", 100.0, 120.0, null.asInstanceOf[java.lang.Double], 5L, ts("2024-01-15 00:00:00")), // identical values, but stale → FIRST SIGHTING, not no_change
+      ("p2", 55.0, 60.0, null.asInstanceOf[java.lang.Double], 9L, ts("2024-01-15 00:00:00")),   // fresh → price_change vs prev
+      ("p3", 70.0, 80.0, null.asInstanceOf[java.lang.Double], 3L, ts("2024-01-15 00:00:00")))   // fresh, unchanged → dropped
+      .toDF("product_id", "price", "original_price", "discount_percent", "sales_count", "crawled_at")
+    val got = History.deriveEvents(batch, hist, None, staleHorizon = Some("7 DAYS"))
+      .select("product_id", "crawl_type", "previous_price", "price_change")
+      .collect().map(r => r.getString(0) -> ((r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    // p1's forgotten state: first-sighting shape — null previous, no delta
+    assert(got("p1") === (("price_change", None, None)))
+    // p2's fresh state still classifies as a real change with deltas
+    assert(got("p2") === (("price_change", Some(50.0), Some(5.0))))
+    assert(!got.contains("p3"))
+    // horizon off → p1 is an exact-match no_change and drops, p2 unchanged
+    val off = History.deriveEvents(batch, hist, None)
+      .select("product_id", "crawl_type").as[(String, String)].collect().toMap
+    assert(off == Map("p2" -> "price_change"))
+  }
+
   test("ngramJaccard inverted and dense strategies produce identical pairs") {
     val docs = Tables.documents(spark, sfDir).limit(300)
     def canon(df: org.apache.spark.sql.DataFrame) =

@@ -414,6 +414,56 @@ class StreamsSpec extends SparkSpec {
     assert(Streams.archiveBatchOutputs(spark, vPath, keepLatest = 2) === 0L)
   }
 
+  test("archive lifecycle: compactArchive bounds files, purgeArchive frees bytes below the floor") {
+    val dir = Files.createTempDirectory("graft_archive_tier").toString
+    val histPath = s"$dir/history"
+    Streams.cdcProcessBatch(Seq(
+      Crawl("p1", 100.0, 120.0, null, 5L, ts("2024-01-01 00:00:00")),
+      Crawl("p2", 50.0, 60.0, null, 1L, ts("2024-01-01 06:00:00"))).toDF, histPath, 0L)
+    Streams.cdcProcessBatch(Seq(
+      Crawl("p1", 110.0, 120.0, null, 5L, ts("2024-01-02 00:00:00"))).toDF, histPath, 1L)
+    Streams.cdcProcessBatch(Seq(
+      Crawl("p1", 115.0, 120.0, null, 5L, ts("2024-01-03 00:00:00"))).toDF, histPath, 2L)
+    assert(Streams.archiveEventLog(spark, histPath, "2024-01-02 12:00:00") === 3L)
+    val archRoot = s"$histPath/_archive"
+    // simulate what a re-archival merge does to an archived partition: more
+    // part files accumulate in the same batch dir (row copies are fine — the
+    // conservation check compares sorted multisets)
+    val b0dir = s"$archRoot/batch_id=0"
+    val b0 = spark.read.parquet(b0dir)
+    val extra = spark.createDataFrame(
+      spark.sparkContext.parallelize(b0.collect().toSeq, 1), b0.schema)
+    extra.write.mode("append").parquet(b0dir)
+    val filesBefore = Seq(0L, 1L).map(b =>
+      graft.store.Compact.dataFileCount(spark, s"$archRoot/batch_id=$b")).sum
+    assert(filesBefore >= 3)
+    val before = spark.read.option("basePath", archRoot).parquet(archRoot)
+      .orderBy("batch_id", "product_id", "crawled_at").collect().map(_.toString).toSeq
+    // compaction rewrites each oversized partition down to the auto target
+    // (1 at this byte size) without touching a row
+    val rewrote = Streams.compactArchive(spark, histPath)
+    assert(rewrote >= 1, s"expected at least one partition rewrite (had $filesBefore files)")
+    val filesAfter = Seq(0L, 1L).map(b =>
+      graft.store.Compact.dataFileCount(spark, s"$archRoot/batch_id=$b")).sum
+    assert(filesAfter < filesBefore)
+    val after = spark.read.option("basePath", archRoot).parquet(archRoot)
+      .orderBy("batch_id", "product_id", "crawled_at").collect().map(_.toString).toSeq
+    assert(after === before, "compaction must conserve rows and values exactly")
+    // purge the oldest archived batch: returns its footer row count (2
+    // original + 2 merged rows), frees the directory, leaves newer archives
+    // and the live tree alone
+    assert(Streams.purgeArchive(spark, histPath, belowBatchId = 1L) === 4L)
+    val fs = new org.apache.hadoop.fs.Path(archRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$archRoot/batch_id=0")))
+    val arch = spark.read.option("basePath", archRoot).parquet(archRoot)
+    assert(arch.select("batch_id").distinct().as[Long].collect().toSet === Set(1L))
+    assert(spark.read.parquet(histPath)
+      .select("batch_id").distinct().as[Long].collect().toSet === Set(2L))
+    // idempotent: nothing below the floor remains
+    assert(Streams.purgeArchive(spark, histPath, belowBatchId = 1L) === 0L)
+  }
+
   test("curation gates and mixture sampling run unchanged on a stream") {
     // the corpus gate expressions and the hash-threshold mixture filter are
     // stateless column expressions — the SAME code is streaming-safe with
