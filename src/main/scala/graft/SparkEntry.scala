@@ -1482,6 +1482,60 @@ object SparkEntry {
           col("crawl_type"), date_trunc("second", col("crawled_at")).as("crawled_at"),
           col("batch_id").cast(LongType).as("batch_id"))
         .orderBy(col("batch_id"), col("product_id"))
+    }),
+
+    // --- §2.10 EVENT-TIME TTL CDC, oracle-gated: statefulCdcEventTime over
+    //     six 5-day slices (observations thinned 8× so keys genuinely skip
+    //     slices), one micro-batch per slice with a query RESTART between
+    //     each (watermark + state restored from the checkpoint). A key idle
+    //     past the 4-day horizon is evicted when the watermark passes it —
+    //     in the no-data sweep batch Spark runs after every watermark
+    //     advance, never in a batch where the key has data; the oracle
+    //     models exactly that recursion relationally (per-batch cumulative
+    //     max event-time in ms = the watermark; eviction iff the
+    //     consecutive observations span different batches and the
+    //     watermark through cur-1 passed prev + ttl), so a hash match
+    //     proves the streaming eviction semantics, not just the happy
+    //     path. ----------------------------------------------------------
+    "q81_event_ttl_cdc" -> ((s, dir) => {
+      import graft.streaming.Streams
+      val root = scratch("q81", dir)
+      val srcDir = s"$root/src"; val outDir = s"$root/out"; val ckpt = s"$root/ckpt"
+      val obs = t(s, dir, "events")
+        .filter(col("user_id") % 3 === 0 && col("event_id") % 8 === 0).select(
+          concat(lit("u"), col("user_id").cast(StringType)).as("product_id"),
+          col("value").as("price"),
+          (col("event_id") % 100).cast(LongType).as("sales_count"),
+          col("ts").as("crawled_at"))
+      def run(): Unit = {
+        import s.implicits._
+        val src = s.readStream
+          .schema("product_id STRING, price DOUBLE, sales_count BIGINT, crawled_at TIMESTAMP")
+          .parquet(srcDir).as[Streams.ProductObs]
+        val q = Streams.statefulCdcEventTime(src, ttlMs = 4L * 24 * 3600 * 1000)
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .format("parquet").option("path", outDir).outputMode("append").start()
+        q.processAllAvailable(); q.stop()
+      }
+      val cuts = Seq("2024-01-06", "2024-01-11", "2024-01-16", "2024-01-21", "2024-01-26")
+        .map(c => lit(s"$c 00:00:00").cast(TimestampType))
+      val slices = Seq(
+        obs.filter(col("crawled_at") < cuts(0)),
+        obs.filter(col("crawled_at") >= cuts(0) && col("crawled_at") < cuts(1)),
+        obs.filter(col("crawled_at") >= cuts(1) && col("crawled_at") < cuts(2)),
+        obs.filter(col("crawled_at") >= cuts(2) && col("crawled_at") < cuts(3)),
+        obs.filter(col("crawled_at") >= cuts(3) && col("crawled_at") < cuts(4)),
+        obs.filter(col("crawled_at") >= cuts(4)))
+      slices.foreach { sl =>
+        sl.write.mode("append").parquet(srcDir)
+        run() // one micro-batch per slice; restart restores watermark + state
+      }
+      s.read.parquet(outDir)
+        .select(col("product_id"), col("crawl_type"), col("price"),
+          col("previous_price"), col("price_change"), col("sales_change"),
+          date_trunc("second", col("crawled_at")).as("crawled_at"))
+        .orderBy(col("product_id"), col("crawled_at"))
     })
   )
 
@@ -3048,6 +3102,58 @@ object SparkEntry {
         |  date_trunc('second', crawled_at) crawled_at,
         |  CAST(batch_id AS BIGINT) batch_id
         |FROM ev2 WHERE crawl_type != 'no_change' AND batch_id < 2
-        |ORDER BY batch_id, product_id""".stripMargin
+        |ORDER BY batch_id, product_id""".stripMargin,
+
+    // q81 models Spark's EventTimeTimeout relationally: the watermark
+    // after batch j is the max event time (ms, floor — Spark tracks
+    // µs/1000) over batches ≤ j, and every watermark advance triggers a
+    // NO-DATA sweep batch (drained by processAllAvailable) that evicts
+    // keys whose timeout the new watermark STRICTLY passed — keys with
+    // data in a batch are never swept there (data precedence, their
+    // timeout re-arms). So consecutive observations of a key evict iff
+    // they land in DIFFERENT batches and the cumulative max event time
+    // through cur-1 exceeds prev + ttl (watermarks are monotone — the
+    // last pre-cur sweep covers every earlier opportunity); same-batch
+    // neighbors never evict. An evicted key's next observation is a
+    // first sighting (null previous, no deltas).
+    "q81_event_ttl_cdc" ->
+      """WITH obs AS (
+        |  SELECT 'u' || user_id product_id, value price,
+        |    CAST(event_id % 100 AS BIGINT) sales_count, ts crawled_at,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-06 00:00:00' THEN 0
+        |         WHEN ts < TIMESTAMP '2024-01-11 00:00:00' THEN 1
+        |         WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 2
+        |         WHEN ts < TIMESTAMP '2024-01-21 00:00:00' THEN 3
+        |         WHEN ts < TIMESTAMP '2024-01-26 00:00:00' THEN 4 ELSE 5 END batch_id
+        |  FROM events WHERE user_id % 3 = 0 AND event_id % 8 = 0 AND ts IS NOT NULL
+        |), bmax AS (
+        |  SELECT batch_id, max(epoch_ms(crawled_at)) mx FROM obs GROUP BY batch_id
+        |), seq AS (
+        |  SELECT *, lag(price) OVER w prev_price, lag(sales_count) OVER w prev_sales,
+        |    lag(crawled_at) OVER w prev_ts, lag(batch_id) OVER w prev_bid
+        |  FROM obs
+        |  WINDOW w AS (PARTITION BY product_id ORDER BY crawled_at, price, sales_count)
+        |), ev AS (
+        |  SELECT *, coalesce(
+        |    prev_bid IS NOT NULL AND prev_bid < batch_id AND
+        |      (SELECT max(mx) FROM bmax b WHERE b.batch_id < seq.batch_id)
+        |        > epoch_ms(prev_ts) + 345600000, FALSE) evicted
+        |  FROM seq
+        |), typed AS (
+        |  SELECT product_id,
+        |    CASE WHEN prev_price IS NULL OR evicted THEN 'price_change'
+        |         WHEN price != prev_price THEN 'price_change'
+        |         WHEN sales_count != prev_sales THEN 'sales_change' END crawl_type,
+        |    price,
+        |    CASE WHEN evicted THEN NULL ELSE prev_price END previous_price,
+        |    CASE WHEN NOT evicted AND prev_price IS NOT NULL AND price != prev_price
+        |      THEN price - prev_price END price_change,
+        |    CASE WHEN NOT evicted AND prev_price IS NOT NULL AND price = prev_price
+        |      AND sales_count != prev_sales THEN sales_count - prev_sales END sales_change,
+        |    date_trunc('second', crawled_at) crawled_at
+        |  FROM ev
+        |)
+        |SELECT * FROM typed WHERE crawl_type IS NOT NULL
+        |ORDER BY product_id, crawled_at""".stripMargin
   )
 }

@@ -75,12 +75,19 @@ object NameCleaner {
 
   private val years        = pCase("\\b202\\d\\b")
   private val noisySymbols = pCase("[\\!\\*\\+\\=~…\\.]")
+  // C0 controls + DEL: no product name carries them, the whitespace
+  // collapse below (ASCII \s) does NOT absorb the non-\s ones (\x00-\x08,
+  // \x0E-\x1F), and String.trim strips everything <= U+0020 — so an
+  // un-stripped control at the result's edge violates the "output is
+  // trimmed" totality contract (PropertySpec caught this on a ScalaCheck
+  // BMP-garbage seed; tools/NameFuzz sweeps it deterministically)
+  private val ctrl         = Pattern.compile("\\p{Cntrl}")
 
   /** X8 — remove SKUs, marketing fluff, dimensions, years, noisy symbols;
     * collapse whitespace; sentence-case. */
   def cleanName(name: String): String = {
     if (name == null || name.isEmpty) return ""
-    var s = leadingNoise.matcher(name).replaceAll("")
+    var s = leadingNoise.matcher(ctrl.matcher(name).replaceAll(" ")).replaceAll("")
     s = trailingNoise.matcher(s).replaceAll("")
     var cleaned = hashtag.matcher(s).replaceAll("")
     skuPatterns.foreach(pat => cleaned = pat.matcher(cleaned).replaceAll(""))

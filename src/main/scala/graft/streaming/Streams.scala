@@ -777,8 +777,65 @@ object Streams {
         OutputMode.Append, timeoutConf(ttl), init)(cdcClassify(ttl))
   }
 
-  /** The per-key classification both stateful CDC forms share. */
-  private def cdcClassify(ttl: Option[String])(id: String, rows: Iterator[ProductObs],
+  /** [[statefulCdc]] with an EVENT-TIME staleness horizon — the
+    * deterministic twin of the processing-time `ttl`. The query runs under
+    * `EventTimeTimeout` with a watermark on `crawled_at`: a key is evicted
+    * when the WATERMARK (max observed event time across the stream, minus
+    * `watermarkDelay`) passes its last observation + `ttlMs`, and its next
+    * observation re-classifies as a first sighting. Because eviction is
+    * driven by the data's own clock, a replay or backfill of the same
+    * batches reproduces identical events — which is what makes this form
+    * ORACLE-GATEABLE (q81 models the watermark recursion relationally)
+    * where the processing-time form can only be spec-driven with real
+    * timeouts. Same per-key rule as the batch
+    * `History.deriveEvents(staleHorizon=...)`, decided on the stream.
+    *
+    * Timeout semantics to know (all modeled by the q81 oracle): a timeout
+    * fires only for keys with NO data in the firing batch (data takes
+    * precedence and re-arms); after every batch that advances the
+    * watermark Spark runs one NO-DATA sweep batch applying the new
+    * watermark's timeouts (`processAllAvailable` drains it, so the sweep
+    * deterministically lands between data batches); and the eviction
+    * comparison is STRICT (`timeout < watermark`). Net effect: two
+    * consecutive observations of a key evict between them iff they land in
+    * different micro-batches and the max event time through the earlier
+    * batches exceeds the previous observation + ttl; same-batch neighbors
+    * never evict.
+    *
+    * Operationally this form needs none of the processing-time TTL's
+    * trigger ceremony: timeouts fire on watermark advancement (data
+    * arrival), so `processAllAvailable()` works as usual.
+    *
+    * Scale: identical to [[statefulCdc]] — one (double, long) per key,
+    * state bounded by the catalog observed within the horizon; the
+    * watermark is a tiny per-partition max, not a shuffle. */
+  def statefulCdcEventTime(obs: Dataset[ProductObs], ttlMs: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[ChangeEvent] = {
+    import obs.sparkSession.implicits._
+    obs.withWatermark("crawled_at", watermarkDelay)
+      .groupByKey(_.product_id)
+      .flatMapGroupsWithState[PriceState, ChangeEvent](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        cdcClassifyWith { (state, last) =>
+          // re-arm on the observation's own clock; the max() guard keeps
+          // the timestamp legal (Spark rejects timeouts at or below the
+          // current watermark — unreachable for ts-ordered batches with a
+          // positive ttl, but a very late row must not kill the query)
+          last.foreach(o => state.setTimeoutTimestamp(
+            math.max(o.crawled_at.getTime + ttlMs, state.getCurrentWatermarkMs + 1)))
+        })
+  }
+
+  /** The per-key classification all stateful CDC forms share;
+    * processing-time and event-time TTLs differ only in how they re-arm
+    * the timeout after an update. */
+  private def cdcClassify(ttl: Option[String]): (String, Iterator[ProductObs],
+      GroupState[PriceState]) => Iterator[ChangeEvent] =
+    cdcClassifyWith { (state, _) => ttl.foreach(state.setTimeoutDuration) } _
+
+  private def cdcClassifyWith(
+      arm: (GroupState[PriceState], Option[ProductObs]) => Unit)(
+      id: String, rows: Iterator[ProductObs],
       state: GroupState[PriceState]): Iterator[ChangeEvent] = {
     // horizon elapsed with no observation: evict. No event is emitted —
     // expiry is state hygiene, not a data change — and the key's next
@@ -814,10 +871,12 @@ object Streams {
     // invokes the function for initial keys that have no batch rows —
     // `cur` is the (unchanged) initial state there, but stay total anyway.
     // Every update re-arms the TTL clock (an observation refreshes the
-    // key's horizon; the bootstrap pass arms snapshot-seeded keys too).
+    // key's horizon; the bootstrap pass arms snapshot-seeded keys too —
+    // with no batch rows the arm closure sees None and the event-time
+    // form leaves the previous timeout in place).
     cur.foreach { s =>
       state.update(s)
-      ttl.foreach(state.setTimeoutDuration)
+      arm(state, ordered.lastOption)
     }
     out.result().iterator
   }
