@@ -627,9 +627,10 @@ class StreamsSpec extends SparkSpec {
       "without a TTL the 100.0 state must survive the idle gap")
   }
 
-  test("statefulCdcEventTime evicts on watermark passage, deterministically") {
+  test("statefulCdcEventTime evicts on watermark passage, deterministically (default + RocksDB)") {
     // EVENT-TIME TTL (4 days): eviction is driven by the data's own clock,
-    // so the scenario is exactly reproducible — no sleeps, no polling.
+    // so the scenario is exactly reproducible — no sleeps, no polling —
+    // and must be provider-independent (run under both state stores).
     // Spark's EventTimeTimeout semantics under test (q81's oracle models
     // the same rules over real data):
     //   (a) after every batch that advances the watermark, a NO-DATA sweep
@@ -640,53 +641,61 @@ class StreamsSpec extends SparkSpec {
     //       every sweep, however stale it later becomes before its next
     //       sweep opportunity.
     implicit val sqlCtx = spark.sqlContext
-    val mem = MemoryStream[Streams.ProductObs]
-    val q = Streams.statefulCdcEventTime(mem.toDS(), ttlMs = 4L * 24 * 3600 * 1000)
-      .writeStream.format("memory").queryName("scdc_ettl")
-      .outputMode("append").start()
-    // batch 0 (Jan-01): p1 and p3 first sightings. The post-batch sweep
-    // runs with watermark Jan-01 06:00 — passes no one's Jan-05+ horizon.
-    mem.addData(
-      Streams.ProductObs("p1", 100.0, 5L, ts("2024-01-01 00:00:00")),
-      Streams.ProductObs("p3", 70.0, 3L, ts("2024-01-01 06:00:00")))
-    q.processAllAvailable()
-    // batch 1 (Jan-06): p3's gap is 5d > 4d TTL, but the only sweep so far
-    // carried watermark Jan-01 06:00 < its Jan-05 06:00 horizon — p3 still
-    // classifies against its state (b). Post-batch sweep watermark:
-    // Jan-06 12:00 → p1 (horizon Jan-05) is SWEPT here (a).
-    mem.addData(
-      Streams.ProductObs("p2", 50.0, 1L, ts("2024-01-06 00:00:00")),
-      Streams.ProductObs("p3", 70.0, 4L, ts("2024-01-06 12:00:00")))
-    q.processAllAvailable()
-    // batch 2 (Jan-10): post-batch sweep watermark Jan-10 00:00 — p3's
-    // Jan-06 12:00 + 4d = Jan-10 12:00 horizon is NOT strictly passed →
-    // p3 survives (b).
-    mem.addData(Streams.ProductObs("p2", 55.0, 1L, ts("2024-01-10 00:00:00")))
-    q.processAllAvailable()
-    // batch 3 (Jan-15): p1 returns with IDENTICAL values — a surviving
-    // state would classify it no_change (no event); the first-sighting
-    // event is itself the proof of eviction. p3's 9-day-stale state
-    // SURVIVED (every sweep before this batch ran below its horizon), so
-    // p3 classifies against it: sales 4 -> 6.
-    mem.addData(
-      Streams.ProductObs("p1", 100.0, 5L, ts("2024-01-15 00:00:00")),
-      Streams.ProductObs("p3", 70.0, 6L, ts("2024-01-15 06:00:00")))
-    q.processAllAvailable()
-    q.stop()
-    val got = spark.table("scdc_ettl")
-      .select("product_id", "crawl_type", "price", "previous_price", "sales_change")
-      .orderBy("crawled_at", "product_id")
-      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2),
-        if (r.isNullAt(3)) null else r.getDouble(3),
-        if (r.isNullAt(4)) null else r.getLong(4))).toSeq
-    assert(got === Seq(
-      ("p1", "price_change", 100.0, null, null),
-      ("p3", "price_change", 70.0, null, null),
-      ("p2", "price_change", 50.0, null, null),
-      ("p3", "sales_change", 70.0, 70.0, 1L),   // pre-horizon sweeps only: survives (b)
-      ("p2", "price_change", 55.0, 50.0, null),
-      ("p1", "price_change", 100.0, null, null), // re-classified: swept after batch 1 (a)
-      ("p3", "sales_change", 70.0, 70.0, 2L)))   // every sweep predated its horizon (b)
+    def runScenario(sub: String, rocks: Boolean): Unit = {
+      if (rocks) Streams.useRocksDbState(spark) else Streams.useDefaultState(spark)
+      try {
+        val mem = MemoryStream[Streams.ProductObs]
+        val q = Streams.statefulCdcEventTime(mem.toDS(), ttlMs = 4L * 24 * 3600 * 1000)
+          .writeStream.format("memory").queryName(s"scdc_ettl_$sub")
+          .outputMode("append").start()
+        // batch 0 (Jan-01): p1 and p3 first sightings. The post-batch sweep
+        // runs with watermark Jan-01 06:00 — passes no one's Jan-05+ horizon.
+        mem.addData(
+          Streams.ProductObs("p1", 100.0, 5L, ts("2024-01-01 00:00:00")),
+          Streams.ProductObs("p3", 70.0, 3L, ts("2024-01-01 06:00:00")))
+        q.processAllAvailable()
+        // batch 1 (Jan-06): p3's gap is 5d > 4d TTL, but the only sweep so
+        // far carried watermark Jan-01 06:00 < its Jan-05 06:00 horizon —
+        // p3 still classifies against its state (b). Post-batch sweep
+        // watermark: Jan-06 12:00 → p1 (horizon Jan-05) is SWEPT here (a).
+        mem.addData(
+          Streams.ProductObs("p2", 50.0, 1L, ts("2024-01-06 00:00:00")),
+          Streams.ProductObs("p3", 70.0, 4L, ts("2024-01-06 12:00:00")))
+        q.processAllAvailable()
+        // batch 2 (Jan-10): post-batch sweep watermark Jan-10 00:00 — p3's
+        // Jan-06 12:00 + 4d = Jan-10 12:00 horizon is NOT strictly passed →
+        // p3 survives (b).
+        mem.addData(Streams.ProductObs("p2", 55.0, 1L, ts("2024-01-10 00:00:00")))
+        q.processAllAvailable()
+        // batch 3 (Jan-15): p1 returns with IDENTICAL values — a surviving
+        // state would classify it no_change (no event); the first-sighting
+        // event is itself the proof of eviction. p3's 9-day-stale state
+        // SURVIVED (every sweep before this batch ran below its horizon),
+        // so p3 classifies against it: sales 4 -> 6.
+        mem.addData(
+          Streams.ProductObs("p1", 100.0, 5L, ts("2024-01-15 00:00:00")),
+          Streams.ProductObs("p3", 70.0, 6L, ts("2024-01-15 06:00:00")))
+        q.processAllAvailable()
+        q.stop()
+        val got = spark.table(s"scdc_ettl_$sub")
+          .select("product_id", "crawl_type", "price", "previous_price", "sales_change")
+          .orderBy("crawled_at", "product_id")
+          .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+            if (r.isNullAt(3)) null else r.getDouble(3),
+            if (r.isNullAt(4)) null else r.getLong(4))).toSeq
+        assert(got === Seq(
+          ("p1", "price_change", 100.0, null, null),
+          ("p3", "price_change", 70.0, null, null),
+          ("p2", "price_change", 50.0, null, null),
+          ("p3", "sales_change", 70.0, 70.0, 1L),   // pre-horizon sweeps only: survives (b)
+          ("p2", "price_change", 55.0, 50.0, null),
+          ("p1", "price_change", 100.0, null, null), // re-classified: swept after batch 1 (a)
+          ("p3", "sales_change", 70.0, 70.0, 2L)),   // every sweep predated its horizon (b)
+          s"[$sub] unexpected events")
+      } finally Streams.useDefaultState(spark)
+    }
+    runScenario("default", rocks = false)
+    runScenario("rocks", rocks = true)
   }
 
   test("statefulCdc state survives a query restart via the checkpoint (file source)") {
