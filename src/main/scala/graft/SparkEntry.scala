@@ -1509,14 +1509,24 @@ object SparkEntry {
           col("ts").as("crawled_at"))
       def run(): Unit = {
         import s.implicits._
-        val src = s.readStream
-          .schema("product_id STRING, price DOUBLE, sales_count BIGINT, crawled_at TIMESTAMP")
-          .parquet(srcDir).as[Streams.ProductObs]
-        val q = Streams.statefulCdcEventTime(src, ttlMs = 4L * 24 * 3600 * 1000)
-          .writeStream
-          .option("checkpointLocation", ckpt)
-          .format("parquet").option("path", outDir).outputMode("append").start()
-        q.processAllAvailable(); q.stop()
+        // 8 state partitions, not the session's 32: the stateful shuffle
+        // partition count is pinned into the checkpoint at first start, and
+        // every one of the SIX restarts re-opens one state store per
+        // partition — at ~50 keys the store-reload fixed cost dominates the
+        // gate. Session conf is restored after each start (the stream holds
+        // its own copy); a real deployment sizes this to its catalog.
+        val before = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val src = s.readStream
+            .schema("product_id STRING, price DOUBLE, sales_count BIGINT, crawled_at TIMESTAMP")
+            .parquet(srcDir).as[Streams.ProductObs]
+          val q = Streams.statefulCdcEventTime(src, ttlMs = 4L * 24 * 3600 * 1000)
+            .writeStream
+            .option("checkpointLocation", ckpt)
+            .format("parquet").option("path", outDir).outputMode("append").start()
+          q.processAllAvailable(); q.stop()
+        } finally s.conf.set("spark.sql.shuffle.partitions", before)
       }
       val cuts = Seq("2024-01-06", "2024-01-11", "2024-01-16", "2024-01-21", "2024-01-26")
         .map(c => lit(s"$c 00:00:00").cast(TimestampType))

@@ -96,11 +96,13 @@ object Streams {
     * reader-in-flight window, exactly Generations.vacuum's keep=2 rationale.
     * Readers of `historyPath` see one extra `batch_id` partition column. */
   def cdcSink(batchStream: DataFrame, historyPath: String, checkpointPath: String,
-      collapseEvery: Int = 8, collapseBytesFrac: Double = 0.5): StreamingQuery =
+      collapseEvery: Int = 8, collapseBytesFrac: Double = 0.5,
+      staleHorizon: Option[String] = None): StreamingQuery =
     batchStream.writeStream
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        cdcProcessBatch(batch, historyPath, batchId, collapseEvery, collapseBytesFrac)
+        cdcProcessBatch(batch, historyPath, batchId, collapseEvery, collapseBytesFrac,
+          staleHorizon)
         ()
       }
       .start()
@@ -151,7 +153,8 @@ object Streams {
     * generations only (immutable bytes, vacuum-protected), so a replayed
     * batch makes the identical delta-vs-full choice. */
   private[graft] def cdcProcessBatch(batch: DataFrame, historyPath: String, batchId: Long,
-      collapseEvery: Int = 8, collapseBytesFrac: Double = 0.5): Unit = {
+      collapseEvery: Int = 8, collapseBytesFrac: Double = 0.5,
+      staleHorizon: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     scopedUnpersist(spark) {
       val gens = cdcGensBelow(spark, historyPath, batchId)
@@ -163,8 +166,20 @@ object Streams {
       val prev = cdcStateFrom(spark, gens, pruneTo = Some(batchBuckets))
         .getOrElse(batch.select(CdcStateCols.map(col): _*).limit(0))
       // materialized once: the events feed both the partition write and the
-      // companion write (and the scoped wrapper frees the blocks per batch)
-      val events = History.deriveEvents(batch, prev, None).localCheckpoint()
+      // companion write (and the scoped wrapper frees the blocks per batch).
+      // `staleHorizon` applies History's event-time staleness rule: state
+      // older than the horizon re-classifies the observation as a first
+      // sighting. Classification-only — the companion keeps retaining
+      // latest-per-key values (a stale-reclassified row IS logged, so its
+      // delta refreshes the companion's values and timestamp), and the
+      // no_change-rows-never-enter-a-delta invariant is preserved: a row
+      // classified no_change is by construction FRESH and value-identical
+      // to state, so dropping it still cannot change any future derive.
+      // Consequence: the horizon measures the age of the last LOGGED
+      // change — no_change observations do not refresh it — matching the
+      // reference's probe-the-last-stored-history-row shape (its history
+      // also only holds should_log rows, postgres_storage.py:1283-1305).
+      val events = History.deriveEvents(batch, prev, None, staleHorizon).localCheckpoint()
       events.write.mode("overwrite").parquet(s"$historyPath/batch_id=$batchId")
       // the batch's delta: its own changed rows only, collapsed to one per
       // key below. A no_change row never enters any generation — it carries

@@ -414,6 +414,42 @@ class StreamsSpec extends SparkSpec {
     assert(Streams.archiveBatchOutputs(spark, vPath, keepLatest = 2) === 0L)
   }
 
+  test("cdcProcessBatch staleHorizon re-classifies forgotten state; fresh keys keep deltas") {
+    val dir = Files.createTempDirectory("graft_cdc_stale").toString
+    val histPath = s"$dir/history"
+    val horizon = Some("7 DAYS")
+    // batch 0 (Jan-01): both keys first sightings, companion seeded
+    Streams.cdcProcessBatch(Seq(
+      Crawl("p1", 100.0, 120.0, null, 5L, ts("2024-01-01 00:00:00")),
+      Crawl("p2", 50.0, 60.0, null, 1L, ts("2024-01-01 00:00:00"))).toDF,
+      histPath, 0L, staleHorizon = horizon)
+    // batch 1 (Jan-15, 14d later — past the horizon): p1 returns with
+    // IDENTICAL values — without staleness this is no_change (dropped);
+    // with it the forgotten state re-classifies a first sighting. p2
+    // changed price — ALSO stale, so no delta against forgotten state.
+    Streams.cdcProcessBatch(Seq(
+      Crawl("p1", 100.0, 120.0, null, 5L, ts("2024-01-15 00:00:00")),
+      Crawl("p2", 55.0, 60.0, null, 1L, ts("2024-01-15 00:00:00"))).toDF,
+      histPath, 1L, staleHorizon = horizon)
+    // batch 2 (Jan-18, 3d after the batch-1 events refreshed the
+    // companion): FRESH again — normal classification with deltas
+    Streams.cdcProcessBatch(Seq(
+      Crawl("p1", 110.0, 120.0, null, 5L, ts("2024-01-18 00:00:00"))).toDF,
+      histPath, 2L, staleHorizon = horizon)
+    val got = spark.read.parquet(histPath)
+      .select("batch_id", "product_id", "crawl_type", "previous_price", "price_change")
+      .collect().map(r => (r.getAs[Number]("batch_id").longValue(), r.getString(1),
+        r.getString(2),
+        if (r.isNullAt(3)) null else r.getDouble(3),
+        if (r.isNullAt(4)) null else r.getDouble(4))).toSet
+    assert(got === Set(
+      (0L, "p1", "price_change", null, null),
+      (0L, "p2", "price_change", null, null),
+      (1L, "p1", "price_change", null, null), // stale: re-classified, not no_change
+      (1L, "p2", "price_change", null, null), // stale: no delta vs forgotten 50.0
+      (2L, "p1", "price_change", 100.0, 10.0))) // refreshed state: real delta
+  }
+
   test("archive lifecycle: compactArchive bounds files, purgeArchive frees bytes below the floor") {
     val dir = Files.createTempDirectory("graft_archive_tier").toString
     val histPath = s"$dir/history"
