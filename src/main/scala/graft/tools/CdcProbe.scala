@@ -1,0 +1,92 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Streams
+
+/** Dev probe: is the CDC sink's per-micro-batch cost FLAT in stream
+  * length? (docs/SCALE.md's claim for the delta-companion design — the
+  * pre-r7 shape re-read the whole event log per batch, so its cost grew
+  * with every batch processed.)
+  *
+  * Seeds a catalog of K keys (batch 0 — also the first full collapse),
+  * then runs N delta batches of B changed rows each through
+  * `cdcProcessBatch`, timing every batch and marking which ones the
+  * count/bytes trigger turned into full collapses. Healthy output:
+  * delta-batch times flat from first to last (no growth with stream
+  * position), collapse spikes only on trigger batches, and the
+  * companion's generation count bounded by the vacuum window rather
+  * than the stream length.
+  *
+  * Also prints a bucket-prune check: a tiny batch (8 keys) touches ≤8
+  * of the 64 `__kbkt` buckets, so its derive reads a fraction of the
+  * catalog-sized collapse — compare its time to a full-width batch's.
+  */
+object CdcProbe {
+  def main(args: Array[String]): Unit = {
+    val K = args.headOption.map(_.toInt).getOrElse(40000)  // catalog keys
+    val B = args.lift(1).map(_.toInt).getOrElse(1000)      // rows per delta batch
+    val N = args.lift(2).map(_.toInt).getOrElse(30)        // delta batches
+    val spark = graft.GraftSession.create("local[16]", 16)
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_probe").toString
+    val histPath = s"$dir/history"
+
+    // deterministic batch maker: batch b touches keys (b*B .. b*B+B-1) mod K
+    // with a price that changes every batch (so every row is a real event)
+    def mkBatch(b: Int, rows: Int): org.apache.spark.sql.DataFrame =
+      spark.range(rows.toLong).select(
+        concat(lit("p"), ((col("id") + lit(b.toLong * rows)) % K).cast("string")).as("product_id"),
+        (pmod(hash(col("id") + lit(b)), lit(10000)) / 100.0 + 1.0).as("price"),
+        lit(200.0).as("original_price"),
+        lit(null).cast("double").as("discount_percent"),
+        (col("id") % 50).as("sales_count"),
+        (lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).cast("timestamp")
+          + make_dt_interval(lit(0), lit(0), lit(0), col("id") + lit(b * 100000))).as("crawled_at"))
+
+    def genDirs(): Seq[String] = {
+      val root = new org.apache.hadoop.fs.Path(s"$histPath/_latest")
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(root)) Nil
+      else fs.listStatus(root).toSeq.map(_.getPath.getName).filter(_.startsWith("gen_")).sorted
+    }
+    def isFull(b: Long): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(f"$histPath/_latest/gen_$b%012d/_FULL")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+
+    // batch 0: seed the whole catalog (the first collapse by construction)
+    var t0 = System.nanoTime()
+    Streams.cdcProcessBatch(mkBatch(0, K).localCheckpoint(), histPath, 0L)
+    println(f"[cdcprobe] seed  b=0     K=$K%-7d ${(System.nanoTime() - t0) / 1e9}%6.2fs full=${isFull(0L)}")
+
+    val times = scala.collection.mutable.ArrayBuffer[(Int, Double, Boolean)]()
+    (1 to N).foreach { b =>
+      val batch = mkBatch(b, B).localCheckpoint()
+      t0 = System.nanoTime()
+      Streams.cdcProcessBatch(batch, histPath, b.toLong)
+      val sec = (System.nanoTime() - t0) / 1e9
+      times += ((b, sec, isFull(b.toLong)))
+      println(f"[cdcprobe] delta b=$b%-5d B=$B%-7d $sec%6.2fs full=${isFull(b.toLong)} gens=${genDirs().size}")
+    }
+    val deltas = times.filterNot(_._3).map(_._2).toSeq
+    val fulls = times.filter(_._3).map(_._2).toSeq
+    def med(xs: Seq[Double]) = if (xs.isEmpty) 0.0 else xs.sorted.apply(xs.size / 2)
+    println(f"[cdcprobe] deltas n=${deltas.size} first=${deltas.headOption.getOrElse(0.0)}%5.2f " +
+      f"median=${med(deltas)}%5.2f last=${deltas.lastOption.getOrElse(0.0)}%5.2f " +
+      f"(flat ⇒ no growth with stream position)")
+    println(f"[cdcprobe] fulls  n=${fulls.size} median=${med(fulls)}%5.2f  gens_end=${genDirs().size}")
+
+    // bucket-prune check: an 8-key batch touches ≤8/64 buckets of the
+    // collapse — its derive reads a fraction of the catalog. At local test
+    // scale the per-batch FIXED overhead (job scheduling + the partition
+    // and companion writes, ~1s) dominates both, so read the tiny-vs-delta
+    // gap as a lower bound on the prune's saving, and the StreamsSpec
+    // PartitionFilters assertion as the mechanism proof.
+    t0 = System.nanoTime()
+    Streams.cdcProcessBatch(mkBatch(N + 1, 8).localCheckpoint(), histPath, (N + 1).toLong)
+    println(f"[cdcprobe] tiny  b=${N + 1} B=8       ${(System.nanoTime() - t0) / 1e9}%6.2fs " +
+      "(≤8/64 buckets read; fixed per-batch overhead dominates at this scale)")
+    spark.stop()
+  }
+}
