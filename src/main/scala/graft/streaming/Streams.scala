@@ -777,7 +777,18 @@ object Streams {
     * `ttl` as on [[statefulCdc]]; snapshot-seeded keys get their horizon
     * armed on the first batch (Spark invokes the function for every
     * initial-state key), so a bootstrapped catalog's dead keys age out on
-    * the same clock as streamed ones. */
+    * the same clock as streamed ones.
+    *
+    * Deliberately NOT offered: bootstrap + EVENT-time TTL. The snapshot
+    * carries no timestamps, so seeded keys could only be armed on their
+    * first observation — and a dead key is never observed, which would
+    * keep every dead bootstrapped key in the store forever, defeating the
+    * TTL where it matters most. The operational path instead composes two
+    * existing operators: run the batch staleness pass
+    * ([[graft.operators.History.deriveEvents]] `staleHorizon`, or simply
+    * filter the snapshot on its own recency column) to drop dead keys
+    * BEFORE bootstrapping, then stream with [[statefulCdcEventTime]] for
+    * keys that live on. */
   def statefulCdcFrom(obs: Dataset[ProductObs], snapshot: DataFrame,
       ttl: Option[String] = None): Dataset[ChangeEvent] = {
     import obs.sparkSession.implicits._
