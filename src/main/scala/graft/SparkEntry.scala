@@ -1546,6 +1546,74 @@ object SparkEntry {
           col("previous_price"), col("price_change"), col("sales_change"),
           date_trunc("second", col("crawled_at")).as("crawled_at"))
         .orderBy(col("product_id"), col("crawled_at"))
+    }),
+
+    // --- LIVE RE-BUCKETING of the CDC companion under the oracle: the q76
+    //     pipeline, but batch 0 collapses at 4 key buckets and the operator
+    //     is reconfigured to 8 mid-stream (the catalog "outgrew" the old
+    //     count) — batch 1's delta derives against the 4-bucket full
+    //     (pruned under ITS recorded count), batch 2 collapses at 8
+    //     (collapseEvery=2). The oracle is q76's, verbatim: a hash match
+    //     proves the layout migration is invisible to every derived event.
+    //     Per-(sfDir, pid) scratch wiped at entry. --------------------------
+    "q82_cdc_rebucket" -> ((s, dir) => {
+      val root = scratch("q82", dir)
+      val histPath = s"$root/history"
+      val ev = t(s, dir, "events").select(
+        col("user_id").as("product_id"),
+        col("value").as("price"),
+        (col("value") + 10.0).as("original_price"),
+        lit(null).cast(DoubleType).as("discount_percent"),
+        (col("event_id") % 100).as("sales_count"),
+        col("ts").as("crawled_at"),
+        col("event_id"))
+      val cuts = Seq("2024-01-11 00:00:00", "2024-01-21 00:00:00").map(c => lit(c).cast(TimestampType))
+      val slices = Seq(
+        ev.filter(col("crawled_at") < cuts(0)),
+        ev.filter(col("crawled_at") >= cuts(0) && col("crawled_at") < cuts(1)),
+        ev.filter(col("crawled_at") >= cuts(1)))
+      val buckets = Seq(4, 4, 8) // reconfigured before batch 2's collapse
+      slices.zipWithIndex.foreach { case (sl, i) =>
+        val batch = Merge.latestPerKey(sl, Seq("product_id"), "crawled_at",
+          Seq(col("event_id").desc)).drop("event_id")
+        graft.streaming.Streams.cdcProcessBatch(batch, histPath, i.toLong,
+          collapseEvery = 2, keyBuckets = buckets(i))
+      }
+      s.read.parquet(histPath)
+        .select(col("product_id"), col("price"), col("original_price"),
+          col("discount_percent"), col("discount_amount"),
+          col("price_change"), col("price_change_percent"),
+          col("previous_price"), col("previous_original_price"), col("previous_discount_percent"),
+          col("sales_count"), col("sales_change"), col("is_flash_sale"), col("crawl_type"),
+          date_trunc("second", col("crawled_at")).as("crawled_at"),
+          col("batch_id").cast(LongType).as("batch_id"))
+        .orderBy(col("batch_id"), col("product_id"))
+    }),
+
+    // --- LIVE RE-BUCKETING of the MinHash index under the oracle: the q73
+    //     ingest run, but the second maintenance pass migrates the bands
+    //     layout 64 → 16 buckets (compactMinhashIndex targetBuckets).
+    //     Batch 3's verdicts then probe the re-bucketed layout under its
+    //     recorded count; the oracle (q73's, verbatim) knows nothing about
+    //     files, so a hash match proves re-bucketing is result-identity.
+    //     Per-(sfDir, pid) scratch wiped at entry. --------------------------
+    "q83_rebucketed_ingest" -> ((s, dir) => {
+      val scratchDir = scratch("q83", dir)
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 5 >= 3)
+      val b1 = docs.filter(col("doc_id") % 5 === 0)
+      val b2 = docs.filter(col("doc_id") % 5 === 1)
+      val b3 = docs.filter(col("doc_id") % 5 === 2)
+      Dedup.writeMinhashIndex(
+        Dedup.buildMinhashIndex(corpus, "doc_id", "text"), scratchDir)
+      Dedup.ingestCycle(b1, scratchDir, "doc_id", "text", threshold = 0.3)
+      Dedup.compactMinhashIndex(s, scratchDir)
+      Dedup.ingestCycle(b2, scratchDir, "doc_id", "text", threshold = 0.3)
+      Dedup.compactMinhashIndex(s, scratchDir, targetBuckets = 16)
+      Dedup.dedupAgainstIndex(b3, Dedup.readMinhashIndex(s, scratchDir),
+        "doc_id", "text", threshold = 0.3)
+        .select(col("id").as("doc_id"), col("is_dup"), col("dup_of"), col("jaccard"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1553,7 +1621,17 @@ object SparkEntry {
   // Oracle SQL (DuckDB, same parquet tables registered by name)
   // ==========================================================================
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val base = oracleSqlBase
+    // the re-bucketing twins (q82/q83) are result-identical to their source
+    // queries BY CONTRACT — the layout migration under test must be
+    // invisible to every derived row — so the SAME oracle gates both sides
+    base +
+      ("q82_cdc_rebucket" -> base("q76_cdc_sink")) +
+      ("q83_rebucketed_ingest" -> base("q73_compacted_ingest"))
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
 
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

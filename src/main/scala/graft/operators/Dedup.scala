@@ -117,7 +117,13 @@ object Dedup {
     * incremental shape that makes near-dup dedup tractable at 100 TB
     * (re-running the all-pairs form per ingest batch is quadratic in
     * ingest count). */
-  final case class MinhashIndex(bands: DataFrame, shingles: DataFrame)
+  /** `bandBuckets` is the `__bkt` modulus of a PERSISTED bands layout —
+    * read back from the generation's `_NBKT_<n>` marker so the probe's
+    * partition-prune always agrees with the layout it scans (a prober
+    * whose modulus disagreed with the writer's would silently drop true
+    * candidates). In-memory indexes never consult it. */
+  final case class MinhashIndex(bands: DataFrame, shingles: DataFrame,
+      bandBuckets: Int = BandBuckets)
 
   /** Build the in-memory index relations for a corpus (no persistence —
     * see [[writeMinhashIndex]] for the production artifact). */
@@ -128,18 +134,35 @@ object Dedup {
       minhashBandKeys(corpus, idCol, textCol, shingleN, numHashes, bands),
       shingleRows(corpus, idCol, textCol, shingleN))
 
-  /** Number of `__bkt=` partition dirs the PERSISTED bands relation is
-    * hashed into. A batch probe's band keys map to a subset of buckets, so
-    * the candidate join's index scan partition-prunes to that subset
-    * instead of reading the whole relation per batch — the difference
-    * between O(batch) and O(corpus) candidate generation in a sustained
-    * ingest loop. 64 keeps the per-batch bucket list a bounded driver-side
-    * literal while still skipping ~all of the index for micro-batches. */
+  /** DEFAULT number of `__bkt=` partition dirs the PERSISTED bands
+    * relation is hashed into. A batch probe's band keys map to a subset of
+    * buckets, so the candidate join's index scan partition-prunes to that
+    * subset instead of reading the whole relation per batch — the
+    * difference between O(batch) and O(corpus) candidate generation in a
+    * sustained ingest loop. 64 keeps the per-batch bucket list a bounded
+    * driver-side literal while still skipping ~all of the index for
+    * micro-batches. Each generation RECORDS its own count (`_NBKT_<n>`
+    * marker): when a corpus outgrows 64 buckets (per-bucket bytes is the
+    * probe's scan unit), [[compactMinhashIndex]]'s `targetBuckets`
+    * re-buckets the layout in one reader-atomic generation swap and every
+    * probe/append follows the recorded count automatically. */
   val BandBuckets = 64
 
-  /** The bucket a band key lands in — Spark's Murmur3 `hash`, stable
-    * across JVMs/sessions, so writer and probe always agree. */
-  private def bandBucket(c: org.apache.spark.sql.Column) = pmod(hash(c), lit(BandBuckets))
+  /** The bucket a band key lands in under an `n`-way layout — Spark's
+    * Murmur3 `hash`, stable across JVMs/sessions, so writer and probe
+    * always agree on the SAME generation's recorded modulus. */
+  private def bandBucket(c: org.apache.spark.sql.Column, n: Int) = pmod(hash(c), lit(n))
+
+  /** The `__bkt` modulus a generation's bands layout was written with —
+    * its `_NBKT_<n>` marker, or [[BandBuckets]] for legacy layouts that
+    * predate per-generation counts (written when it was a constant). */
+  private def genBandBuckets(spark: org.apache.spark.sql.SparkSession, gen: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(gen)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).map(_.getPath.getName).collectFirst {
+      case n if n.startsWith("_NBKT_") => n.drop("_NBKT_".length).toInt
+    }.getOrElse(BandBuckets)
+  }
 
   /** Persist an index under `path`: a fresh
     * `gen_NNNNNN/{bands,shingles,ids}` generation committed by a
@@ -170,7 +193,11 @@ object Dedup {
       maxFileBytes: Long = graft.store.Compact.DefaultMaxFileBytes): String = {
     val spark = idx.bands.sparkSession
     val gen = graft.store.Generations.claimNextGen(spark, path)
-    val withBkt = idx.bands.drop("__bkt").withColumn("__bkt", bandBucket(col("bandkey")))
+    // the layout's modulus is the index's bandBuckets — recorded as an
+    // _NBKT_<n> marker so probes and appends of this generation always
+    // bucket under the count it was actually written with
+    val withBkt = idx.bands.drop("__bkt")
+      .withColumn("__bkt", bandBucket(col("bandkey"), idx.bandBuckets))
     val re =
       if (bandsBytesHint >= 0 && bandsBytesHint <= maxFileBytes &&
           filesPerBucket <= 1) withBkt.repartition(1) // parallel scan, single writer
@@ -181,6 +208,9 @@ object Dedup {
     idsFrom.map(_.select("id"))
       .getOrElse(spark.read.parquet(s"$gen/bands").select("id").distinct())
       .write.mode("overwrite").parquet(s"$gen/ids")
+    val genPath = new org.apache.hadoop.fs.Path(gen.toString)
+    genPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(new org.apache.hadoop.fs.Path(genPath, s"_NBKT_${idx.bandBuckets}"), false).close()
     graft.store.Generations.commit(spark, gen)
     gen.toString
   }
@@ -190,7 +220,8 @@ object Dedup {
     * layout; [[dedupAgainstIndex]] prunes on it. */
   def readMinhashIndex(spark: org.apache.spark.sql.SparkSession, path: String): MinhashIndex = {
     val gen = graft.store.Generations.requireCommitted(spark, path)
-    MinhashIndex(spark.read.parquet(s"$gen/bands"), spark.read.parquet(s"$gen/shingles"))
+    MinhashIndex(spark.read.parquet(s"$gen/bands"), spark.read.parquet(s"$gen/shingles"),
+      genBandBuckets(spark, gen.toString))
   }
 
   /** The id manifest of the latest committed generation: one narrow row
@@ -269,7 +300,8 @@ object Dedup {
       .coalesce(1)
       .write.mode("append").parquet(s"$gen/ids")
     val banded = minhashBandKeys(batch, idCol, textCol, shingleN, numHashes, bands)
-      .withColumn("__bkt", bandBucket(col("bandkey")))
+      .withColumn("__bkt",
+        bandBucket(col("bandkey"), genBandBuckets(batch.sparkSession, gen.toString)))
     // repartition(1), NOT coalesce(1): coalesce collapses the UPSTREAM
     // tokenize+sketch stage to one core (measured q71 6.3 → 10.1 s);
     // repartition keeps the compute 32-way and funnels only the tiny
@@ -332,7 +364,9 @@ object Dedup {
     val idxBands =
       if (!idx.bands.columns.contains("__bkt")) idx.bands
       else {
-        val bkts = bBands.select(bandBucket(col("bandkey")).as("b"))
+        // the prune's modulus is the INDEX's recorded count, so it always
+        // matches the layout being scanned, whatever count it was written at
+        val bkts = bBands.select(bandBucket(col("bandkey"), idx.bandBuckets).as("b"))
           .distinct().collect().map(_.getInt(0)).toSeq
         idx.bands.filter(col("__bkt").isin(bkts: _*)).drop("__bkt")
       }
@@ -425,24 +459,34 @@ object Dedup {
     * generation was written, 0 if the index was under the threshold. */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       targetFiles: Int = 0, minFiles: Int = 1, keep: Int = 2,
-      maxFileBytes: Long = graft.store.Compact.DefaultMaxFileBytes): Int = {
+      maxFileBytes: Long = graft.store.Compact.DefaultMaxFileBytes,
+      targetBuckets: Int = 0): Int = {
     import graft.store.Compact
     val gen = graft.store.Generations.requireCommitted(spark, path)
     val (bandsFiles, shinglesFiles) = minhashFileCounts(spark, path)
+    // targetBuckets > 0 re-buckets the bands layout to that count — the
+    // LIVE MIGRATION path for a corpus whose per-bucket bytes (the probe's
+    // scan unit) outgrew the current count. Same reader-atomic generation
+    // swap as a plain compaction; the new generation records its count and
+    // every probe/append follows it. 0 keeps the recorded count.
+    val curBuckets = genBandBuckets(spark, gen.toString)
+    val newBuckets = if (targetBuckets > 0) targetBuckets else curBuckets
     // targetFiles = 0 auto-sizes per relation from its byte size (files come
     // out ≈ maxFileBytes and the write keeps one task per output file — a
     // fixed small target would cap the whole rewrite stage's parallelism,
     // see Compact's scaladoc). Bands auto-size is PER BUCKET: the layout's
-    // bytes spread over BandBuckets dirs, and writeMinhashIndex salts the
-    // bucket shuffle when one bucket's share exceeds a healthy file.
+    // bytes spread over the TARGET count's dirs, and writeMinhashIndex
+    // salts the bucket shuffle when one bucket's share exceeds a healthy
+    // file.
     val bandsPath = new org.apache.hadoop.fs.Path(s"$gen/bands")
     val bandsBytes = bandsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .getContentSummary(bandsPath).getLength
     val filesPerBucket = Compact.resolveTarget(
-      targetFiles, bandsBytes / BandBuckets, maxFileBytes)
+      targetFiles, bandsBytes / newBuckets, maxFileBytes)
     val shinglesTarget = Compact.resolveTarget(
       targetFiles, Compact.dataSizeBytes(spark, s"$gen/shingles"), maxFileBytes)
-    if (bandsFiles <= math.max(minFiles, filesPerBucket) &&
+    if (newBuckets == curBuckets &&
+        bandsFiles <= math.max(minFiles, filesPerBucket) &&
         shinglesFiles <= math.max(minFiles, shinglesTarget)) 0
     else {
       val idx = readMinhashIndex(spark, path)
@@ -452,7 +496,7 @@ object Dedup {
       val idsTarget = Compact.resolveTarget(
         targetFiles, Compact.dataSizeBytes(spark, s"$gen/ids"), maxFileBytes)
       writeMinhashIndex(MinhashIndex(
-        idx.bands, idx.shingles.coalesce(shinglesTarget)), path, filesPerBucket,
+        idx.bands, idx.shingles.coalesce(shinglesTarget), newBuckets), path, filesPerBucket,
         idsFrom = Some(minhashIndexIds(spark, path).coalesce(idsTarget)),
         bandsBytesHint = bandsBytes, maxFileBytes = maxFileBytes)
       graft.store.Generations.vacuum(spark, path, keep)

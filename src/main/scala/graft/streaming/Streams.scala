@@ -97,12 +97,13 @@ object Streams {
     * Readers of `historyPath` see one extra `batch_id` partition column. */
   def cdcSink(batchStream: DataFrame, historyPath: String, checkpointPath: String,
       collapseEvery: Int = 8, collapseBytesFrac: Double = 0.5,
-      staleHorizon: Option[String] = None): StreamingQuery =
+      staleHorizon: Option[String] = None,
+      keyBuckets: Int = CdcKeyBuckets): StreamingQuery =
     batchStream.writeStream
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         cdcProcessBatch(batch, historyPath, batchId, collapseEvery, collapseBytesFrac,
-          staleHorizon)
+          staleHorizon, keyBuckets)
         ()
       }
       .start()
@@ -111,32 +112,50 @@ object Streams {
   private val CdcStateCols = Seq(
     "product_id", "price", "original_price", "discount_percent", "sales_count", "crawled_at")
 
-  /** Key-hash partition dirs in each companion generation. The per-batch
-    * derive needs previous state for the BATCH's keys only, so generations
-    * are laid out by `__kbkt = hash(product_id) % CdcKeyBuckets` and the
-    * derive's companion read partition-prunes to the batch's bucket set —
-    * O(touched buckets) of the catalog instead of the whole companion per
-    * micro-batch, the read-side twin of the delta-write bound. A key hashes
-    * to the same bucket in every generation, so pruning the full+delta
-    * union can never hide a key's newest state. 64 keeps the bucket list a
-    * bounded driver-side literal (same capped-collect exception as the
-    * MinHash band buckets). */
+  /** DEFAULT number of key-hash partition dirs in each companion full
+    * collapse. The per-batch derive needs previous state for the BATCH's
+    * keys only, so collapses are laid out by
+    * `__kbkt = hash(product_id) % keyBuckets` and the derive's companion
+    * read partition-prunes to the batch's bucket set — O(touched buckets)
+    * of the catalog instead of the whole companion per micro-batch, the
+    * read-side twin of the delta-write bound. A key hashes to the same
+    * bucket in every generation WITH THE SAME COUNT, and each generation
+    * RECORDS its own count (`_NBKT_<n>` marker beside `_FULL`), so the
+    * prune is computed per generation under that generation's modulus and
+    * can never hide a key's newest state — even across a live re-bucketing
+    * migration. 64 keeps the bucket list a bounded driver-side literal
+    * (same capped-collect exception as the MinHash band buckets); a
+    * catalog large enough that catalog/64 outgrows a healthy derive read
+    * restarts the sink with a bigger `keyBuckets` and the next full
+    * collapse adopts it — no offline rewrite, older fulls keep pruning
+    * under their recorded count until vacuumed. */
   val CdcKeyBuckets = 64
 
-  private def keyBucket(c: org.apache.spark.sql.Column) =
-    pmod(hash(c), lit(CdcKeyBuckets))
+  private def keyBucket(c: org.apache.spark.sql.Column, n: Int) =
+    pmod(hash(c), lit(n))
 
-  /** Committed companion generations with id strictly below `batchId`, as
-    * (id, path, isFull), ascending. */
+  /** One committed companion generation: `buckets` is the key-bucket count
+    * its state layout was written with (`_NBKT_<n>` marker; legacy fulls
+    * without one predate per-generation counts and used the then-constant
+    * [[CdcKeyBuckets]]). Deltas are flat — their `buckets` is unused. */
+  private[graft] final case class CdcGen(id: Long, path: Path, isFull: Boolean, buckets: Int)
+
+  /** Committed companion generations with id strictly below `batchId`,
+    * ascending. One directory listing per generation resolves the `_FULL`
+    * and `_NBKT_<n>` markers together. */
   private def cdcGensBelow(spark: SparkSession, historyPath: String,
-      batchId: Long): Seq[(Long, Path, Boolean)] =
+      batchId: Long): Seq[CdcGen] =
     Generations.genDirs(spark, s"$historyPath/_latest")
       .map(p => (p.getName.drop(4).toLong, p))
       .filter { case (id, p) => id < batchId && Generations.isCommitted(spark, p) }
       .sortBy(_._1)
       .map { case (id, p) =>
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        (id, p, fs.exists(new Path(p, "_FULL")))
+        val names = fs.listStatus(p).map(_.getPath.getName)
+        val buckets = names.collectFirst {
+          case n if n.startsWith("_NBKT_") => n.drop("_NBKT_".length).toInt
+        }.getOrElse(CdcKeyBuckets)
+        CdcGen(id, p, names.contains("_FULL"), buckets)
       }
 
   /** One [[cdcSink]] micro-batch, factored out so a replay is directly
@@ -154,16 +173,18 @@ object Streams {
     * batch makes the identical delta-vs-full choice. */
   private[graft] def cdcProcessBatch(batch: DataFrame, historyPath: String, batchId: Long,
       collapseEvery: Int = 8, collapseBytesFrac: Double = 0.5,
-      staleHorizon: Option[String] = None): Unit = {
+      staleHorizon: Option[String] = None, keyBuckets: Int = CdcKeyBuckets): Unit = {
     val spark = batch.sparkSession
     scopedUnpersist(spark) {
       val gens = cdcGensBelow(spark, historyPath, batchId)
       // the derive needs previous state for the BATCH's keys only — prune
-      // the companion read to their buckets (≤ CdcKeyBuckets small ints,
-      // a deliberate capped driver-side collect)
-      val batchBuckets = batch.select(keyBucket(col("product_id")).as("b"))
-        .distinct().collect().map(_.getInt(0)).toSeq
-      val prev = cdcStateFrom(spark, gens, pruneTo = Some(batchBuckets))
+      // the companion read to their buckets, computed PER MODULUS in play
+      // (each full collapse's recorded count + the configured count for
+      // flat deltas; one tiny distinct-collect per modulus, ≤ 2 outside a
+      // migration window — the same capped driver-side collect as before)
+      val prev = cdcStateFrom(spark, gens,
+        pruneTo = Some(bucketSetsFor(batch, gens, keyBuckets)),
+        flatModulus = keyBuckets)
         .getOrElse(batch.select(CdcStateCols.map(col): _*).limit(0))
       // materialized once: the events feed both the partition write and the
       // companion write (and the scoped wrapper frees the blocks per batch).
@@ -194,19 +215,19 @@ object Streams {
       // only — committed parquet bytes never change and cdcVacuum keeps
       // every generation at or after the second-newest full — so a replay
       // makes the identical choice.
-      val deltasSinceFull = gens.reverse.takeWhile(!_._3).size
-      val lastFullIdx = gens.lastIndexWhere(_._3)
+      val deltasSinceFull = gens.reverse.takeWhile(!_.isFull).size
+      val lastFullIdx = gens.lastIndexWhere(_.isFull)
       val bytesDue = lastFullIdx >= 0 && deltasSinceFull > 0 && {
         def stateBytes(p: Path): Long = {
           val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
           val st = new Path(p, "state")
           if (fs.exists(st)) fs.getContentSummary(st).getLength else 0L
         }
-        val fullBytes = stateBytes(gens(lastFullIdx)._2)
-        val deltaBytes = gens.drop(lastFullIdx + 1).map(g => stateBytes(g._2)).sum
+        val fullBytes = stateBytes(gens(lastFullIdx).path)
+        val deltaBytes = gens.drop(lastFullIdx + 1).map(g => stateBytes(g.path)).sum
         fullBytes > 0 && deltaBytes >= collapseBytesFrac * fullBytes
       }
-      val isFull = gens.isEmpty || !gens.exists(_._3) ||
+      val isFull = gens.isEmpty || !gens.exists(_.isFull) ||
         deltasSinceFull + 1 >= collapseEvery || bytesDue
       // a collapse folds the WHOLE catalog — unpruned read — not just the
       // batch's buckets
@@ -236,14 +257,20 @@ object Streams {
       // (repartition, never coalesce — coalesce would single-thread the
       // upstream derive); cdcStateFrom row-filters them when pruning.
       if (isFull)
-        next.withColumn("__kbkt", keyBucket(col("product_id")))
+        next.withColumn("__kbkt", keyBucket(col("product_id"), keyBuckets))
           .repartition(col("__kbkt"))
           .write.mode("overwrite").partitionBy("__kbkt")
           .parquet(new Path(gen, "state").toString)
       else
         next.repartition(1)
           .write.mode("overwrite").parquet(new Path(gen, "state").toString)
-      if (isFull) fs.create(new Path(gen, "_FULL"), false).close()
+      if (isFull) {
+        fs.create(new Path(gen, "_FULL"), false).close()
+        // record the layout's bucket count beside the data so every future
+        // derive prunes THIS generation under the modulus it was written
+        // with — what makes a live keyBuckets reconfiguration safe
+        fs.create(new Path(gen, s"_NBKT_$keyBuckets"), false).close()
+      }
       Generations.commit(spark, gen)
       cdcVacuum(spark, historyPath, batchId + 1)
     }
@@ -257,14 +284,47 @@ object Streams {
     * bounded set of `_latest` generation directories, O(keys +
     * collapseEvery·batch) rows — and not the accumulated `batch_id=` event
     * partitions. `pruneTo` restricts the read to the given `__kbkt`
-    * buckets (what the per-batch derive does with the batch's own bucket
-    * set); correct for any key set that hashes into those buckets. */
+    * buckets UNDER THE DEFAULT [[CdcKeyBuckets]] MODULUS (what the
+    * per-batch derive does with the batch's own bucket set); generations
+    * recorded with a different count are read unpruned — a safe superset.
+    * Correct for any key set that hashes into those buckets. */
   def cdcState(spark: SparkSession, historyPath: String, batchId: Long,
       pruneTo: Option[Seq[Int]] = None): Option[DataFrame] =
-    cdcStateFrom(spark, cdcGensBelow(spark, historyPath, batchId), pruneTo)
+    cdcStateFrom(spark, cdcGensBelow(spark, historyPath, batchId),
+      pruneTo.map(b => Map(CdcKeyBuckets -> b)))
 
-  private def cdcStateFrom(spark: SparkSession, gens: Seq[(Long, Path, Boolean)],
-      pruneTo: Option[Seq[Int]] = None): Option[DataFrame] = {
+  /** [[cdcState]] pruned for a specific KEY SET — exactly the read the
+    * per-batch derive performs: each full collapse partition-prunes under
+    * its own recorded bucket count (so the read stays O(touched buckets)
+    * across a re-bucketing migration), flat deltas row-filter under
+    * `flatModulus`. Correct for any observation whose key is in `keys`. */
+  def cdcStateForKeys(spark: SparkSession, historyPath: String, batchId: Long,
+      keys: DataFrame, flatModulus: Int = CdcKeyBuckets): Option[DataFrame] = {
+    val gens = cdcGensBelow(spark, historyPath, batchId)
+    cdcStateFrom(spark, gens, Some(bucketSetsFor(keys, gens, flatModulus)), flatModulus)
+  }
+
+  /** The batch's key-bucket sets, one per MODULUS in play — each full
+    * collapse's recorded count plus `flatModulus` for the deltas; one tiny
+    * distinct-collect per modulus (≤ 2 outside a migration window, the
+    * same capped driver-side collect the single-count layout paid once). */
+  private def bucketSetsFor(keys: DataFrame, gens: Seq[CdcGen],
+      flatModulus: Int): Map[Int, Seq[Int]] = {
+    val moduli = (gens.filter(_.isFull).map(_.buckets) :+ flatModulus).distinct
+    moduli.map { m =>
+      m -> keys.select(keyBucket(col("product_id"), m).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+    }.toMap
+  }
+
+  /** `pruneTo` maps a bucket-count MODULUS to the batch's bucket set under
+    * it: each full collapse prunes under its own recorded count, flat
+    * deltas row-filter under `flatModulus`. A generation whose count has
+    * no entry is read whole — pruning is an optimization, never a
+    * correctness dependency. */
+  private def cdcStateFrom(spark: SparkSession, gens: Seq[CdcGen],
+      pruneTo: Option[Map[Int, Seq[Int]]] = None,
+      flatModulus: Int = CdcKeyBuckets): Option[DataFrame] = {
     if (gens.isEmpty) None
     else {
       // the newest full collapse anchors the read; deltas after it overlay.
@@ -273,14 +333,14 @@ object Streams {
       // that state — the next processed batch then writes a marked full
       // and re-anchors.)
       val fromFull = {
-        val i = gens.lastIndexWhere(_._3)
+        val i = gens.lastIndexWhere(_.isFull)
         if (i >= 0) gens.drop(i) else gens
       }
       // a batch whose rows all matched state writes an EMPTY delta — no
       // part files (bucketed layout: no __kbkt= dirs), so it must be
       // skipped, not schema-inferred over
-      val dirs = fromFull.map { case (_, p, _) => new Path(p, "state") }
-        .filter { d =>
+      val dirs = fromFull.map(g => (new Path(g.path, "state"), g.buckets))
+        .filter { case (d, _) =>
           val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
           fs.exists(d) && fs.listStatus(d).exists { st =>
             val n = st.getPath.getName
@@ -297,19 +357,19 @@ object Streams {
         // collapse cannot share a single multi-path read (conflicting
         // partition discovery); K ≤ collapseEvery dirs keeps this cheap.
         // `pruneTo` lands as a PartitionFilter on bucketed collapses — the
-        // O(touched buckets) read of the catalog-sized relation — and as a
-        // row filter on flat deltas/legacy gens (deltas are O(batch); a
-        // legacy full gen re-anchors bucketed at its next collapse).
-        val frames = dirs.map { d =>
+        // O(touched buckets) read of the catalog-sized relation, each under
+        // ITS OWN recorded modulus — and as a row filter on flat
+        // deltas/legacy gens (deltas are O(batch); a legacy full gen
+        // re-anchors bucketed at its next collapse).
+        val frames = dirs.map { case (d, nbkt) =>
           val df = spark.read.parquet(d.toString)
-          val pruned = pruneTo match {
-            case Some(b) if df.columns.contains("__kbkt") =>
-              df.filter(col("__kbkt").isin(b: _*))
-            case Some(b) =>
-              df.filter(keyBucket(col("product_id")).isin(b: _*))
+          val bucketed = df.columns.contains("__kbkt")
+          val pruned = pruneTo.flatMap(_.get(if (bucketed) nbkt else flatModulus)) match {
+            case Some(b) if bucketed => df.filter(col("__kbkt").isin(b: _*))
+            case Some(b) => df.filter(keyBucket(col("product_id"), flatModulus).isin(b: _*))
             case None => df
           }
-          if (pruned.columns.contains("__kbkt")) pruned.drop("__kbkt") else pruned
+          if (bucketed) pruned.drop("__kbkt") else pruned
         }
         Some(Merge.latestPerKey(frames.reduce(_ unionByName _),
           Seq("product_id"), "crawled_at", Seq(col("price").desc)))
@@ -326,14 +386,14 @@ object Streams {
     * keep=2 protects in [[graft.store.Generations.vacuum]]. */
   private def cdcVacuum(spark: SparkSession, historyPath: String, batchId: Long): Unit = {
     val gens = cdcGensBelow(spark, historyPath, batchId)
-    val fulls = gens.filter(_._3)
+    val fulls = gens.filter(_.isFull)
     if (fulls.size >= 2) {
-      val floor = fulls(fulls.size - 2)._1
-      gens.filter(_._1 < floor).foreach { case (_, p, _) =>
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.delete(p, true))
+      val floor = fulls(fulls.size - 2).id
+      gens.filter(_.id < floor).foreach { g =>
+        val fs = g.path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.delete(g.path, true))
           throw new java.io.IOException(
-            s"cdcVacuum: delete($p) failed (filesystem returned false)")
+            s"cdcVacuum: delete(${g.path}) failed (filesystem returned false)")
       }
     }
   }
@@ -432,6 +492,66 @@ object Streams {
     * callers directly, which a fire-and-forget streaming query cannot. */
   def ingestLedger(spark: SparkSession, verdictsPath: String): DataFrame =
     spark.read.parquet(s"$verdictsPath/_ledger")
+
+  /** Operational progress ledger for ANY streaming query — the §2.8 stats
+    * contract for queries that do not own a `foreachBatch` ledger
+    * (statefulCdc, the windowed/session aggregations): a
+    * `StreamingQueryListener` that persists each completed micro-batch's
+    * full `StreamingQueryProgress` (input rows, per-stage durations, state
+    * operator rows/memory, watermark) as one JSON file under
+    * `path/<runId>/batch_<id>.json`. The Spark-native twin of the
+    * reference's per-cycle elapsed/rate logging
+    * (crawl_products.py:1111-1120, incremental_crawler.py:138-148) — a
+    * queryable table instead of stdout lines.
+    *
+    * The write goes directly through the FileSystem — NO Spark job runs on
+    * the listener-bus thread, so a slow ledger write can never back-pressure
+    * the bus or deadlock a stopping query. One tiny file per micro-batch is
+    * the same bounded-growth pattern as the `_ledger/batch_id=N` trees (and
+    * prunable the same way: [[archiveBatchOutputs]] applies). Overwrites
+    * are idempotent: a re-fired progress event for the same (runId, batch)
+    * rewrites the same file. Detach with [[detachProgressLedger]]; the
+    * listener is session-global, so progress of EVERY active query in the
+    * session lands in the ledger while attached (rows carry query
+    * id/runId/name for filtering). */
+  def attachProgressLedger(spark: SparkSession, path: String):
+      org.apache.spark.sql.streaming.StreamingQueryListener = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        val dir = new Path(path, p.runId.toString)
+        val fs = dir.getFileSystem(hadoopConf)
+        fs.mkdirs(dir)
+        val out = fs.create(new Path(dir, f"batch_${p.batchId}%012d.json"), true)
+        try out.write(p.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    listener
+  }
+
+  /** Unregister a [[attachProgressLedger]] listener (already-written ledger
+    * files stay). */
+  def detachProgressLedger(spark: SparkSession,
+      listener: org.apache.spark.sql.streaming.StreamingQueryListener): Unit =
+    spark.streams.removeListener(listener)
+
+  /** Read a progress ledger back as a DataFrame — one row per completed
+    * micro-batch, schema inferred from the persisted
+    * `StreamingQueryProgress` JSON (id/runId/name, batchId, timestamp,
+    * numInputRows, durationMs.*, stateOperators, sources, sink). The
+    * ledger is metadata-sized (one small file per micro-batch), so the
+    * inference scan is not a data-scale concern. */
+  def readProgressLedger(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").json(path)
 
   /** Continuous ANN ingest — [[ingestSink]]'s IVF twin: per micro-batch,
     * assign new vectors to the persisted layout's existing centroids and

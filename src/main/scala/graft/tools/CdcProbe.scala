@@ -27,6 +27,10 @@ object CdcProbe {
     val K = args.headOption.map(_.toInt).getOrElse(40000)  // catalog keys
     val B = args.lift(1).map(_.toInt).getOrElse(1000)      // rows per delta batch
     val N = args.lift(2).map(_.toInt).getOrElse(30)        // delta batches
+    // key-bucket count for the companion layout (arg 4) — run the probe at
+    // two counts to measure what a re-bucketing migration buys at a given
+    // catalog/batch shape (docs/SCALE.md's sizing rule)
+    val KB = args.lift(3).map(_.toInt).getOrElse(Streams.CdcKeyBuckets)
     val spark = graft.GraftSession.create("local[16]", 16)
     spark.sparkContext.setLogLevel("WARN")
     val dir = java.nio.file.Files.createTempDirectory("graft_cdc_probe").toString
@@ -57,14 +61,14 @@ object CdcProbe {
 
     // batch 0: seed the whole catalog (the first collapse by construction)
     var t0 = System.nanoTime()
-    Streams.cdcProcessBatch(mkBatch(0, K).localCheckpoint(), histPath, 0L)
-    println(f"[cdcprobe] seed  b=0     K=$K%-7d ${(System.nanoTime() - t0) / 1e9}%6.2fs full=${isFull(0L)}")
+    Streams.cdcProcessBatch(mkBatch(0, K).localCheckpoint(), histPath, 0L, keyBuckets = KB)
+    println(f"[cdcprobe] seed  b=0     K=$K%-7d kb=$KB%-4d ${(System.nanoTime() - t0) / 1e9}%6.2fs full=${isFull(0L)}")
 
     val times = scala.collection.mutable.ArrayBuffer[(Int, Double, Boolean)]()
     (1 to N).foreach { b =>
       val batch = mkBatch(b, B).localCheckpoint()
       t0 = System.nanoTime()
-      Streams.cdcProcessBatch(batch, histPath, b.toLong)
+      Streams.cdcProcessBatch(batch, histPath, b.toLong, keyBuckets = KB)
       val sec = (System.nanoTime() - t0) / 1e9
       times += ((b, sec, isFull(b.toLong)))
       println(f"[cdcprobe] delta b=$b%-5d B=$B%-7d $sec%6.2fs full=${isFull(b.toLong)} gens=${genDirs().size}")
@@ -84,7 +88,7 @@ object CdcProbe {
     // gap as a lower bound on the prune's saving, and the StreamsSpec
     // PartitionFilters assertion as the mechanism proof.
     t0 = System.nanoTime()
-    Streams.cdcProcessBatch(mkBatch(N + 1, 8).localCheckpoint(), histPath, (N + 1).toLong)
+    Streams.cdcProcessBatch(mkBatch(N + 1, 8).localCheckpoint(), histPath, (N + 1).toLong, keyBuckets = KB)
     println(f"[cdcprobe] tiny  b=${N + 1} B=8       ${(System.nanoTime() - t0) / 1e9}%6.2fs " +
       "(≤8/64 buckets read; fixed per-batch overhead dominates at this scale)")
     spark.stop()

@@ -467,6 +467,56 @@ class OperatorsSpec extends SparkSpec {
     assert(Dedup.minhashIndexIds(spark, dir).as[Long].collect().toSet === Set(1L, 2L, 3L, 11L))
   }
 
+  test("minhash index re-bucketing: compaction migrates the __bkt count; probes and appends follow") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "an entirely unrelated corpus document about spark physical plans"),
+      (3L, "another filler document padding out the tiny corpus for the test"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "fresh new content that matches nothing in the corpus today"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mhidx_rebkt").toString
+    Dedup.writeMinhashIndex(Dedup.buildMinhashIndex(corpus, "doc_id", "text"), dir)
+    val before = Dedup.dedupAgainstIndex(batch, Dedup.readMinhashIndex(spark, dir),
+      "doc_id", "text", threshold = 0.5).orderBy("id")
+      .select("id", "is_dup", "dup_of").as[(Long, Boolean, Option[Long])].collect().toSeq
+    // migrate 64 → 16 buckets: one reader-atomic generation swap
+    assert(Dedup.compactMinhashIndex(spark, dir, targetBuckets = 16) === 1)
+    val gen = graft.store.Generations.requireCommitted(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(gen.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$gen/_NBKT_16")),
+      "the migrated generation must record its new bucket count")
+    val bkts = fs.listStatus(new org.apache.hadoop.fs.Path(s"$gen/bands"))
+      .map(_.getPath.getName).filter(_.startsWith("__bkt=")).map(_.drop(6).toInt).toSet
+    assert(bkts.nonEmpty && bkts.forall(b => b >= 0 && b < 16),
+      s"bands dirs must lie under the new 16-way modulus, got $bkts")
+    // the prober follows the recorded count: same verdicts, still a
+    // partition-pruned probe under the NEW modulus
+    val idx = Dedup.readMinhashIndex(spark, dir)
+    assert(idx.bandBuckets === 16)
+    val after = Dedup.dedupAgainstIndex(batch, idx, "doc_id", "text", threshold = 0.5)
+    val plan = after.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__bkt"),
+      s"probe must still partition-prune after the migration:\n${plan.take(2000)}")
+    assert(after.orderBy("id")
+      .select("id", "is_dup", "dup_of").as[(Long, Boolean, Option[Long])].collect().toSeq
+      === before)
+    // appends bucket under the recorded count too — and stay probe-visible
+    Dedup.appendToMinhashIndex(batch.filter(col("doc_id") === 11L), dir, "doc_id", "text")
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$gen/bands"))
+      .map(_.getPath.getName).filter(_.startsWith("__bkt="))
+      .map(_.drop(6).toInt).forall(b => b >= 0 && b < 16))
+    val b2 = Seq((20L, "fresh new content that matches nothing in the corpus today"))
+      .toDF("doc_id", "text")
+    assert(Dedup.dedupAgainstIndex(b2, Dedup.readMinhashIndex(spark, dir),
+      "doc_id", "text", threshold = 0.5)
+      .select("id", "is_dup", "dup_of").as[(Long, Boolean, Option[Long])].collect().toSeq
+      === Seq((20L, true, Some(11L))))
+  }
+
   test("resolvePaths cycle guards: self-parent and two-node cycles terminate") {
     val cats = Seq(
       ("A", "NodeA", "A"),          // self-parent

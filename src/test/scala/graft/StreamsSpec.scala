@@ -221,6 +221,99 @@ class StreamsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("progress ledger: one queryable row per micro-batch, for any streaming query") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_progress").toString
+    val listener = Streams.attachProgressLedger(spark, dir)
+    try {
+      val mem = MemoryStream[Ev]
+      val q = Streams.windowedAgg(mem.toDF, "ts", "1 hour", "0 seconds")
+        .writeStream.format("memory").queryName("prog_agg").outputMode("complete").start()
+      mem.addData(events: _*); q.processAllAvailable()
+      mem.addData(Ev(9, "u3", "click", 5.0, ts("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      // the listener bus delivers asynchronously — poll for both files
+      val runDir = new org.apache.hadoop.fs.Path(dir, q.runId.toString)
+      val fs = runDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val deadline = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < deadline &&
+        (!fs.exists(runDir) || fs.listStatus(runDir).length < 2)) Thread.sleep(100)
+      q.stop()
+      val led = Streams.readProgressLedger(spark, dir)
+        .filter(col("runId") === q.runId.toString)
+      // data batches 0 and 1, with the full input-row accounting (no-data
+      // watermark-advance batches may follow; they carry zero rows)
+      val rows = led.filter(col("numInputRows") > 0)
+        .select("batchId", "numInputRows").orderBy("batchId")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows.map(_._1) === Seq(0L, 1L))
+      assert(rows.map(_._2).sum === 5L)
+      // the stateful-operator signal a deployment watches (state rows) is in
+      assert(led.selectExpr("stateOperators[0].numRowsTotal").na.drop().count() >= 1)
+    } finally Streams.detachProgressLedger(spark, listener)
+  }
+
+  test("cdc companion: keyBuckets is per-generation — a live re-bucketing migration stays correct and pruned") {
+    val dir = Files.createTempDirectory("graft_cdc_rebkt").toString
+    val histPath = s"$dir/history"
+    def day(d: Int) = ts(f"2024-03-$d%02d 00:00:00")
+    val seed = (0 until 40).map(i => Crawl(s"p$i", 100.0 + i, 200.0, null, 1L, day(1)))
+    def touch(k: Int) = (0 until 4).map { j =>
+      val i = 4 * (k - 1) + j
+      Crawl(s"p$i", 100.0 + i + k, 200.0, null, 1L, day(k + 1))
+    }
+    // batches 0-1 run at 4 key buckets; the operator is then reconfigured
+    // to 8 (the catalog "outgrew" the old count): batch 2's delta must
+    // derive against the 4-bucket full, batch 3 collapses at 8
+    Streams.cdcProcessBatch(seed.toDF, histPath, 0L, collapseEvery = 3, keyBuckets = 4)
+    Streams.cdcProcessBatch(touch(1).toDF, histPath, 1L, collapseEvery = 3, keyBuckets = 4)
+    Streams.cdcProcessBatch(touch(2).toDF, histPath, 2L, collapseEvery = 3, keyBuckets = 8)
+    Streams.cdcProcessBatch(touch(3).toDF, histPath, 3L, collapseEvery = 3, keyBuckets = 8)
+    val latestRoot = new org.apache.hadoop.fs.Path(s"$histPath/_latest")
+    val fs = latestRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def genDir(id: Long) = new org.apache.hadoop.fs.Path(latestRoot, f"gen_$id%012d")
+    def kbkts(id: Long) = fs.listStatus(new org.apache.hadoop.fs.Path(genDir(id), "state"))
+      .map(_.getPath.getName).filter(_.startsWith("__kbkt="))
+      .map(_.drop("__kbkt=".length).toInt).toSet
+    // each full records ITS OWN count and its layout lies under it
+    assert(fs.exists(new org.apache.hadoop.fs.Path(genDir(0), "_NBKT_4")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(genDir(3), "_NBKT_8")))
+    assert(kbkts(0).nonEmpty && kbkts(0).forall(b => b >= 0 && b < 4))
+    assert(kbkts(3).forall(b => b >= 0 && b < 8) && kbkts(3).exists(_ >= 4),
+      s"the migrated collapse should use the 8-way modulus, got ${kbkts(3)}")
+    // the migrated stream equals a fixed-count run of the same batches —
+    // the companion machinery lost nothing across the count change
+    val refPath = s"$dir/ref"
+    Streams.cdcProcessBatch(seed.toDF, refPath, 0L, collapseEvery = 3)
+    (1 to 3).foreach(k =>
+      Streams.cdcProcessBatch(touch(k).toDF, refPath, k.toLong, collapseEvery = 3))
+    assert(spark.read.parquet(histPath).collect().map(_.toString).sorted.toSeq
+      === spark.read.parquet(refPath).collect().map(_.toString).sorted.toSeq)
+    // the MID-MIGRATION derive read (batch 2's view: a 4-bucket full + flat
+    // deltas) still partition-prunes, under the OLD full's recorded count,
+    // and agrees with the unpruned state on the batch's keys
+    val b2keys = touch(2).toDF.select("product_id")
+    val pruned = Streams.cdcStateForKeys(spark, histPath, 3L, b2keys, flatModulus = 8).get
+    val prunedPlan = pruned.queryExecution.executedPlan.toString
+    assert(prunedPlan.contains("PartitionFilters") && prunedPlan.contains("__kbkt"),
+      prunedPlan.take(1500))
+    val full = Streams.cdcState(spark, histPath, 3L).get
+    val keyList = touch(2).map(_.product_id)
+    assert(pruned.filter(col("product_id").isin(keyList: _*))
+      .collect().map(_.toString).sorted.toSeq ===
+      full.filter(col("product_id").isin(keyList: _*))
+        .collect().map(_.toString).sorted.toSeq)
+    assert(pruned.count() < full.count(),
+      "the pruned read must be a strict subset of the catalog")
+    // replay across the migration boundary converges: re-running batch 2
+    // (now under the NEW count) rewrites the same rows — the delta-vs-full
+    // decision and the derive depend only on strictly-earlier generations
+    val ev2 = spark.read.parquet(s"$histPath/batch_id=2").collect().map(_.toString).sorted.toSeq
+    Streams.cdcProcessBatch(touch(2).toDF, histPath, 2L, collapseEvery = 3, keyBuckets = 8)
+    assert(spark.read.parquet(s"$histPath/batch_id=2")
+      .collect().map(_.toString).sorted.toSeq === ev2)
+  }
+
   test("cdc companion: bytes trigger collapses early under skewed batches, replay-deterministic") {
     // the count trigger alone is blind to skew: a catalog-sized delta
     // early in the window would sit as an overlay on every derive until
