@@ -1548,6 +1548,66 @@ object SparkEntry {
         .orderBy(col("product_id"), col("crawled_at"))
     }),
 
+    // --- STREAMING EXACT DEDUP under the oracle: dedupStream
+    //     (dropDuplicatesWithinWatermark) over six file-source micro-batches
+    //     with a restart per slice (q81's pattern — checkpoint restore of
+    //     watermark + dedup state is load-bearing). Slices are per-key
+    //     unique (latestPerKey) so within-batch arrival order cannot affect
+    //     which row survives; the oracle models the state machine
+    //     relationally with a RECURSIVE chain per key — dedup state does
+    //     NOT refresh on dropped duplicates (expiry stays at the last KEPT
+    //     row's event time + delay), so each row's verdict depends on the
+    //     previous KEPT row, not the previous row. Eviction uses the same
+    //     watermark recursion q81 pinned down (max event ms over earlier
+    //     batches, strict >). -----------------------------------------------
+    "q84_stream_dedup" -> ((s, dir) => {
+      import graft.streaming.Streams
+      val root = scratch("q84", dir)
+      val srcDir = s"$root/src"; val outDir = s"$root/out"; val ckpt = s"$root/ckpt"
+      val obs = t(s, dir, "events")
+        .filter(col("user_id") % 3 === 0 && col("event_id") % 8 === 0).select(
+          concat(lit("u"), col("user_id").cast(StringType)).as("product_id"),
+          col("value").as("price"),
+          (col("event_id") % 100).cast(LongType).as("sales_count"),
+          col("ts").as("crawled_at"),
+          col("event_id"))
+      def run(): Unit = {
+        // 8 state partitions, pinned into the checkpoint — q81's trim: six
+        // restarts re-open one state store per partition, fixed cost
+        val before = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val src = s.readStream
+            .schema("product_id STRING, price DOUBLE, sales_count BIGINT, crawled_at TIMESTAMP")
+            .parquet(srcDir)
+          val q = Streams.dedupStream(src, Seq("product_id"), "crawled_at", "4 days")
+            .writeStream
+            .option("checkpointLocation", ckpt)
+            .format("parquet").option("path", outDir).outputMode("append").start()
+          q.processAllAvailable(); q.stop()
+        } finally s.conf.set("spark.sql.shuffle.partitions", before)
+      }
+      val cuts = Seq("2024-01-06", "2024-01-11", "2024-01-16", "2024-01-21", "2024-01-26")
+        .map(c => lit(s"$c 00:00:00").cast(TimestampType))
+      val slices = Seq(
+        obs.filter(col("crawled_at") < cuts(0)),
+        obs.filter(col("crawled_at") >= cuts(0) && col("crawled_at") < cuts(1)),
+        obs.filter(col("crawled_at") >= cuts(1) && col("crawled_at") < cuts(2)),
+        obs.filter(col("crawled_at") >= cuts(2) && col("crawled_at") < cuts(3)),
+        obs.filter(col("crawled_at") >= cuts(3) && col("crawled_at") < cuts(4)),
+        obs.filter(col("crawled_at") >= cuts(4)))
+      slices.foreach { sl =>
+        Merge.latestPerKey(sl, Seq("product_id"), "crawled_at",
+          Seq(col("event_id").desc)).drop("event_id")
+          .write.mode("append").parquet(srcDir)
+        run() // one micro-batch per slice; restart restores watermark + state
+      }
+      s.read.parquet(outDir)
+        .select(col("product_id"), col("price"), col("sales_count"),
+          date_trunc("second", col("crawled_at")).as("crawled_at"))
+        .orderBy(col("product_id"), col("crawled_at"))
+    }),
+
     // --- LIVE RE-BUCKETING of the CDC companion under the oracle: the q76
     //     pipeline, but batch 0 collapses at 4 key buckets and the operator
     //     is reconfigured to 8 mid-stream (the catalog "outgrew" the old
@@ -3242,6 +3302,57 @@ object SparkEntry {
         |  FROM ev
         |)
         |SELECT * FROM typed WHERE crawl_type IS NOT NULL
-        |ORDER BY product_id, crawled_at""".stripMargin
+        |ORDER BY product_id, crawled_at""".stripMargin,
+
+    // q84 models dropDuplicatesWithinWatermark's state machine with a
+    // RECURSIVE per-key chain: a row is KEPT iff the previous KEPT row's
+    // state expired — dedup state does NOT refresh on dropped duplicates,
+    // so expiry tracks the last kept row's event time + delay, and the
+    // verdict recursion cannot be expressed with a plain lag(). The
+    // eviction rule was pinned against Spark's bytecode and the sf0.01
+    // run: the WATERMARK is max event ms over strictly earlier batches
+    // MINUS the delay (withWatermark subtracts it — unlike q81's 0-delay
+    // timers), state expires at the kept row's event time (µs) PLUS the
+    // delay, and eviction is NON-STRICT (wm_µs >= expiry,
+    // StreamingDeduplicateWithinWatermarkExec.evictDupInfoFromState).
+    // Slices are per-key unique (heads), so within-batch arrival order is
+    // moot and the first row per key is kept unconditionally (empty state).
+    "q84_stream_dedup" ->
+      """WITH RECURSIVE obs AS (
+        |  SELECT 'u' || user_id product_id, value price,
+        |    CAST(event_id % 100 AS BIGINT) sales_count, ts crawled_at, event_id,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-06 00:00:00' THEN 0
+        |         WHEN ts < TIMESTAMP '2024-01-11 00:00:00' THEN 1
+        |         WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 2
+        |         WHEN ts < TIMESTAMP '2024-01-21 00:00:00' THEN 3
+        |         WHEN ts < TIMESTAMP '2024-01-26 00:00:00' THEN 4 ELSE 5 END batch_id
+        |  FROM events WHERE user_id % 3 = 0 AND event_id % 8 = 0 AND ts IS NOT NULL
+        |), heads AS (
+        |  SELECT * FROM obs
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY product_id, batch_id ORDER BY crawled_at DESC, event_id DESC) = 1
+        |), bmax AS (
+        |  SELECT batch_id, max(epoch_ms(crawled_at)) mx FROM heads GROUP BY batch_id
+        |), seq AS (
+        |  SELECT product_id, batch_id, crawled_at, price, sales_count,
+        |    row_number() OVER (PARTITION BY product_id ORDER BY batch_id) rn
+        |  FROM heads
+        |), chain AS (
+        |  SELECT product_id, batch_id, crawled_at, price, sales_count, rn,
+        |    TRUE AS kept, crawled_at AS last_kept_ts
+        |  FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.product_id, s.batch_id, s.crawled_at, s.price, s.sales_count, s.rn,
+        |    (coalesce((SELECT max(mx) FROM bmax b WHERE b.batch_id < s.batch_id),
+        |        -100000000000) - 345600000) * 1000
+        |      >= epoch_us(c.last_kept_ts) + 345600000000 AS kept,
+        |    CASE WHEN (coalesce((SELECT max(mx) FROM bmax b WHERE b.batch_id < s.batch_id),
+        |        -100000000000) - 345600000) * 1000
+        |      >= epoch_us(c.last_kept_ts) + 345600000000
+        |      THEN s.crawled_at ELSE c.last_kept_ts END AS last_kept_ts
+        |  FROM seq s JOIN chain c ON s.product_id = c.product_id AND s.rn = c.rn + 1
+        |)
+        |SELECT product_id, price, sales_count, date_trunc('second', crawled_at) crawled_at
+        |FROM chain WHERE kept ORDER BY product_id, crawled_at""".stripMargin
   )
 }
