@@ -1650,6 +1650,92 @@ object SparkEntry {
         .orderBy(col("batch_id"), col("product_id"))
     }),
 
+    // --- IVF RE-LIST MIGRATION under the oracle: q74's fixed-centroid
+    //     pipeline (build@8 lists → append → compact), then the OFFLINE
+    //     REBUILD path a drifted or outgrown layout takes — new centroids
+    //     (16, injected = embeddings vec_id<16 so the math stays
+    //     oracle-reproducible), corpus read from the PERSISTED LAYOUT
+    //     ITSELF (no source table needed), written as a fresh committed
+    //     generation and vacuumed. The probe then runs against the 16-list
+    //     layout; the oracle is pure 16-centroid assignment + probe math,
+    //     blind to the 8-list history — the hash proves the rebuild lost
+    //     and invented nothing. Closes the migration triangle with
+    //     q82 (CDC key buckets) and q83 (MinHash band buckets). ------------
+    "q86_ivf_rebuild" -> ((s, dir) => {
+      import graft.operators.Ann
+      val scratchDir = scratch("q86", dir)
+      val emb = t(s, dir, "embeddings")
+      val cents8: Array[Array[Double]] = emb.filter(col("vec_id") < 8)
+        .orderBy("vec_id").select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val initial = emb.filter(col("vec_id") % 5 =!= 4)
+      val batch = emb.filter(col("vec_id") % 5 === 4)
+      Ann.writeIvf(Ann.buildIvfFixed(initial, "vec_id", "embedding", cents8), scratchDir)
+      Ann.appendToIvf(batch, scratchDir, "vec_id", "embedding")
+      Ann.compactIvf(s, scratchDir)
+      // the rebuild: 16 new centroids, corpus = the layout's own vectors
+      val cents16: Array[Array[Double]] = emb.filter(col("vec_id") < 16)
+        .orderBy("vec_id").select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val fromLayout = Ann.readIvf(s, scratchDir).assigned.drop("list")
+      Ann.writeIvf(Ann.buildIvfFixed(fromLayout, "vec_id", "embedding", cents16), scratchDir)
+      Ann.vacuumIvf(s, scratchDir)
+      Ann.ivfTopK(emb.filter(col("vec_id") % 101 === 7), Ann.readIvf(s, scratchDir),
+        "vec_id", "embedding", k = 5, nprobe = 4)
+        .withColumn("rank", col("rank").cast(LongType))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // --- COMPANION DISASTER RECOVERY under the oracle: the q76 pipeline
+    //     over FOUR batches, with the `_latest` companion tree destroyed
+    //     after batch 1 and rebuilt from the event log
+    //     (Streams.cdcRebuildCompanion) before batches 2-3 run. The
+    //     oracle recomputes the whole four-batch CDC relationally with no
+    //     recovery concept, so a hash match proves the rebuilt state is
+    //     indistinguishable from the lost one — every post-recovery event
+    //     (previous_* values, change classification) lands identically.
+    //     Per-(sfDir, pid) scratch wiped at entry. --------------------------
+    "q85_cdc_recover" -> ((s, dir) => {
+      val root = scratch("q85", dir)
+      val histPath = s"$root/history"
+      val ev = t(s, dir, "events").select(
+        col("user_id").as("product_id"),
+        col("value").as("price"),
+        (col("value") + 10.0).as("original_price"),
+        lit(null).cast(DoubleType).as("discount_percent"),
+        (col("event_id") % 100).as("sales_count"),
+        col("ts").as("crawled_at"),
+        col("event_id"))
+      val cuts = Seq("2024-01-08 00:00:00", "2024-01-16 00:00:00", "2024-01-24 00:00:00")
+        .map(c => lit(c).cast(TimestampType))
+      val slices = Seq(
+        ev.filter(col("crawled_at") < cuts(0)),
+        ev.filter(col("crawled_at") >= cuts(0) && col("crawled_at") < cuts(1)),
+        ev.filter(col("crawled_at") >= cuts(1) && col("crawled_at") < cuts(2)),
+        ev.filter(col("crawled_at") >= cuts(2)))
+      def process(i: Int): Unit = {
+        val batch = Merge.latestPerKey(slices(i), Seq("product_id"), "crawled_at",
+          Seq(col("event_id").desc)).drop("event_id")
+        graft.streaming.Streams.cdcProcessBatch(batch, histPath, i.toLong)
+      }
+      process(0); process(1)
+      // catastrophe + recovery: the companion tree is lost mid-stream
+      val latestRoot = new org.apache.hadoop.fs.Path(s"$histPath/_latest")
+      latestRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(latestRoot, true)
+      graft.streaming.Streams.cdcRebuildCompanion(s, histPath, nextBatchId = 2L)
+      process(2); process(3)
+      s.read.parquet(histPath)
+        .select(col("product_id"), col("price"), col("original_price"),
+          col("discount_percent"), col("discount_amount"),
+          col("price_change"), col("price_change_percent"),
+          col("previous_price"), col("previous_original_price"), col("previous_discount_percent"),
+          col("sales_count"), col("sales_change"), col("is_flash_sale"), col("crawl_type"),
+          date_trunc("second", col("crawled_at")).as("crawled_at"),
+          col("batch_id").cast(LongType).as("batch_id"))
+        .orderBy(col("batch_id"), col("product_id"))
+    }),
+
     // --- LIVE RE-BUCKETING of the MinHash index under the oracle: the q73
     //     ingest run, but the second maintenance pass migrates the bands
     //     layout 64 → 16 buckets (compactMinhashIndex targetBuckets).
@@ -3353,6 +3439,97 @@ object SparkEntry {
         |  FROM seq s JOIN chain c ON s.product_id = c.product_id AND s.rn = c.rn + 1
         |)
         |SELECT product_id, price, sales_count, date_trunc('second', crawled_at) crawled_at
-        |FROM chain WHERE kept ORDER BY product_id, crawled_at""".stripMargin
+        |FROM chain WHERE kept ORDER BY product_id, crawled_at""".stripMargin,
+
+    // q86 = q74's probe math at SIXTEEN injected centroids (vec_id<16):
+    // the 8-list build/append/compact history the engine runs first is
+    // relationally invisible — after the rebuild, assignment is
+    // nearest-of-16 over the same corpus whichever path produced it.
+    "q86_ivf_rebuild" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS list, embedding FROM embeddings WHERE vec_id < 16
+        |), dist AS (
+        |  SELECT e.vec_id, c.list,
+        |    list_sum([(e.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)
+        |            * (e.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE) FOR i IN range(1, 65)]) d2
+        |  FROM embeddings e CROSS JOIN cent c
+        |), assigned AS (
+        |  SELECT vec_id, list FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, list ASC) = 1
+        |), qprobe AS (
+        |  SELECT vec_id AS query_id, list FROM dist WHERE vec_id % 101 = 7
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, list ASC) <= 4
+        |), scored AS (
+        |  SELECT qp.query_id, a.vec_id neighbor_id,
+        |    round(list_sum([q.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE FOR i IN range(1, 65)])
+        |      / (sqrt(list_sum([q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE FOR i IN range(1, 65)]))
+        |       * sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE FOR i IN range(1, 65)]))), 6) cosine
+        |  FROM qprobe qp
+        |  JOIN embeddings q ON q.vec_id = qp.query_id
+        |  JOIN assigned a ON a.list = qp.list AND a.vec_id != qp.query_id
+        |  JOIN embeddings e ON e.vec_id = a.vec_id
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) rk FROM scored
+        |)
+        |SELECT query_id, CAST(rk AS BIGINT) rank, neighbor_id, cosine FROM r WHERE rk <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // q85 = the q76 relational CDC model over FOUR batches. The oracle has
+    // no recovery concept — the engine side destroys and rebuilds the
+    // companion between batches 1 and 2, so the hash match proves the
+    // rebuilt state reproduces every post-recovery event exactly.
+    "q85_cdc_recover" ->
+      """WITH ev AS (
+        |  SELECT user_id product_id, value price, value + 10.0 original_price,
+        |    CAST(NULL AS DOUBLE) discount_percent, event_id % 100 sales_count,
+        |    ts crawled_at, event_id,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-08 00:00:00' THEN 0
+        |         WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1
+        |         WHEN ts < TIMESTAMP '2024-01-24 00:00:00' THEN 2 ELSE 3 END batch_id
+        |  FROM events WHERE ts IS NOT NULL
+        |), heads AS (
+        |  SELECT * FROM ev
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY product_id, batch_id ORDER BY crawled_at DESC, event_id DESC) = 1
+        |), valid AS (
+        |  SELECT * FROM heads WHERE product_id IS NOT NULL AND price IS NOT NULL
+        |), seq AS (
+        |  SELECT *,
+        |    lag(price) OVER w previous_price,
+        |    lag(original_price) OVER w previous_original_price,
+        |    lag(discount_percent) OVER w previous_discount_percent,
+        |    lag(sales_count) OVER w previous_sales_count
+        |  FROM valid WINDOW w AS (PARTITION BY product_id ORDER BY batch_id)
+        |), typed AS (
+        |  SELECT *,
+        |    CASE WHEN previous_sales_count IS NOT NULL AND sales_count IS NOT NULL
+        |      THEN sales_count - previous_sales_count END sales_change,
+        |    (previous_price IS NULL AND previous_original_price IS NULL
+        |      AND previous_discount_percent IS NULL) first_crawl,
+        |    ((price IS DISTINCT FROM previous_price)
+        |      OR (original_price IS DISTINCT FROM previous_original_price)
+        |      OR (discount_percent IS DISTINCT FROM previous_discount_percent)) price_changed
+        |  FROM seq
+        |), ev2 AS (
+        |  SELECT *,
+        |    CASE WHEN first_crawl THEN 'price_change' WHEN price_changed THEN 'price_change'
+        |         WHEN sales_change IS NOT NULL AND sales_change != 0 THEN 'sales_change'
+        |         ELSE 'no_change' END crawl_type,
+        |    CASE WHEN original_price IS NOT NULL AND price IS NOT NULL
+        |      THEN original_price - price END discount_amount
+        |  FROM typed
+        |)
+        |SELECT product_id, price, original_price, discount_percent, discount_amount,
+        |  CASE WHEN NOT first_crawl AND crawl_type = 'price_change' AND price IS NOT NULL
+        |    AND previous_price IS NOT NULL THEN price - previous_price END price_change,
+        |  CASE WHEN NOT first_crawl AND crawl_type = 'price_change' AND price IS NOT NULL
+        |    AND previous_price IS NOT NULL AND previous_price > 0
+        |    THEN round((price - previous_price) / previous_price * 100, 2) END price_change_percent,
+        |  previous_price, previous_original_price, previous_discount_percent,
+        |  sales_count, sales_change,
+        |  (coalesce(discount_percent, 0) >= 30 OR coalesce(discount_amount, 0) >= 100000) is_flash_sale,
+        |  crawl_type, date_trunc('second', crawled_at) crawled_at,
+        |  CAST(batch_id AS BIGINT) batch_id
+        |FROM ev2 WHERE crawl_type != 'no_change' ORDER BY batch_id, product_id""".stripMargin
   )
 }

@@ -398,6 +398,59 @@ object Streams {
     }
   }
 
+  /** DISASTER RECOVERY for the CDC companion: rebuild `historyPath/_latest`
+    * from the event tree itself. The companion is DERIVED state — a
+    * no_change row never enters any generation, so companion state's
+    * per-key row is always the key's newest LOGGED event, and one
+    * latest-per-key over the `batch_id < nextBatchId` event partitions
+    * reconstructs it exactly (crawled_at included: the staleness horizon
+    * measures the age of the last logged change on both paths). A lost or
+    * corrupt `_latest` tree — the one piece of sink state that lives
+    * outside the streaming checkpoint — therefore never strands the
+    * stream: rebuild, then resume the sink; batch `nextBatchId` derives
+    * against the rebuilt full exactly as it would have against the
+    * original.
+    *
+    * The whole old `_latest` tree is deleted first (corrupt generations
+    * must not survive to out-anchor the rebuilt one), and the rebuilt
+    * state is written as a full collapse at generation `nextBatchId - 1`
+    * under the CURRENT `keyBuckets` with the usual `_FULL`/`_NBKT` markers
+    * and commit discipline. Cost is one read of the event log — an
+    * explicitly exceptional full-log scan, the cost the sink's scale
+    * contract forbids PER BATCH but accepts once for recovery. Requires
+    * `nextBatchId >= 1` (before the first commit there is nothing to
+    * rebuild — delete `_latest` and resume). */
+  def cdcRebuildCompanion(spark: SparkSession, historyPath: String,
+      nextBatchId: Long, keyBuckets: Int = CdcKeyBuckets): Unit = scopedUnpersist(spark) {
+    require(nextBatchId >= 1, "nothing to rebuild before the first batch")
+    val root = new Path(s"$historyPath/_latest")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // archived batches count: a key whose last logged event was moved
+    // under _archive/ by archiveEventLog must not vanish from the rebuilt
+    // state (the live tree alone under-represents exactly the stalest keys)
+    val arch = new Path(s"$historyPath/_archive")
+    val log = (Seq(spark.read.parquet(historyPath)) ++
+        (if (fs.exists(arch)) Seq(spark.read.parquet(arch.toString)) else Nil))
+      .map(_.filter(col("batch_id") < nextBatchId).select(CdcStateCols.map(col): _*))
+      .reduce(_ unionByName _)
+    val state = Merge.latestPerKey(
+      log, Seq("product_id"), "crawled_at", Seq(col("price").desc))
+    // materialize BEFORE deleting the old tree: the plan must never read
+    // through a directory this function is about to remove (it reads the
+    // event partitions, not _latest, but localCheckpoint makes that
+    // independence explicit rather than plan-dependent)
+    val pinned = state.localCheckpoint()
+    fs.delete(root, true)
+    val gen = new Path(root, f"gen_${nextBatchId - 1}%012d")
+    pinned.withColumn("__kbkt", keyBucket(col("product_id"), keyBuckets))
+      .repartition(col("__kbkt"))
+      .write.mode("overwrite").partitionBy("__kbkt")
+      .parquet(new Path(gen, "state").toString)
+    fs.create(new Path(gen, "_FULL"), false).close()
+    fs.create(new Path(gen, s"_NBKT_$keyBuckets"), false).close()
+    Generations.commit(spark, gen)
+  }
+
   /** Run `body`, then unpersist every persistent RDD it created — the
     * `foreachBatch` twin of the bench's per-query cleanup. The ingest
     * cycle localCheckpoints per-batch scratch (band keys, candidate

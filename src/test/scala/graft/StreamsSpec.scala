@@ -314,6 +314,54 @@ class StreamsSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq === ev2)
   }
 
+  test("cdcRebuildCompanion: a lost _latest tree is reconstructed exactly from the event log") {
+    val dir = Files.createTempDirectory("graft_cdc_rebuild").toString
+    val histPath = s"$dir/history"
+    val refPath = s"$dir/ref"
+    def day(d: Int) = ts(f"2024-04-$d%02d 00:00:00")
+    val seed = (0 until 30).map(i => Crawl(s"p$i", 100.0 + i, 200.0, null, 1L, day(1)))
+    def touch(k: Int) = (0 until 3).map { j =>
+      val i = 3 * (k - 1) + j
+      Crawl(s"p$i", 100.0 + i + k, 200.0, null, 1L, day(k + 1))
+    }
+    // batch 2 also carries a NO_CHANGE row for p0 (values identical to its
+    // batch-1 state, newer ts): it is never logged, so companion state must
+    // keep p0's batch-1 crawled_at — on the normal path AND after a rebuild
+    // (the log-derived state has exactly the same last-logged timestamps)
+    val b2 = touch(2) :+ Crawl("p0", 101.0, 200.0, null, 1L, day(3))
+    Seq(histPath, refPath).foreach { p =>
+      Streams.cdcProcessBatch(seed.toDF, p, 0L, collapseEvery = 3)
+      Streams.cdcProcessBatch(touch(1).toDF, p, 1L, collapseEvery = 3)
+      Streams.cdcProcessBatch(b2.toDF, p, 2L, collapseEvery = 3)
+    }
+    val wantState = Streams.cdcState(spark, refPath, 3L).get
+      .collect().map(_.toString).sorted.toSeq
+    // catastrophe: the whole companion tree is gone
+    val latestRoot = new org.apache.hadoop.fs.Path(s"$histPath/_latest")
+    val fs = latestRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(latestRoot, true))
+    assert(Streams.cdcState(spark, histPath, 3L).isEmpty)
+    Streams.cdcRebuildCompanion(spark, histPath, 3L)
+    // byte-equal state, including p0's last-LOGGED timestamp (day 2, not 3)
+    val got = Streams.cdcState(spark, histPath, 3L).get
+    assert(got.collect().map(_.toString).sorted.toSeq === wantState)
+    assert(got.filter(col("product_id") === "p0").select("crawled_at")
+      .head().getTimestamp(0) === day(2))
+    // the rebuilt generation is a committed, bucketed, marked full
+    val gen2 = new org.apache.hadoop.fs.Path(latestRoot, f"gen_${2L}%012d")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(gen2, "_FULL")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(gen2,
+      s"_NBKT_${Streams.CdcKeyBuckets}")))
+    // the stream resumes: batch 3 derives identical events to the
+    // undisturbed twin
+    Streams.cdcProcessBatch(touch(3).toDF, histPath, 3L, collapseEvery = 3)
+    Streams.cdcProcessBatch(touch(3).toDF, refPath, 3L, collapseEvery = 3)
+    assert(spark.read.parquet(s"$histPath/batch_id=3")
+      .collect().map(_.toString).sorted.toSeq ===
+      spark.read.parquet(s"$refPath/batch_id=3")
+        .collect().map(_.toString).sorted.toSeq)
+  }
+
   test("cdc companion: bytes trigger collapses early under skewed batches, replay-deterministic") {
     // the count trigger alone is blind to skew: a catalog-sized delta
     // early in the window would sit as an overlay on every derive until
