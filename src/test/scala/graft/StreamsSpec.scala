@@ -314,6 +314,49 @@ class StreamsSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq === ev2)
   }
 
+  test("prune invariant: random key sets and bucket counts — pruned companion read equals unpruned state on those keys") {
+    // the correctness-critical property behind the per-generation prune:
+    // for ANY probe key set, ANY (possibly mid-migration mixed) bucket
+    // counts, the pruned read agrees with the unpruned state on those
+    // keys. Seeded-random trials rather than ScalaCheck: each sample
+    // costs Spark jobs, so breadth comes from randomized shapes at a
+    // fixed budget, reproducible by seed.
+    val rnd = new scala.util.Random(20260814L)
+    val dir = Files.createTempDirectory("graft_cdc_prop").toString
+    def day(d: Int) = ts(f"2024-05-$d%02d 00:00:00")
+    (0 until 4).foreach { trial =>
+      val histPath = s"$dir/t$trial/history"
+      val kbs = Seq(1, 2, 3, 5, 8, 64)
+      val kb0 = kbs(rnd.nextInt(kbs.size)); val kb1 = kbs(rnd.nextInt(kbs.size))
+      val nKeys = 10 + rnd.nextInt(40)
+      val seed = (0 until nKeys).map(i => Crawl(s"k$i", 10.0 + i, 50.0, null, 1L, day(1)))
+      def randBatch(k: Int) = (0 until nKeys)
+        .filter(_ => rnd.nextBoolean()).take(1 + rnd.nextInt(10))
+        .map(i => Crawl(s"k$i", 10.0 + i + k * 0.5, 50.0, null, 1L, day(k + 1)))
+      // collapseEvery=2 → batch 2 collapses at kb1: every trial exercises a
+      // migration window (kb0 full + flat delta + kb1 full in the gen set)
+      Streams.cdcProcessBatch(seed.toDF, histPath, 0L, collapseEvery = 2, keyBuckets = kb0)
+      val b1 = randBatch(1); val b2 = randBatch(2)
+      if (b1.nonEmpty) Streams.cdcProcessBatch(b1.toDF, histPath, 1L,
+        collapseEvery = 2, keyBuckets = kb0)
+      if (b2.nonEmpty) Streams.cdcProcessBatch(b2.toDF, histPath, 2L,
+        collapseEvery = 2, keyBuckets = kb1)
+      // probe keys include UNKNOWN keys (no state) on purpose
+      val probeKeys = (0 until nKeys + 5).filter(_ => rnd.nextBoolean()).map(i => s"k$i")
+      if (probeKeys.nonEmpty) {
+        val keysDf = probeKeys.toDF("product_id")
+        val pruned = Streams.cdcStateForKeys(spark, histPath, 3L, keysDf, flatModulus = kb1).get
+        val full = Streams.cdcState(spark, histPath, 3L).get
+        assert(
+          pruned.filter(col("product_id").isin(probeKeys: _*))
+            .collect().map(_.toString).sorted.toSeq ===
+          full.filter(col("product_id").isin(probeKeys: _*))
+            .collect().map(_.toString).sorted.toSeq,
+          s"trial $trial kb0=$kb0 kb1=$kb1 nKeys=$nKeys probe=${probeKeys.take(8)}")
+      }
+    }
+  }
+
   test("cdcRebuildCompanion: a lost _latest tree is reconstructed exactly from the event log") {
     val dir = Files.createTempDirectory("graft_cdc_rebuild").toString
     val histPath = s"$dir/history"
