@@ -100,6 +100,34 @@ class Store(spark: SparkSession, root: String, buckets: Int = 0) {
       else spark.read.parquet(s"$root/$table/$g")
     }
 
+  /** Retained generation ids of a keyed table, ascending — what
+    * [[snapshotAt]] accepts. Depth is bounded by [[vacuum]]'s keep
+    * window. */
+  def generations(table: String): Seq[Int] =
+    gens(table).map(_.drop(4).toInt)
+
+  /** TIME TRAVEL: the table's snapshot AS OF a retained generation.
+    * Every upsert writes a complete immutable generation, so pinning a
+    * generation id pins the exact rows — the reproducibility primitive a
+    * training pipeline uses to re-read the corpus a run trained on
+    * regardless of later upserts, and the debugging primitive for "what
+    * did the catalog look like before run N". Only as deep as
+    * [[vacuum]]'s keep window: a caller with a long-horizon pin vacuums
+    * with a bigger keep (the pin is then a retention decision, priced in
+    * retained generations). None for a dropped or never-written
+    * generation. Catalog bucket metadata only exists for the latest
+    * generation (writes drop superseded entries), so older snapshots
+    * path-read the same files unbucketed — correct, just not
+    * bucket-aligned. */
+  def snapshotAt(table: String, generation: Int): Option[DataFrame] = {
+    val g = f"gen_$generation%06d"
+    if (!gens(table).contains(g)) None
+    else Some(
+      if (buckets > 0 && spark.catalog.tableExists(catalogName(table, g)))
+        spark.table(catalogName(table, g))
+      else spark.read.parquet(s"$root/$table/$g"))
+  }
+
   /** S6/S7/J6 — upsert a batch into a keyed table with the reference's
     * COALESCE(NULLIF(new,''), old) column semantics. */
   def upsert(table: String, batch: DataFrame, keys: Seq[String]): Unit = {

@@ -240,6 +240,37 @@ class PipelineSpec extends SparkSpec {
     assert(store.vacuum("products", keep = 1) == 0) // idempotent
   }
 
+  test("snapshotAt time-travels to any retained generation; vacuum bounds the horizon") {
+    val root = Files.createTempDirectory("graft_tt").toString
+    val store = new Store(spark, root)
+    store.upsert("products", Seq(("a", 1.0)).toDF("product_id", "price"), Seq("product_id"))
+    store.upsert("products", Seq(("b", 2.0)).toDF("product_id", "price"), Seq("product_id"))
+    store.upsert("products", Seq(("a", 9.0)).toDF("product_id", "price"), Seq("product_id"))
+    assert(store.generations("products") == Seq(0, 1, 2))
+    def rows(g: Int) = store.snapshotAt("products", g).get.orderBy("product_id")
+      .select("product_id", "price").as[(String, Double)].collect().toSeq
+    // each pinned generation reproduces the exact pre-upsert states
+    assert(rows(0) == Seq(("a", 1.0)))
+    assert(rows(1) == Seq(("a", 1.0), ("b", 2.0)))
+    assert(rows(2) == Seq(("a", 9.0), ("b", 2.0)))
+    // the pin survives later upserts (immutable generations)
+    store.upsert("products", Seq(("c", 5.0)).toDF("product_id", "price"), Seq("product_id"))
+    assert(rows(1) == Seq(("a", 1.0), ("b", 2.0)))
+    // ... until vacuum reclaims it: the horizon is a retention decision
+    store.vacuum("products", keep = 2)
+    assert(store.generations("products") == Seq(2, 3))
+    assert(store.snapshotAt("products", 1).isEmpty)
+    assert(store.snapshotAt("products", 99).isEmpty)
+    // bucketed store: older generations path-read (catalog entry only
+    // exists for the latest), latest prefers the catalog
+    val broot = Files.createTempDirectory("graft_tt_b").toString
+    val bstore = new Store(spark, broot, buckets = 4)
+    bstore.upsert("p", Seq(("a", 1.0)).toDF("product_id", "price"), Seq("product_id"))
+    bstore.upsert("p", Seq(("a", 2.0)).toDF("product_id", "price"), Seq("product_id"))
+    assert(bstore.snapshotAt("p", 0).get.select("price").as[Double].collect().toSeq == Seq(1.0))
+    assert(bstore.snapshotAt("p", 1).get.select("price").as[Double].collect().toSeq == Seq(2.0))
+  }
+
   test("store works against an explicit file: URI (Hadoop FS read path)") {
     val root = "file:" + Files.createTempDirectory("graft_uri").toString
     val store = new Store(spark, root)
