@@ -1650,6 +1650,32 @@ object SparkEntry {
         .orderBy(col("batch_id"), col("product_id"))
     }),
 
+    // --- CONTINUOUS CURATION under the oracle: the streaming closure of
+    //     q50's corpus pipeline. Two curationSink micro-batches (driven
+    //     through the factored per-batch body, q76's pattern) run gates →
+    //     within-batch exact + near-dup → cross-stream near-dup against a
+    //     persisted index seeded from the %5>=3 corpus — batch 1's
+    //     survivors are APPENDED, so batch 2's near-dups of them must be
+    //     caught through the index. The oracle recomputes both batches'
+    //     kept sets relationally (q50's gate/dedup model + q71's evolving
+    //     index corpus), blind to files, appends, and ledgers. -------------
+    "q87_curation_stream" -> ((s, dir) => {
+      val root = scratch("q87", dir)
+      val idxPath = s"$root/index"; val outPath = s"$root/out"
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 5 >= 3)
+      val b1 = docs.filter(col("doc_id") % 5 === 0)
+      val b2 = docs.filter(col("doc_id") % 5 === 1)
+      Dedup.writeMinhashIndex(Dedup.buildMinhashIndex(corpus, "doc_id", "text"), idxPath)
+      graft.streaming.Streams.curationProcessBatch(b1, idxPath, outPath, 0L,
+        "doc_id", "text", Seq("en", "vi"), 0.5, 0.7, 3, 12, 4, 64)
+      graft.streaming.Streams.curationProcessBatch(b2, idxPath, outPath, 1L,
+        "doc_id", "text", Seq("en", "vi"), 0.5, 0.7, 3, 12, 4, 64)
+      s.read.parquet(outPath)
+        .select(col("doc_id"), col("batch_id").cast(LongType).as("batch_id"))
+        .orderBy(col("batch_id"), col("doc_id"))
+    }),
+
     // --- IVF RE-LIST MIGRATION under the oracle: q74's fixed-centroid
     //     pipeline (build@8 lists → append → compact), then the OFFLINE
     //     REBUILD path a drifted or outgrown layout takes — new centroids
@@ -3473,6 +3499,89 @@ object SparkEntry {
         |)
         |SELECT query_id, CAST(rk AS BIGINT) rank, neighbor_id, cosine FROM r WHERE rk <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    // q87 = q50's gate/dedup model applied PER BATCH with q71's evolving
+    // index corpus: batch 1 (%5=0) is gated, exact-deduped, internally
+    // near-dup-resolved (drop the larger id of each verified pair), then
+    // cross-deduped against the %5>=3 seed corpus; its kept set joins the
+    // corpus for batch 2 (%5=1). Only the kept-set identity is modeled —
+    // appends, ledgers and replay guards are file mechanics the oracle is
+    // blind to, which is what the hash proves correct.
+    "q87_curation_stream" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) t,
+        |    list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), x -> x != '') tk
+        |  FROM documents
+        |), langs AS (
+        |  SELECT * FROM (VALUES
+        |    ('de', ['der','die','das','und','ist','nicht','ein','mit','für','von']),
+        |    ('en', ['the','a','of','and','to','in','is','it','that','for']),
+        |    ('es', ['el','la','de','que','y','en','un','es','por','con']),
+        |    ('fr', ['le','la','de','et','est','un','une','pour','dans','que']),
+        |    ('vi', ['và','của','là','có','không','được','cho','với','này','các'])) AS v(l, sw)
+        |), pred AS (
+        |  SELECT doc_id, l lang_pred FROM (
+        |    SELECT b.doc_id, g.l,
+        |      CASE WHEN len(b.tk) > 0
+        |        THEN round(len(list_filter(b.tk, x -> list_contains(g.sw, x)))::DOUBLE / len(b.tk), 6)
+        |        ELSE 0.0 END s
+        |    FROM base b CROSS JOIN langs g)
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, l ASC) = 1
+        |), qual AS (
+        |  SELECT doc_id,
+        |    round((CASE WHEN length(t) >= 50 AND length(t) <= 100000 THEN 1.0 WHEN length(t) > 0 THEN 0.5 ELSE 0.0 END) * 0.3
+        |      + (CASE WHEN len(tk) > 0 AND length(t)::DOUBLE / len(tk) >= 3 AND length(t)::DOUBLE / len(tk) <= 12 THEN 1.0 ELSE 0.5 END) * 0.2
+        |      + (CASE WHEN length(t) > 0 THEN length(regexp_replace(t, '[^\p{L} ]', '', 'g'))::DOUBLE / length(t) ELSE 0.0 END) * 0.5, 6) q
+        |  FROM base
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |    ELSE list_distinct([array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)]) END sh
+        |  FROM base
+        |), sig AS (
+        |  SELECT doc_id, [list_min([md5(i::VARCHAR || '|' || s) FOR s IN sh]) FOR i IN range(0, 12)] sg FROM sh
+        |), bands AS (
+        |  SELECT doc_id, unnest([b::VARCHAR || ':' || md5(array_to_string(sg[b*3+1:b*3+3], ',')) FOR b IN range(0, 4)]) bk FROM sig
+        |), jac AS (
+        |  SELECT a.doc_id id_a, b.doc_id id_b,
+        |    round(len(list_intersect(a.sh, b.sh))::DOUBLE
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) j
+        |  FROM (SELECT DISTINCT x.doc_id, y.doc_id AS y_id FROM bands x
+        |        JOIN bands y ON x.bk = y.bk AND x.doc_id != y.doc_id) c(doc_id, y_id)
+        |  JOIN sh a ON a.doc_id = c.doc_id JOIN sh b ON b.doc_id = c.y_id
+        |), g1 AS (
+        |  SELECT b.doc_id, b.t FROM base b JOIN pred p USING (doc_id) JOIN qual u USING (doc_id)
+        |  WHERE b.doc_id % 5 = 0 AND p.lang_pred IN ('en', 'vi') AND u.q >= 0.5
+        |), e1 AS (
+        |  SELECT doc_id FROM g1 QUALIFY row_number() OVER (PARTITION BY md5(t) ORDER BY doc_id) = 1
+        |), i1 AS (
+        |  SELECT doc_id FROM e1 WHERE doc_id NOT IN (
+        |    SELECT j.id_b FROM jac j
+        |    WHERE j.id_a IN (SELECT doc_id FROM e1) AND j.id_b IN (SELECT doc_id FROM e1)
+        |      AND j.id_a < j.id_b AND j.j >= 0.7)
+        |), k1 AS (
+        |  SELECT doc_id FROM i1 WHERE doc_id NOT IN (
+        |    SELECT j.id_a FROM jac j
+        |    WHERE j.id_a IN (SELECT doc_id FROM i1) AND j.id_b % 5 >= 3 AND j.j >= 0.7)
+        |), g2 AS (
+        |  SELECT b.doc_id, b.t FROM base b JOIN pred p USING (doc_id) JOIN qual u USING (doc_id)
+        |  WHERE b.doc_id % 5 = 1 AND p.lang_pred IN ('en', 'vi') AND u.q >= 0.5
+        |), e2 AS (
+        |  SELECT doc_id FROM g2 QUALIFY row_number() OVER (PARTITION BY md5(t) ORDER BY doc_id) = 1
+        |), i2 AS (
+        |  SELECT doc_id FROM e2 WHERE doc_id NOT IN (
+        |    SELECT j.id_b FROM jac j
+        |    WHERE j.id_a IN (SELECT doc_id FROM e2) AND j.id_b IN (SELECT doc_id FROM e2)
+        |      AND j.id_a < j.id_b AND j.j >= 0.7)
+        |), k2 AS (
+        |  SELECT doc_id FROM i2 WHERE doc_id NOT IN (
+        |    SELECT j.id_a FROM jac j
+        |    WHERE j.id_a IN (SELECT doc_id FROM i2)
+        |      AND (j.id_b % 5 >= 3 OR j.id_b IN (SELECT doc_id FROM k1)) AND j.j >= 0.7)
+        |)
+        |SELECT doc_id, CAST(0 AS BIGINT) batch_id FROM k1
+        |UNION ALL SELECT doc_id, CAST(1 AS BIGINT) batch_id FROM k2
+        |ORDER BY batch_id, doc_id""".stripMargin,
 
     // q85 = the q76 relational CDC model over FOUR batches. The oracle has
     // no recovery concept — the engine side destroys and rebuilds the

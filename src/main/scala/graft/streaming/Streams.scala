@@ -546,6 +546,101 @@ object Streams {
   def ingestLedger(spark: SparkSession, verdictsPath: String): DataFrame =
     spark.read.parquet(s"$verdictsPath/_ledger")
 
+  /** Continuous corpus curation — the streaming closure of
+    * [[graft.pipeline.Curation.curate]], against a PERSISTED cross-stream
+    * MinHash index instead of a within-corpus pass. Per micro-batch:
+    * language/quality gates (the same pure expressions), exact dedup
+    * WITHIN the batch (min-id wins), near-dup removal within the batch
+    * (drop the larger id of each verified pair), then the full
+    * [[graft.operators.Dedup.ingestCycle]] against the index — batch docs
+    * near-dupping anything EVER kept are dropped, survivors join the
+    * index so later batches dedup against them. Kept documents land under
+    * `outPath/batch_id=N`; a per-reason drop ledger row (the §2.8 stats
+    * contract, [[Curation.curate]]'s ledger shape plus a `replayed`
+    * column) lands under `outPath/_ledger/batch_id=N`.
+    *
+    * Replay convergence (at-least-once `foreachBatch`): ids already in
+    * the index manifest are split off FIRST — they were appended, which
+    * means they were kept, so a replayed batch re-emits exactly them into
+    * its kept partition (full rows, from the batch) and runs the pipeline
+    * only on the remainder (empty on a pure replay). Gate and
+    * exact-dedup decisions are deterministic, so a partial replay
+    * re-drops identically; the near-dup convergence guarantee is
+    * [[ingestSink]]'s (same flags, possibly different witnesses). The
+    * replayed batch's ledger row records the replay (`replayed` = n,
+    * pipeline counts near zero) — like every `_ledger` tree, the row is
+    * the record of the LAST run of that batch. */
+  def curationSink(docs: DataFrame, indexPath: String, outPath: String,
+      checkpointPath: String, idCol: String, textCol: String,
+      allowedLangs: Seq[String] = Seq("en", "de", "es", "fr", "vi"),
+      minQuality: Double = 0.5, nearDupThreshold: Double = 0.7,
+      shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4,
+      compactAt: Int = 64): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        curationProcessBatch(batch, indexPath, outPath, batchId, idCol, textCol,
+          allowedLangs, minQuality, nearDupThreshold, shingleN, numHashes, bands,
+          compactAt)
+        ()
+      }
+      .start()
+
+  /** One [[curationSink]] micro-batch, factored out so replays are
+    * directly testable (the [[cdcProcessBatch]] pattern). */
+  private[graft] def curationProcessBatch(batch: DataFrame, indexPath: String,
+      outPath: String, batchId: Long, idCol: String, textCol: String,
+      allowedLangs: Seq[String], minQuality: Double, nearDupThreshold: Double,
+      shingleN: Int, numHashes: Int, bands: Int, compactAt: Int): Unit = {
+    import graft.functions.TextAnalysis
+    val spark = batch.sparkSession
+    scopedUnpersist(spark) {
+      val b = batch.localCheckpoint()
+      val total = b.count()
+      // replay guard: ids in the manifest were appended = kept — re-emit
+      // them, pipeline the rest (same manifest-not-bands read as ingestSink)
+      val known = Dedup.minhashIndexIds(spark, indexPath).select(col("id").as(idCol))
+      val fresh = b.join(known, Seq(idCol), "left_anti")
+      val replayedKept = b.join(known, Seq(idCol), "left_semi")
+      // gates — narrow scored projection, the Curation.curate shape
+      val scored = fresh.select(col(idCol),
+          TextAnalysis.langPredict(TextAnalysis.tokens(col(textCol))).as("__lang"),
+          TextAnalysis.qualityScore(col(textCol)).as("__q"))
+        .localCheckpoint()
+      val keepIds = scored
+        .filter(col("__lang").isin(allowedLangs: _*) && col("__q") >= minQuality)
+        .select(idCol)
+      val gated = fresh.join(keepIds, Seq(idCol), "left_semi")
+      val nFresh = scored.count()
+      val nGated = keepIds.count()
+      // exact dedup within the batch
+      val exact = Dedup.exactDedup(gated, idCol, textCol).localCheckpoint()
+      val nExact = exact.count()
+      // near-dups within the batch: drop the larger id of each verified pair
+      val pairs = Dedup.minhashDedupPairs(exact, idCol, textCol, nearDupThreshold,
+        shingleN, numHashes, bands)
+      val losers = pairs.select(col("id_b").as(idCol)).distinct().localCheckpoint()
+      val internalKept = exact.join(losers, Seq(idCol), "left_anti")
+      val nInternal = internalKept.count()
+      // cross-stream near-dup + survivor append, one ingest cycle
+      val (verdicts, stats) = Dedup.ingestCycle(internalKept, indexPath,
+        idCol, textCol, nearDupThreshold, shingleN, numHashes, bands)
+      val kept = internalKept.join(
+        verdicts.filter(!col("is_dup")).select(col("id").as(idCol)), Seq(idCol), "left_semi")
+      kept.unionByName(replayedKept)
+        .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+      val compacted = math.max(stats.bandsFiles, stats.shinglesFiles) > compactAt
+      if (compacted) Dedup.compactMinhashIndex(spark, indexPath)
+      import spark.implicits._
+      Seq((total, total - nFresh, nFresh - nGated, nGated - nExact,
+          nExact - nInternal, stats.dups, stats.appendedRows, compacted))
+        .toDF("input", "replayed", "dropped_lang_or_quality", "dropped_exact_dup",
+          "dropped_near_dup_batch", "dropped_near_dup_corpus", "kept", "compacted")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$outPath/_ledger/batch_id=$batchId")
+    }
+  }
+
   /** Operational progress ledger for ANY streaming query — the §2.8 stats
     * contract for queries that do not own a `foreachBatch` ledger
     * (statefulCdc, the windowed/session aggregations): a

@@ -918,6 +918,66 @@ class StreamsSpec extends SparkSpec {
     runScenario("rocks", rocks = true)
   }
 
+  test("curationSink: gates, batch + cross-stream dedup, per-reason ledger, replay convergence") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val dir = Files.createTempDirectory("graft_curation_sink").toString
+    val idxPath = s"$dir/index"; val outPath = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "an entirely unrelated corpus document about spark physical plans"),
+      (3L, "another filler document padding out the tiny corpus for the test"))
+      .toDF("doc_id", "text")
+    Dedup.writeMinhashIndex(Dedup.buildMinhashIndex(corpus, "doc_id", "text"), idxPath)
+    val mem = MemoryStream[DocRow]
+    val q = Streams.curationSink(mem.toDF, idxPath, outPath, ckpt, "doc_id", "text",
+      minQuality = 0.3, nearDupThreshold = 0.5)
+    try {
+      // batch 0 exercises every drop reason at once
+      mem.addData(
+        DocRow(10L, ""), // gate-dropped (quality)
+        DocRow(11L, "brand new survivor text that matches nothing stored here today"),
+        DocRow(12L, "brand new survivor text that matches nothing stored here today"), // exact dup of 11
+        DocRow(13L, "the quick brown fox jumps over the lazy dog again and again"), // near-dup of corpus 1
+        DocRow(14L, "completely separate topic sentence about distributed query engines running fast"),
+        DocRow(15L, "completely separate topic sentence about distributed query engines running fast today")) // near-dup of 14, within batch
+      q.processAllAvailable()
+      val kept0 = spark.read.parquet(s"$outPath/batch_id=0")
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept0 === Set(11L, 14L))
+      val led0 = spark.read.parquet(s"$outPath/_ledger/batch_id=0").head()
+      assert(led0.getAs[Long]("input") === 6 && led0.getAs[Long]("replayed") === 0)
+      assert(led0.getAs[Long]("dropped_lang_or_quality") === 1)
+      assert(led0.getAs[Long]("dropped_exact_dup") === 1)
+      assert(led0.getAs[Long]("dropped_near_dup_batch") === 1)
+      assert(led0.getAs[Long]("dropped_near_dup_corpus") === 1)
+      assert(led0.getAs[Long]("kept") === 2)
+      // batch 1: a near-dup of batch 0's SURVIVOR must be caught through
+      // the index (the cross-stream closure), a novel doc survives
+      mem.addData(
+        DocRow(20L, "brand new survivor text that matches nothing stored here today"),
+        DocRow(21L, "yet another completely different document for the second batch run"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$outPath/batch_id=1")
+        .select("doc_id").as[Long].collect().toSet === Set(21L),
+        "20 must near-dup the appended batch-0 survivor")
+    } finally q.stop()
+    // replay of batch 1 converges: kept ids re-emitted from the manifest,
+    // the dropped doc re-drops through the pipeline
+    val before = spark.read.parquet(s"$outPath/batch_id=1")
+      .collect().map(_.toString).sorted.toSeq
+    Streams.curationProcessBatch(
+      Seq(DocRow(20L, "brand new survivor text that matches nothing stored here today"),
+        DocRow(21L, "yet another completely different document for the second batch run")).toDF,
+      idxPath, outPath, 1L, "doc_id", "text",
+      Seq("en", "de", "es", "fr", "vi"), 0.3, 0.5, 3, 12, 4, 64)
+    assert(spark.read.parquet(s"$outPath/batch_id=1")
+      .collect().map(_.toString).sorted.toSeq === before)
+    val led1 = spark.read.parquet(s"$outPath/_ledger/batch_id=1").head()
+    assert(led1.getAs[Long]("replayed") === 1 && led1.getAs[Long]("kept") === 0,
+      "the replay row records the re-emit, not a fresh keep")
+  }
+
   test("statefulCdc state survives a query restart via the checkpoint (file source)") {
     val dir = Files.createTempDirectory("graft_scdc_resume").toString
     val srcDir = s"$dir/src"; val outDir = s"$dir/out"; val ckpt = s"$dir/ckpt"
