@@ -978,6 +978,36 @@ class StreamsSpec extends SparkSpec {
       "the replay row records the re-emit, not a fresh keep")
   }
 
+  test("curationSink maintenance: the compaction trigger fires and is result-invisible") {
+    import graft.operators.Dedup
+    val dir = Files.createTempDirectory("graft_curation_compact").toString
+    val idxPath = s"$dir/index"; val outPath = s"$dir/out"
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "an entirely unrelated corpus document about spark physical plans"))
+      .toDF("doc_id", "text")
+    Dedup.writeMinhashIndex(Dedup.buildMinhashIndex(corpus, "doc_id", "text"), idxPath)
+    val langs = Seq("en", "de", "es", "fr", "vi")
+    // compactAt = 0: every batch's append pushes the file counts over the
+    // threshold, so the maintenance pass runs per batch
+    Streams.curationProcessBatch(
+      Seq(DocRow(11L, "brand new survivor text that matches nothing stored here today")).toDF,
+      idxPath, outPath, 0L, "doc_id", "text", langs, 0.0, 0.5, 3, 12, 4, compactAt = 0)
+    assert(spark.read.parquet(s"$outPath/_ledger/batch_id=0")
+      .head().getAs[Boolean]("compacted"))
+    // the compacted index still holds corpus + survivor and still catches
+    // near-dups of both in the next batch
+    Streams.curationProcessBatch(
+      Seq(DocRow(20L, "brand new survivor text that matches nothing stored here today"),
+        DocRow(21L, "the quick brown fox jumps over the lazy dog again and again"),
+        DocRow(22L, "some genuinely novel sentence closing out the compaction test case")).toDF,
+      idxPath, outPath, 1L, "doc_id", "text", langs, 0.0, 0.5, 3, 12, 4, compactAt = 0)
+    assert(spark.read.parquet(s"$outPath/batch_id=1")
+      .select("doc_id").as[Long].collect().toSet === Set(22L))
+    assert(Dedup.minhashIndexIds(spark, idxPath).as[Long].collect().toSet
+      === Set(1L, 2L, 11L, 22L))
+  }
+
   test("statefulCdc state survives a query restart via the checkpoint (file source)") {
     val dir = Files.createTempDirectory("graft_scdc_resume").toString
     val srcDir = s"$dir/src"; val outDir = s"$dir/out"; val ckpt = s"$dir/ckpt"
