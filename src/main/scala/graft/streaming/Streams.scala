@@ -419,7 +419,10 @@ object Streams {
     * explicitly exceptional full-log scan, the cost the sink's scale
     * contract forbids PER BATCH but accepts once for recovery. Requires
     * `nextBatchId >= 1` (before the first commit there is nothing to
-    * rebuild — delete `_latest` and resume). */
+    * rebuild — delete `_latest` and resume). CAVEAT: [[purgeArchive]] is
+    * data destruction — a key whose every logged event was purged cannot
+    * be recovered and will re-classify as a first sighting; a deployment
+    * that wants full rebuildability sizes its purge horizon accordingly. */
   def cdcRebuildCompanion(spark: SparkSession, historyPath: String,
       nextBatchId: Long, keyBuckets: Int = CdcKeyBuckets): Unit = scopedUnpersist(spark) {
     require(nextBatchId >= 1, "nothing to rebuild before the first batch")
@@ -655,8 +658,10 @@ object Streams {
     * The write goes directly through the FileSystem — NO Spark job runs on
     * the listener-bus thread, so a slow ledger write can never back-pressure
     * the bus or deadlock a stopping query. One tiny file per micro-batch is
-    * the same bounded-growth pattern as the `_ledger/batch_id=N` trees (and
-    * prunable the same way: [[archiveBatchOutputs]] applies). Overwrites
+    * the same bounded-growth pattern as the `_ledger/batch_id=N` trees;
+    * retention here is per RUN — each run's files live under its own
+    * `<runId>/` directory, so expiring old runs is one directory delete,
+    * no per-file sweep. Overwrites
     * are idempotent: a re-fired progress event for the same (runId, batch)
     * rewrites the same file. Detach with [[detachProgressLedger]]; the
     * listener is session-global, so progress of EVERY active query in the
