@@ -1650,6 +1650,70 @@ object SparkEntry {
         .orderBy(col("batch_id"), col("product_id"))
     }),
 
+    // --- PROGRESS LEDGER ACCOUNTING under the oracle: six file-source
+    //     micro-batches (one stateless passthrough query per slice, q81's
+    //     restart pattern) with the StreamingQueryListener ledger attached.
+    //     The query returns, per DATA batch in order, the ledger-recorded
+    //     numInputRows — the oracle counts the same slices relationally, so
+    //     a hash match proves the listener recorded every batch Spark ran
+    //     with exactly the rows it processed (an ordinal, not Spark's raw
+    //     batchId, keys the output: robust to empty slices). The listener
+    //     bus delivers asynchronously; construction polls until the known
+    //     number of non-empty slices has landed. ---------------------------
+    "q88_progress_ledger" -> ((s, dir) => {
+      import graft.streaming.Streams
+      val root = scratch("q88", dir)
+      val srcDir = s"$root/src"; val outDir = s"$root/out"; val ckpt = s"$root/ckpt"
+      val ledgerDir = s"$root/ledger"
+      val obs = t(s, dir, "events")
+        .filter(col("user_id") % 3 === 0 && col("event_id") % 8 === 0).select(
+          concat(lit("u"), col("user_id").cast(StringType)).as("product_id"),
+          col("value").as("price"),
+          col("ts").as("crawled_at"))
+      val cuts = Seq("2024-01-06", "2024-01-11", "2024-01-16", "2024-01-21", "2024-01-26")
+        .map(c => lit(s"$c 00:00:00").cast(TimestampType))
+      val slices = Seq(
+        obs.filter(col("crawled_at") < cuts(0)),
+        obs.filter(col("crawled_at") >= cuts(0) && col("crawled_at") < cuts(1)),
+        obs.filter(col("crawled_at") >= cuts(1) && col("crawled_at") < cuts(2)),
+        obs.filter(col("crawled_at") >= cuts(2) && col("crawled_at") < cuts(3)),
+        obs.filter(col("crawled_at") >= cuts(3) && col("crawled_at") < cuts(4)),
+        obs.filter(col("crawled_at") >= cuts(4)))
+      val listener = Streams.attachProgressLedger(s, ledgerDir)
+      var nonEmpty = 0L
+      try {
+        slices.foreach { sl =>
+          val n = sl.count()
+          if (n > 0) nonEmpty += 1
+          sl.write.mode("append").parquet(srcDir)
+          val q = s.readStream
+            .schema("product_id STRING, price DOUBLE, crawled_at TIMESTAMP")
+            .parquet(srcDir)
+            .writeStream.option("checkpointLocation", ckpt)
+            .format("parquet").option("path", outDir).outputMode("append").start()
+          q.processAllAvailable(); q.stop()
+        }
+        // the listener bus is asynchronous — wait for the known number of
+        // data batches to land (bounded; content is deterministic, only
+        // arrival time is not)
+        val deadline = System.currentTimeMillis() + 60000
+        def landed(): Long =
+          try Streams.readProgressLedger(s, ledgerDir)
+            .filter(col("numInputRows") > 0).count()
+          catch { case _: Throwable => 0L }
+        while (System.currentTimeMillis() < deadline && landed() < nonEmpty)
+          Thread.sleep(200)
+      } finally Streams.detachProgressLedger(s, listener)
+      import org.apache.spark.sql.expressions.Window
+      Streams.readProgressLedger(s, ledgerDir)
+        .filter(col("numInputRows") > 0)
+        .withColumn("batch_ord",
+          row_number().over(Window.orderBy(col("batchId"))) - lit(1))
+        .select(col("batch_ord").cast(LongType).as("batch_ord"),
+          col("numInputRows").cast(LongType).as("n_rows"))
+        .orderBy(col("batch_ord"))
+    }),
+
     // --- CONTINUOUS CURATION under the oracle: the streaming closure of
     //     q50's corpus pipeline. Two curationSink micro-batches (driven
     //     through the factored per-batch body, q76's pattern) run gates →
@@ -3466,6 +3530,25 @@ object SparkEntry {
         |)
         |SELECT product_id, price, sales_count, date_trunc('second', crawled_at) crawled_at
         |FROM chain WHERE kept ORDER BY product_id, crawled_at""".stripMargin,
+
+    // q88 = per-slice row counts, relationally. The engine side reads them
+    // from the StreamingQueryListener ledger, so the hash proves the
+    // listener recorded every data batch with exactly the rows Spark
+    // processed.
+    "q88_progress_ledger" ->
+      """WITH obs AS (
+        |  SELECT CASE WHEN ts < TIMESTAMP '2024-01-06 00:00:00' THEN 0
+        |         WHEN ts < TIMESTAMP '2024-01-11 00:00:00' THEN 1
+        |         WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 2
+        |         WHEN ts < TIMESTAMP '2024-01-21 00:00:00' THEN 3
+        |         WHEN ts < TIMESTAMP '2024-01-26 00:00:00' THEN 4 ELSE 5 END batch_id
+        |  FROM events WHERE user_id % 3 = 0 AND event_id % 8 = 0 AND ts IS NOT NULL
+        |), counts AS (
+        |  SELECT batch_id, count(*) n FROM obs GROUP BY batch_id
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY batch_id) - 1 AS BIGINT) batch_ord,
+        |  CAST(n AS BIGINT) n_rows
+        |FROM counts ORDER BY batch_ord""".stripMargin,
 
     // q86 = q74's probe math at SIXTEEN injected centroids (vec_id<16):
     // the 8-list build/append/compact history the engine runs first is
