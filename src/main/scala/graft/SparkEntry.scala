@@ -1703,6 +1703,11 @@ object SparkEntry {
           catch { case _: Throwable => 0L }
         while (System.currentTimeMillis() < deadline && landed() < nonEmpty)
           Thread.sleep(200)
+        // fail LOUDLY on a lost/late event — a silent short read would
+        // surface as an inscrutable oracle hash mismatch instead
+        val got = landed()
+        if (got < nonEmpty) throw new IllegalStateException(
+          s"q88: progress ledger has $got data batches after 60s, expected $nonEmpty")
       } finally Streams.detachProgressLedger(s, listener)
       import org.apache.spark.sql.expressions.Window
       Streams.readProgressLedger(s, ledgerDir)
