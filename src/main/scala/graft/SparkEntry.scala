@@ -1679,7 +1679,14 @@ object SparkEntry {
         obs.filter(col("crawled_at") >= cuts(2) && col("crawled_at") < cuts(3)),
         obs.filter(col("crawled_at") >= cuts(3) && col("crawled_at") < cuts(4)),
         obs.filter(col("crawled_at") >= cuts(4)))
-      val listener = Streams.attachProgressLedger(s, ledgerDir)
+      // the listener bus is asynchronous — the ledger listener's own
+      // post-write callback counts data batches down to zero, so the wait
+      // is a latch the bus thread releases the instant the last file is
+      // durably written: no sleep-poll, no repeated ledger re-reads
+      val landed = new java.util.concurrent.atomic.AtomicLong(0)
+      val gate = new Object
+      val listener = Streams.attachProgressLedger(s, ledgerDir, onProgress = p =>
+        if (p.numInputRows > 0) gate.synchronized { landed.incrementAndGet(); gate.notifyAll() })
       var nonEmpty = 0L
       try {
         slices.foreach { sl =>
@@ -1693,21 +1700,15 @@ object SparkEntry {
             .format("parquet").option("path", outDir).outputMode("append").start()
           q.processAllAvailable(); q.stop()
         }
-        // the listener bus is asynchronous — wait for the known number of
-        // data batches to land (bounded; content is deterministic, only
-        // arrival time is not)
         val deadline = System.currentTimeMillis() + 60000
-        def landed(): Long =
-          try Streams.readProgressLedger(s, ledgerDir)
-            .filter(col("numInputRows") > 0).count()
-          catch { case _: Throwable => 0L }
-        while (System.currentTimeMillis() < deadline && landed() < nonEmpty)
-          Thread.sleep(200)
+        gate.synchronized {
+          while (landed.get() < nonEmpty && System.currentTimeMillis() < deadline)
+            gate.wait(math.max(1, deadline - System.currentTimeMillis()))
+        }
         // fail LOUDLY on a lost/late event — a silent short read would
         // surface as an inscrutable oracle hash mismatch instead
-        val got = landed()
-        if (got < nonEmpty) throw new IllegalStateException(
-          s"q88: progress ledger has $got data batches after 60s, expected $nonEmpty")
+        if (landed.get() < nonEmpty) throw new IllegalStateException(
+          s"q88: progress ledger has ${landed.get()} data batches after 60s, expected $nonEmpty")
       } finally Streams.detachProgressLedger(s, listener)
       import org.apache.spark.sql.expressions.Window
       Streams.readProgressLedger(s, ledgerDir)

@@ -140,10 +140,32 @@ object Streams {
     * [[CdcKeyBuckets]]). Deltas are flat — their `buckets` is unused. */
   private[graft] final case class CdcGen(id: Long, path: Path, isFull: Boolean, buckets: Int)
 
+  /** The tombstone a [[cdcRebuildCompanion]] run plants before touching
+    * anything and clears only after the rebuilt tree is swapped in — while
+    * it exists, every companion read fails loudly instead of treating a
+    * half-recovered `_latest` as a fresh stream. */
+  private def rebuildMarker(historyPath: String): Path =
+    new Path(s"$historyPath/_latest_REBUILDING")
+
   /** Committed companion generations with id strictly below `batchId`,
     * ascending. One directory listing per generation resolves the `_FULL`
-    * and `_NBKT_<n>` markers together. */
+    * and `_NBKT_<n>` markers together. Throws while a
+    * [[cdcRebuildCompanion]] recovery marker is present: an interrupted
+    * rebuild may have deleted the old tree, and deriving against ZERO
+    * committed generations would silently reclassify the whole catalog as
+    * first sightings — the one failure mode recovery must never convert a
+    * crash into. */
   private def cdcGensBelow(spark: SparkSession, historyPath: String,
+      batchId: Long): Seq[CdcGen] = {
+    val marker = rebuildMarker(historyPath)
+    if (marker.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(marker))
+      throw new IllegalStateException(
+        s"CDC companion at $historyPath has an interrupted rebuild ($marker exists) — " +
+          "re-run cdcRebuildCompanion to complete recovery before resuming the sink")
+    cdcGensBelowUnchecked(spark, historyPath, batchId)
+  }
+
+  private def cdcGensBelowUnchecked(spark: SparkSession, historyPath: String,
       batchId: Long): Seq[CdcGen] =
     Generations.genDirs(spark, s"$historyPath/_latest")
       .map(p => (p.getName.drop(4).toLong, p))
@@ -304,13 +326,18 @@ object Streams {
     cdcStateFrom(spark, gens, Some(bucketSetsFor(keys, gens, flatModulus)), flatModulus)
   }
 
-  /** The batch's key-bucket sets, one per MODULUS in play — each full
-    * collapse's recorded count plus `flatModulus` for the deltas; one tiny
-    * distinct-collect per modulus (≤ 2 outside a migration window, the
-    * same capped driver-side collect the single-count layout paid once). */
+  /** The batch's key-bucket sets, one per MODULUS in play — the ANCHOR
+    * full collapse's recorded count plus `flatModulus` for the deltas; one
+    * tiny distinct-collect per modulus (≤ 2 — exactly 2 only inside a
+    * migration window where the anchor's count differs from the configured
+    * one). Only the newest full matters: [[cdcStateFrom]] reads from the
+    * anchor onward, so pre-anchor fulls retained by the vacuum window must
+    * not charge the batch an extra collect for bucket sets that are never
+    * consulted. */
   private def bucketSetsFor(keys: DataFrame, gens: Seq[CdcGen],
       flatModulus: Int): Map[Int, Seq[Int]] = {
-    val moduli = (gens.filter(_.isFull).map(_.buckets) :+ flatModulus).distinct
+    val anchor = gens.lastIndexWhere(_.isFull)
+    val moduli = ((if (anchor >= 0) Seq(gens(anchor).buckets) else Nil) :+ flatModulus).distinct
     moduli.map { m =>
       m -> keys.select(keyBucket(col("product_id"), m).as("b"))
         .distinct().collect().map(_.getInt(0)).toSeq
@@ -411,11 +438,19 @@ object Streams {
     * against the rebuilt full exactly as it would have against the
     * original.
     *
-    * The whole old `_latest` tree is deleted first (corrupt generations
-    * must not survive to out-anchor the rebuilt one), and the rebuilt
-    * state is written as a full collapse at generation `nextBatchId - 1`
-    * under the CURRENT `keyBuckets` with the usual `_FULL`/`_NBKT` markers
-    * and commit discipline. Cost is one read of the event log — an
+    * CRASH-SAFE by staging + marker: a `_latest_REBUILDING` tombstone is
+    * planted first (while it exists every companion read throws — an
+    * interrupted recovery can never masquerade as a fresh stream), the
+    * rebuilt state is written and COMMITTED under a staging root
+    * (`_latest_rebuild/`) while the old tree — corrupt generations must
+    * not survive to out-anchor the rebuilt one — is still intact, and only
+    * then is the old tree deleted, the staged tree renamed in, and the
+    * marker cleared. A crash anywhere leaves either the old tree untouched
+    * or the marker in place; re-running this function completes recovery
+    * idempotently (stale staging debris is wiped at entry). The rebuilt
+    * state is a full collapse at generation `nextBatchId - 1` under the
+    * CURRENT `keyBuckets` with the usual `_FULL`/`_NBKT` markers and
+    * commit discipline. Cost is one read of the event log — an
     * explicitly exceptional full-log scan, the cost the sink's scale
     * contract forbids PER BATCH but accepts once for recovery. Requires
     * `nextBatchId >= 1` (before the first commit there is nothing to
@@ -428,6 +463,12 @@ object Streams {
     require(nextBatchId >= 1, "nothing to rebuild before the first batch")
     val root = new Path(s"$historyPath/_latest")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // tombstone FIRST (overwrite-create: a re-run after a crash finds it
+    // already planted and proceeds) — from here until the swap completes,
+    // every companion read fails loudly instead of anchoring on a
+    // half-recovered tree
+    val marker = rebuildMarker(historyPath)
+    fs.create(marker, true).close()
     // archived batches count: a key whose last logged event was moved
     // under _archive/ by archiveEventLog must not vanish from the rebuilt
     // state (the live tree alone under-represents exactly the stalest keys)
@@ -438,20 +479,30 @@ object Streams {
       .reduce(_ unionByName _)
     val state = Merge.latestPerKey(
       log, Seq("product_id"), "crawled_at", Seq(col("price").desc))
-    // materialize BEFORE deleting the old tree: the plan must never read
-    // through a directory this function is about to remove (it reads the
-    // event partitions, not _latest, but localCheckpoint makes that
-    // independence explicit rather than plan-dependent)
-    val pinned = state.localCheckpoint()
-    fs.delete(root, true)
-    val gen = new Path(root, f"gen_${nextBatchId - 1}%012d")
-    pinned.withColumn("__kbkt", keyBucket(col("product_id"), keyBuckets))
+    // stage the rebuilt generation fully — data, markers, commit — while
+    // the old tree is still intact: the expensive write can crash at any
+    // point without destroying state, and the swap below is two metadata
+    // ops under the tombstone's protection. (The plan reads the event
+    // partitions, never _latest, so no pin is needed before the delete —
+    // the write has already executed.)
+    val staging = new Path(s"$historyPath/_latest_rebuild")
+    fs.delete(staging, true) // debris from a previous interrupted recovery
+    val gen = new Path(staging, f"gen_${nextBatchId - 1}%012d")
+    state.withColumn("__kbkt", keyBucket(col("product_id"), keyBuckets))
       .repartition(col("__kbkt"))
       .write.mode("overwrite").partitionBy("__kbkt")
       .parquet(new Path(gen, "state").toString)
     fs.create(new Path(gen, "_FULL"), false).close()
     fs.create(new Path(gen, s"_NBKT_$keyBuckets"), false).close()
     Generations.commit(spark, gen)
+    // the swap: drop the old tree, move the staged one in, clear the
+    // tombstone — in that order, so a crash between any two steps leaves
+    // the marker guarding the gap
+    fs.delete(root, true)
+    if (!fs.rename(staging, root))
+      throw new java.io.IOException(
+        s"cdcRebuildCompanion: rename($staging -> $root) failed (filesystem returned false)")
+    fs.delete(marker, false)
   }
 
   /** Run `body`, then unpersist every persistent RDD it created — the
@@ -572,7 +623,16 @@ object Streams {
     * [[ingestSink]]'s (same flags, possibly different witnesses). The
     * replayed batch's ledger row records the replay (`replayed` = n,
     * pipeline counts near zero) — like every `_ledger` tree, the row is
-    * the record of the LAST run of that batch. */
+    * the record of the LAST run of that batch.
+    *
+    * ID-UNIQUENESS CONTRACT (same as [[ingestSink]] and
+    * [[graft.operators.Dedup.dedupAgainstIndex]]): document ids are
+    * globally unique across the stream AND the index's seed corpus. The
+    * replay guard reads the index manifest, which contains seed-corpus ids
+    * too — a NEW document colliding with a seed id would be misread as a
+    * previously-kept replay and re-emitted past every gate. Collisions
+    * with previously-streamed ids are the intended replay path; collisions
+    * with seed ids are a caller bug this sink cannot distinguish from it. */
   def curationSink(docs: DataFrame, indexPath: String, outPath: String,
       checkpointPath: String, idCol: String, textCol: String,
       allowedLangs: Seq[String] = Seq("en", "de", "es", "fr", "vi"),
@@ -666,8 +726,16 @@ object Streams {
     * rewrites the same file. Detach with [[detachProgressLedger]]; the
     * listener is session-global, so progress of EVERY active query in the
     * session lands in the ledger while attached (rows carry query
-    * id/runId/name for filtering). */
-  def attachProgressLedger(spark: SparkSession, path: String):
+    * id/runId/name for filtering).
+    *
+    * `onProgress` fires AFTER the ledger file for that batch is durably
+    * written — the synchronization hook for callers that must wait for a
+    * known number of batches to land (the bus is asynchronous): count /
+    * signal in the callback instead of sleep-polling the ledger directory.
+    * Keep it cheap and non-blocking — it runs on the listener-bus thread,
+    * under the same no-Spark-job discipline as the write itself. */
+  def attachProgressLedger(spark: SparkSession, path: String,
+      onProgress: org.apache.spark.sql.streaming.StreamingQueryProgress => Unit = _ => ()):
       org.apache.spark.sql.streaming.StreamingQueryListener = {
     import org.apache.spark.sql.streaming.StreamingQueryListener
     val hadoopConf = spark.sparkContext.hadoopConfiguration
@@ -683,6 +751,7 @@ object Streams {
         val out = fs.create(new Path(dir, f"batch_${p.batchId}%012d.json"), true)
         try out.write(p.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
+        onProgress(p)
       }
       override def onQueryTerminated(
           e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
@@ -1013,11 +1082,11 @@ object Streams {
     * potential timeout sweep), so a TTL'd query on the default
     * run-as-fast-as-possible trigger churns empty sweep batches
     * back-to-back, and `processAllAvailable()` never returns (the
-    * no-new-data signal it waits for is never raised). Run TTL'd queries
-    * with an explicit `Trigger.ProcessingTime(...)` interval sized to the
-    * horizon (sweeps cost one checkpoint commit each), and poll sink
-    * progress instead of processAllAvailable — StreamsSpec's TTL case
-    * shows the pattern. */
+    * no-new-data signal it waits for is never raised). Start TTL'd
+    * queries through [[startTtlQuery]] (pins the required
+    * `Trigger.ProcessingTime` interval) and wait with [[drainTtlQuery]]
+    * (progress-based drain) — the pair wires this caveat as a contract so
+    * callers cannot hit the hang; StreamsSpec's TTL case uses them. */
   def statefulCdc(obs: Dataset[ProductObs], ttl: Option[String] = None): Dataset[ChangeEvent] = {
     import obs.sparkSession.implicits._
     obs.groupByKey(_.product_id)
@@ -1031,6 +1100,67 @@ object Streams {
   private def timeoutConf(ttl: Option[String]): GroupStateTimeout =
     if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
     else GroupStateTimeout.NoTimeout
+
+  /** Start a processing-time-TTL'd stateful query with the trigger
+    * ceremony its timeout semantics REQUIRE — the operational helper that
+    * closes [[statefulCdc]]'s sharp edge as a contract instead of a
+    * scaladoc caveat. Under `ProcessingTimeTimeout` the state operator
+    * reports it may need another batch at EVERY trigger (any trigger is a
+    * potential timeout sweep), so on the default run-as-fast-as-possible
+    * trigger the query churns empty sweep batches back-to-back and
+    * `processAllAvailable()` hangs forever (the no-new-data signal it
+    * waits for is never raised). This wrapper pins
+    * `Trigger.ProcessingTime(sweepInterval)` — sweeps then cost one
+    * checkpoint commit per interval — and callers wait with
+    * [[drainTtlQuery]] instead of `processAllAvailable`. Size
+    * `sweepInterval` to the horizon: eviction latency is at most one
+    * interval past the TTL, so a fraction of the TTL (e.g. a "30 days"
+    * horizon swept hourly) keeps eviction timely at negligible commit
+    * cost. */
+  def startTtlQuery[T](writer: org.apache.spark.sql.streaming.DataStreamWriter[T],
+      sweepInterval: String): StreamingQuery =
+    writer.trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(sweepInterval))
+      .start()
+
+  /** Progress-based drain for TTL'd queries — the `processAllAvailable`
+    * replacement that cannot hang: waits (listener-latched, no
+    * sleep-polling) until the query completes a micro-batch that read ZERO
+    * rows AND started strictly after this call. Batches are sequential, so
+    * a later empty batch proves every row available at call time has been
+    * processed through the sink — which is all `processAllAvailable`
+    * guarantees — while making no claim about sweep quiescence (under a
+    * TTL there is none). Throws [[java.util.concurrent.TimeoutException]]
+    * after `timeoutMs` (loud, never a silent short wait) and
+    * [[IllegalStateException]] if the query terminates first. */
+  def drainTtlQuery(q: StreamingQuery, timeoutMs: Long = 60000L): Unit = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val spark = q.sparkSession
+    val entry = q.recentProgress.lastOption.map(_.batchId).getOrElse(-1L)
+    def drained: Boolean =
+      q.recentProgress.exists(p => p.batchId > entry && p.numInputRows == 0)
+    val gate = new Object
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.id == q.id) gate.synchronized { gate.notifyAll() }
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        gate.synchronized { gate.notifyAll() }
+    }
+    spark.streams.addListener(listener)
+    try {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      gate.synchronized {
+        // the re-check on each wakeup (bounded 1s) also covers progress
+        // events that landed between the entry snapshot and addListener
+        while (!drained && q.isActive && System.currentTimeMillis() < deadline)
+          gate.wait(math.max(1, math.min(1000, deadline - System.currentTimeMillis())))
+      }
+      if (!drained && !q.isActive) throw new IllegalStateException(
+        s"drainTtlQuery: query ${q.id} terminated before draining")
+      if (!drained) throw new java.util.concurrent.TimeoutException(
+        s"drainTtlQuery: query ${q.id} completed no post-call empty batch within ${timeoutMs}ms")
+    } finally spark.streams.removeListener(listener)
+  }
 
   /** [[statefulCdc]] BOOTSTRAPPED from a batch snapshot — the migration
     * path from the batch store's latest-per-key companion

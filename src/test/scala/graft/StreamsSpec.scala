@@ -405,6 +405,37 @@ class StreamsSpec extends SparkSpec {
         .collect().map(_.toString).sorted.toSeq)
   }
 
+  test("cdcRebuildCompanion: an interrupted recovery fails reads loudly, completes on re-run") {
+    // the crash window: the marker is planted, the old tree may already be
+    // gone, and the swap never finished. A resumed sink must NOT silently
+    // reclassify the catalog as first sightings against an empty _latest —
+    // every companion read throws until recovery is re-run to completion.
+    val dir = Files.createTempDirectory("graft_cdc_rebuild_crash").toString
+    val histPath = s"$dir/history"
+    def day(d: Int) = ts(f"2024-05-$d%02d 00:00:00")
+    val seed = (0 until 10).map(i => Crawl(s"p$i", 100.0 + i, 200.0, null, 1L, day(1)))
+    Streams.cdcProcessBatch(seed.toDF, histPath, 0L, collapseEvery = 3)
+    Streams.cdcProcessBatch(Seq(Crawl("p0", 111.0, 200.0, null, 1L, day(2))).toDF,
+      histPath, 1L, collapseEvery = 3)
+    val want = Streams.cdcState(spark, histPath, 2L).get
+      .collect().map(_.toString).sorted.toSeq
+    // simulate the worst crash point: old tree deleted, marker still there
+    val fs = new org.apache.hadoop.fs.Path(histPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$histPath/_latest"), true))
+    fs.create(new org.apache.hadoop.fs.Path(s"$histPath/_latest_REBUILDING"), true).close()
+    // reads and batch processing fail loudly — never an empty-state anchor
+    intercept[IllegalStateException](Streams.cdcState(spark, histPath, 2L))
+    intercept[IllegalStateException](Streams.cdcProcessBatch(
+      Seq(Crawl("p1", 222.0, 200.0, null, 1L, day(3))).toDF, histPath, 2L))
+    // re-running recovery completes: marker cleared, state byte-identical
+    Streams.cdcRebuildCompanion(spark, histPath, 2L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$histPath/_latest_REBUILDING")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$histPath/_latest_rebuild")))
+    assert(Streams.cdcState(spark, histPath, 2L).get
+      .collect().map(_.toString).sorted.toSeq === want)
+  }
+
   test("cdc companion: bytes trigger collapses early under skewed batches, replay-deterministic") {
     // the count trigger alone is blind to skew: a catalog-sized delta
     // early in the window would sit as an overlay on every derive until
@@ -822,6 +853,42 @@ class StreamsSpec extends SparkSpec {
     }
     runScenario("default", rocks = false)
     runScenario("rocks", rocks = true)
+  }
+
+  test("startTtlQuery + drainTtlQuery: the TTL trigger ceremony as a contract") {
+    // the helper pair replaces the manual ceremony the sibling spec wires
+    // by hand: startTtlQuery pins the Trigger.ProcessingTime interval a
+    // ProcessingTimeTimeout query requires, drainTtlQuery is the
+    // processAllAvailable replacement that cannot hang (it waits for a
+    // post-call EMPTY batch, not for sweep quiescence — which never comes)
+    implicit val sqlCtx = spark.sqlContext
+    def waitFor(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (!cond && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(cond, s"timed out waiting for: $what")
+    }
+    val mem = MemoryStream[Streams.ProductObs]
+    val q = Streams.startTtlQuery(
+      Streams.statefulCdc(mem.toDS(), ttl = Some("2 seconds"))
+        .writeStream.format("memory").queryName("scdc_helper")
+        .outputMode("append"),
+      sweepInterval = "250 milliseconds")
+    try {
+      mem.addData(Streams.ProductObs("p1", 100.0, 5L, ts("2024-01-01 00:00:00")))
+      Streams.drainTtlQuery(q)
+      assert(spark.table("scdc_helper").count() === 1L,
+        "drainTtlQuery returned before the data batch reached the sink")
+      // eviction rides the sweep cadence the helper pinned
+      waitFor("state row evicted")(Option(q.lastProgress)
+        .exists(_.stateOperators.headOption.exists(_.numRowsTotal == 0L)))
+      mem.addData(Streams.ProductObs("p1", 120.0, 5L, ts("2024-01-03 00:00:00")))
+      Streams.drainTtlQuery(q)
+    } finally q.stop()
+    val got = spark.table("scdc_helper")
+      .select("product_id", "price", "previous_price").orderBy("crawled_at")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.isNullAt(2))).toSeq
+    assert(got === Seq(("p1", 100.0, true), ("p1", 120.0, true)),
+      "both observations must classify as first sightings (state evicted between)")
   }
 
   test("statefulCdc without TTL keeps state indefinitely (no spurious eviction)") {
