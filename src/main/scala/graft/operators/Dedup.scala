@@ -552,11 +552,25 @@ object Dedup {
     * shingles) — a PPJoin prefix filter does NOT help there because at
     * threshold t every prefix is (1−t) of the document and tiny vocabularies
     * make everything collide anyway (measured: prefix filtering left 7.9M of
-    * 12.5M possible pairs on the synthetic corpus while doubling the joins). */
+    * 12.5M possible pairs on the synthetic corpus while doubling the joins).
+    *
+    * `forceInverted`: the ROUTE BYPASS for corpus-scale callers. The
+    * dense-vs-inverted route is decided by a vocabulary probe —
+    * `distinct().limit(bits+1)` over the shingle relation — which, despite
+    * collecting at most bits+1 strings, still SHUFFLES the whole shingle
+    * vocabulary before the limit applies (LIMIT needs the distinct's
+    * exchange underneath it). At audit scale (this operator's contract,
+    * docs/SCALE.md) that probe is noise; a corpus-scale caller would pay
+    * one vocabulary-wide shuffle for a routing decision that is always
+    * "inverted" above ~10⁵ documents. Pass `forceInverted = true` when the
+    * vocabulary is known to exceed `denseVocabBits` and the probe (and the
+    * dense path) are skipped entirely — result-identical, the two paths
+    * compute the same pairs (JaccardProbe measures the probe's cost
+    * disappearing). */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, threshold: Double,
-      denseVocabBits: Int = DenseVocabBits): DataFrame = {
+      denseVocabBits: Int = DenseVocabBits, forceInverted: Boolean = false): DataFrame = {
     // ONE corpus scan materializes the exploded shingle relation — RAW
     // (id, shingle) rows, duplicates included: the dense path's bit_or is
     // idempotent and derives set sizes from the bitmap popcount, so only
@@ -566,6 +580,7 @@ object Dedup {
       .repartition(col("id"))
       .select(col("id"), explode(rawNgrams(col("__toks"), shingleN)).as("s"))
       .localCheckpoint()
+    if (forceInverted) return ngramJaccardInverted(sh.distinct(), threshold)
     // Size probe AND dense vocab in one pass: distinct().limit(bits + 1)
     // stops the limit at denseVocabBits + 1 rows, so a big vocabulary
     // collects at most bits+1 strings (route decision), a small one

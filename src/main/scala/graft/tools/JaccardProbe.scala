@@ -77,6 +77,18 @@ object JaccardProbe {
       println(s"[jprobe] relaxed survivors=$c1")
       val c2 = time("pair join warm") (joined.count())
     }
+    // route bypass: shingleN=3 puts the vocabulary far past the dense
+    // cutoff, so the probe's only contribution is the routing decision —
+    // forceInverted must return identical pairs with the vocabulary-wide
+    // distinct probe gone from the plan (its cost is the delta here)
+    val viaProbe = time("route via probe") {
+      graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5).count()
+    }
+    val viaBypass = time("route bypassed") {
+      graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5,
+        forceInverted = true).count()
+    }
+    println(s"[jprobe] viaProbe=$viaProbe viaBypass=$viaBypass equal=${viaProbe == viaBypass}")
     spark.stop()
   }
 }

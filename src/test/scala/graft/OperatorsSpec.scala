@@ -637,5 +637,11 @@ class OperatorsSpec extends SparkSpec {
       denseVocabBits = 0))
     assert(dense.nonEmpty)
     assert(dense === inverted)
+    // forceInverted skips the vocabulary probe entirely — the corpus-scale
+    // route bypass must be result-identical even on a corpus the probe
+    // would have routed DENSE
+    val forced = canon(graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 2, 0.5,
+      forceInverted = true))
+    assert(dense === forced)
   }
 }
