@@ -1,0 +1,139 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftx.Bridge
+import org.apache.spark.sql.types._
+
+/** Native centroid-ranking kernel for the IVF index
+  * ([[graft.operators.Ann]]) — the scale path past literal expression
+  * trees.
+  *
+  * The small-`nlist` formulation builds nlist × dim expression nodes
+  * (one `(element_at(v,j) − c_j)²` chain per centroid) and lets Catalyst
+  * sort the resulting structs. That is the right plan while the tree is
+  * small — everything folds into one codegen'd projection the optimizer
+  * can see through — but it has a CLIFF, not a slowdown, at production
+  * shape: at nlist ≈ 10⁴–10⁵ and dim 768 the generated method blows the
+  * JVM's 64 KB bytecode limit (whole-stage codegen silently falls back to
+  * interpreted evaluation) and optimizer/planning time goes super-linear
+  * in the tree size. [[NearestCentroidsExpr]] is the same arithmetic as
+  * ONE expression node: the centroid matrix rides along as a codegen
+  * reference object (`references[n]`, no code size proportional to nlist),
+  * the per-row work is a tight `double[][]` loop in ONE static call, and
+  * the surrounding projection stays inside whole-stage codegen at any
+  * nlist. Plan size, optimizer time, and generated-code size are all O(1)
+  * in nlist; per-row arithmetic is the same nlist × dim FLOPs both
+  * formulations pay.
+  *
+  * Semantics are IDENTICAL to the literal tree (AnnSpec gates equality,
+  * ties included): squared-L2 accumulated in ascending dimension order
+  * (same double-rounding), ranking ascending by (dist, list id) — the
+  * `array_sort(struct(dist, list))` order. Vectors must have at least
+  * `dim` non-null elements and finite distances (NaN ordering is
+  * unspecified; corpus contracts exclude NaN embeddings).
+  */
+object VectorFns {
+
+  /** The `k` nearest rows of `cents` to `vec` by squared L2, ascending
+    * (dist, list) — list ids are centroid array indices. `isFloat` picks
+    * the element reader (`array<float>` corpus vs `array<double>`). */
+  def nearestCentroids(vec: ArrayData, cents: Array[Array[Double]], k: Int,
+      isFloat: Boolean): ArrayData = {
+    val n = cents.length
+    val kk = math.min(k, n)
+    val bestD = new Array[Double](kk)
+    val bestL = new Array[Int](kk)
+    var filled = 0
+    var c = 0
+    while (c < n) {
+      val cent = cents(c)
+      val dim = cent.length
+      if (vec.numElements() < dim)
+        throw new IllegalArgumentException(
+          s"nearestCentroids: vector has ${vec.numElements()} elements, centroid $c has $dim")
+      var s = 0.0
+      var j = 0
+      while (j < dim) {
+        val v = if (isFloat) vec.getFloat(j).toDouble else vec.getDouble(j)
+        val d = v - cent(j)
+        s += d * d
+        j += 1
+      }
+      // insertion into the sorted top-k. Ties resolve to the LOWER list id
+      // automatically: centroids are scanned in ascending id order and
+      // both shifts are STRICT on distance, so an equal-distance later id
+      // never displaces or passes an earlier one — exactly array_sort's
+      // (dist asc, list asc) struct order.
+      if (filled < kk) {
+        var i = filled
+        while (i > 0 && bestD(i - 1) > s) {
+          bestD(i) = bestD(i - 1); bestL(i) = bestL(i - 1); i -= 1
+        }
+        bestD(i) = s; bestL(i) = c; filled += 1
+      } else if (s < bestD(kk - 1)) {
+        var i = kk - 1
+        while (i > 0 && bestD(i - 1) > s) {
+          bestD(i) = bestD(i - 1); bestL(i) = bestL(i - 1); i -= 1
+        }
+        bestD(i) = s; bestL(i) = c
+      }
+      c += 1
+    }
+    val rows = new Array[Any](filled)
+    var i = 0
+    while (i < filled) {
+      rows(i) = InternalRow(bestD(i), bestL(i))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+}
+
+/** `nearest_centroids(vec)` — array<struct<dist:double,list:int>> of the
+  * `k` nearest centroids, ascending (dist, list). The centroid matrix is
+  * expression STATE (a codegen reference object), not expression TREE —
+  * see [[VectorFns]] for why that distinction is the scale cliff. */
+case class NearestCentroidsExpr(child: Expression,
+    centroids: Array[Array[Double]], k: Int) extends UnaryExpression {
+
+  override def prettyName: String = "nearest_centroids"
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("dist", DoubleType, nullable = false),
+      StructField("list", IntegerType, nullable = false))),
+    containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"nearest_centroids expects array<float> or array<double> input, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorFns.nearestCentroids(input.asInstanceOf[ArrayData], centroids, k, elemIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the whole matrix is ONE references[] slot — generated code size does
+    // not grow with nlist × dim, which is the entire point
+    val cents = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.VectorFns.nearestCentroids($c, $cents, $k, $elemIsFloat)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidsExpr =
+    copy(child = newChild)
+}
+
+/** Column-API surface. */
+object VectorExpressions {
+  def nearestCentroids(vec: Column, centroids: Array[Array[Double]], k: Int): Column =
+    Bridge.column(NearestCentroidsExpr(Bridge.expression(vec), centroids, k))
+}

@@ -50,6 +50,38 @@ object Ann {
     IvfIndex(assigned, model.clusterCenters.map(_.toArray))
   }
 
+  /** [[buildIvf]] with the KMeans fit run on a deterministic
+    * hash-threshold SAMPLE of the corpus while the FULL corpus is still
+    * assigned to the fitted centroids — the corpus-scale build shape.
+    * [[buildIvf]]'s fit iterates over the whole corpus (maxIter × full
+    * passes); production IVF practice fits centroids on a bounded sample,
+    * because routing quality converges long before the sample does —
+    * recall is governed by `nprobe`, not centroid optimality, and a
+    * uniform sample preserves the density the centroids follow. The
+    * sample is [[Corpus.mixtureSample]]'s stateless md5-threshold filter
+    * (salted by the seed, no shuffle, no rand()): the fit set is
+    * DETERMINISTIC under any partitioning or rerun, so rebuilds
+    * reproduce. `fitFraction` must leave at least `nlist` rows (KMeans
+    * needs k points); size it to O(100·nlist) rows — centroid quality
+    * plateaus there while the fit cost drops from O(corpus) to O(sample)
+    * per iteration. Assignment routes through [[assignToCentroids]], so a
+    * corpus-scale `nlist` takes the O(1)-plan expression path
+    * automatically. */
+  def buildIvfSampled(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, fitFraction: Double, seed: Long = 42L): IvfIndex = {
+    require(fitFraction > 0.0 && fitFraction <= 1.0,
+      s"fitFraction must be in (0, 1], got $fitFraction")
+    val sampled = Corpus.mixtureSample(
+      corpus.withColumn("__g", lit("all")), "__g", idCol,
+      Map("all" -> fitFraction), salt = s"ivf-fit-$seed")
+    val feat = sampled.select(array_to_vector(col(vecCol)).as("__features"))
+    val model = new KMeans()
+      .setK(nlist).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("__features").setPredictionCol("list")
+      .fit(feat)
+    buildIvfFixed(corpus, idCol, vecCol, model.clusterCenters.map(_.toArray))
+  }
+
   /** Build an index from INJECTED centroids — no KMeans. This is (a) the
     * rebuild-from-known-centroids path and (b) what makes the IVF math
     * oracle-gateable: with fixed centroids, assignment and probe are pure
@@ -60,15 +92,43 @@ object Ann {
     IvfIndex(assignToCentroids(corpus, idCol, vecCol, centroids), centroids)
 
   /** Assign each row to its nearest centroid by squared L2 distance (ties →
-    * lower list id) — the same expression tree the probe side ranks with,
-    * shared by [[buildIvfFixed]] and [[appendToIvf]]. */
+    * lower list id) — the same centroid ranking the probe side uses
+    * ([[rankCentroids]]' two formulations, routed by nlist), shared by
+    * [[buildIvfFixed]] and [[appendToIvf]]. */
   def assignToCentroids(df: DataFrame, idCol: String, vecCol: String,
-      centroids: Array[Array[Double]]): DataFrame = {
-    val dist = centroidDistStructs(centroids, col(vecCol))
+      centroids: Array[Array[Double]]): DataFrame =
     df.select(col(idCol), col(vecCol),
-      element_at(array_sort(array(dist.toIndexedSeq: _*)), 1)
+      element_at(centroidRank(col(vecCol), centroids, 1), 1)
         .getField("list").as("list"))
-  }
+
+  /** nlist at or below which centroid ranking uses the literal
+    * expression-tree formulation — the oracle-parity path q74/q86 run
+    * (nlist 8 and 16). The tree is nlist × dim nodes, and its cost is in
+    * PLANNING, not arithmetic: IvfPathProbe (100k × dim-64 corpus)
+    * measures 26.7 s at nlist=64 (a 12k-node tree) against 0.13 s for the
+    * native path, and an optimizer-side OutOfMemory at nlist=256 — a
+    * cliff, not a slowdown, long before production nlist (≈√corpus).
+    * Above the cutoff ranking routes to
+    * [[graft.expressions.VectorExpressions.nearestCentroids]]: one
+    * expression node whose centroid matrix is a codegen REFERENCE OBJECT,
+    * identical arithmetic and tie order (AnnSpec gates equality, ties
+    * included), plan size O(1) in nlist (docs/SCALE.md r10 has the full
+    * measurements, including the broadcast-join alternative both paths
+    * beat). */
+  val LiteralTreeMaxNlist = 16
+
+  /** The `k` nearest (dist, list) structs per row, ascending (dist, list) —
+    * `literal` picks the formulation; [[centroidRank]] routes on nlist.
+    * Package-visible so AnnSpec can pin both paths against each other. */
+  private[graft] def rankCentroids(vec: org.apache.spark.sql.Column,
+      centroids: Array[Array[Double]], k: Int, literal: Boolean): org.apache.spark.sql.Column =
+    if (literal)
+      slice(array_sort(array(centroidDistStructs(centroids, vec).toIndexedSeq: _*)), 1, k)
+    else graft.expressions.VectorExpressions.nearestCentroids(vec, centroids, k)
+
+  private def centroidRank(vec: org.apache.spark.sql.Column,
+      centroids: Array[Array[Double]], k: Int): org.apache.spark.sql.Column =
+    rankCentroids(vec, centroids, k, literal = centroids.length <= LiteralTreeMaxNlist)
 
   /** Build-once cache keyed by corpus identity (the sf dir in this repo's
     * drivers). In production the IVF index is built offline and amortized
@@ -361,17 +421,16 @@ object Ann {
     * ints — the deliberate exception to the no-collect rule. */
   def ivfTopK(queries: DataFrame, index: IvfIndex, idCol: String, vecCol: String,
       k: Int, nprobe: Int): DataFrame = {
-    // rank centroids per query by squared L2 distance
-    val distCols = centroidDistStructs(index.centroids, col("qv"))
-    // localCheckpoint: the centroid-ranking tree is nlist × dim expression
-    // nodes — planning/codegen it is the expensive part at small batch
-    // sizes, and BOTH the probe-list collect and the join side would
-    // otherwise re-plan it. The checkpointed relation is batch-sized
-    // (queries × nprobe rows), never corpus-sized.
+    // localCheckpoint: the centroid ranking (literal tree at small nlist —
+    // planning/codegen it is the expensive part at small batch sizes — or
+    // the O(1)-plan native expression above the cutoff) would otherwise be
+    // re-planned by BOTH the probe-list collect and the join side. The
+    // checkpointed relation is batch-sized (queries × nprobe rows), never
+    // corpus-sized.
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         Similarity.norm(col(vecCol)).as("qn"))
-      .withColumn("probe", explode(slice(array_sort(array(distCols: _*)), 1, nprobe)))
+      .withColumn("probe", explode(centroidRank(col("qv"), index.centroids, nprobe)))
       .select(col("query_id"), col("qv"), col("qn"), col("probe.list").as("list"))
       .localCheckpoint()
     val probeLists = probes.select("list").distinct()

@@ -29,6 +29,106 @@ class AnnSpec extends SparkSpec {
     assert(counts.forall(_ <= 10))
   }
 
+  test("centroid ranking: native expression path == literal tree at nlist=256, ties included") {
+    // the scale path (one reference-object expression) must be
+    // arithmetic-identical to the literal tree it replaces above
+    // LiteralTreeMaxNlist — same squared-L2 accumulation order, same
+    // (dist asc, list asc) tie-break. Duplicate vectors AND duplicate
+    // centroids force exact distance ties on both axes.
+    import spark.implicits._
+    val dim = 16
+    val corpus = (0 until 400).map { i =>
+      val base = i % 200 // rows 200..399 duplicate 0..199
+      (i.toLong, Array.tabulate(dim)(j => (((base * 31 + j * 17) % 97) - 48) / 48.0f))
+    }.toDF("vec_id", "embedding")
+    val cents: Array[Array[Double]] = Array.tabulate(256) { c =>
+      val b = c % 128 // centroids 128..255 duplicate 0..127 -> exact dist ties
+      Array.tabulate(dim)(j => (((b * 13 + j * 7) % 89) - 44) / 44.0)
+    }
+    def canon(literal: Boolean): Map[Long, Seq[(Double, Int)]] = corpus
+      .select(col("vec_id"),
+        Ann.rankCentroids(col("embedding"), cents, k = 5, literal = literal).as("r"))
+      .collect().map { r =>
+        r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(s => (s.getDouble(0), s.getInt(1)))
+      }.toMap
+    val viaTree = canon(literal = true)
+    val viaExpr = canon(literal = false)
+    assert(viaExpr.size === 400)
+    assert(viaExpr === viaTree)
+    // the duplicate-centroid ties actually materialized AND broke low-first
+    val sawTie = viaExpr.values.exists(r => r.map(_._1).distinct.size < r.size)
+    assert(sawTie, "fixture produced no distance ties — tie-break untested")
+    viaExpr.values.foreach { r =>
+      r.groupBy(_._1).values.foreach { same =>
+        assert(same.map(_._2) === same.map(_._2).sorted, s"tie order not list-asc: $r")
+      }
+    }
+    // assignToCentroids itself routes to the expression path at 256 lists
+    // and must agree with a literal-tree assignment
+    val assigned = Ann.assignToCentroids(corpus, "vec_id", "embedding", cents)
+      .select("vec_id", "list").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assigned === viaTree.view.mapValues(_.head._2).toMap)
+  }
+
+  test("native centroid ranking: O(1) plan size, survives CODEGEN_ONLY at nlist=1024") {
+    // the literal tree's failure mode at production nlist is generated-code
+    // size (64KB method limit -> silent interpreted fallback) and plan-tree
+    // blowup. The native path must keep the plan O(1) in nlist and compile
+    // under CODEGEN_ONLY (which turns any codegen fallback into a failure).
+    // spark.range source (NOT a local Seq: ConvertToLocalRelation would
+    // eagerly eval the projection and leave nothing codegen'd to assert on)
+    val dim = 64
+    // plain array(...) construction, not a transform() lambda — HOFs are
+    // CodegenFallback and would break the projection out of WSCG on their
+    // own, masking what this test asserts about nearest_centroids
+    val corpus = spark.range(500).select(col("id").as("vec_id"),
+      array((0 until dim).map(j =>
+        ((col("id") * 31 + j * 17) % 97 - 48).cast("double").divide(lit(48.0))
+          .cast("float")): _*).as("embedding"))
+    val cents = Array.tabulate(1024)(c =>
+      Array.tabulate(dim)(j => (((c * 13 + j * 7) % 89) - 44) / 44.0))
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val ranked = corpus.select(col("vec_id"),
+        Ann.rankCentroids(col("embedding"), cents, k = 4, literal = false).as("r"))
+      val plan = ranked.queryExecution.executedPlan.toString
+      // "*(n) Project" = the projection runs INSIDE whole-stage codegen
+      assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined,
+        s"projection not inside WholeStageCodegen:\n${plan.take(2000)}")
+      // the 1024x64 centroid matrix prints as a bare reference ([[D@...)
+      // — expression STATE, not expression TREE
+      assert(plan.contains("[[D@"),
+        s"centroid matrix expanded into the plan:\n${plan.take(2000)}")
+      assert(plan.length < 20000,
+        s"plan grew with nlist (len=${plan.length}) — the literal-tree cliff is back")
+      assert(ranked.count() === 500) // executes with codegen mandatory
+    } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+  }
+
+  test("buildIvfSampled: sampled fit is deterministic, assigns the full corpus, recall holds") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val idx = Ann.buildIvfSampled(emb, "vec_id", "embedding", nlist = 8, fitFraction = 0.5)
+    assert(idx.centroids.length === 8)
+    // the FULL corpus is assigned even though only the sample was fitted
+    assert(idx.assigned.count() === emb.count())
+    assert(idx.assigned.filter(col("list").isNull || col("list") < 0 || col("list") >= 8).count() === 0)
+    // the md5-threshold sample makes rebuilds reproduce exactly
+    val idx2 = Ann.buildIvfSampled(emb, "vec_id", "embedding", nlist = 8, fitFraction = 0.5)
+    assert(idx.centroids.map(_.toSeq).toSeq === idx2.centroids.map(_.toSeq).toSeq)
+    // routing quality: same recall bar as the full-fit spec
+    val queries = emb.filter(col("vec_id") < 10)
+    val approx = Ann.ivfTopK(queries, idx, "vec_id", "embedding", k = 10, nprobe = 4)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    info(f"sampled-fit recall@10 nprobe=4/8: $recall%.3f")
+    assert(recall >= 0.7, f"recall too low: $recall%.3f")
+  }
+
   test("buildIvf handles a corpus smaller than nlist") {
     import spark.implicits._
     val tiny = Seq(
