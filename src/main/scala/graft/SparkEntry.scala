@@ -1856,6 +1856,76 @@ object SparkEntry {
         "doc_id", "text", threshold = 0.3)
         .select(col("id").as("doc_id"), col("is_dup"), col("dup_of"), col("jaccard"))
         .orderBy(col("doc_id"))
+    }),
+
+    // --- DELETION TIER under the oracle (MinHash): q71's ingest pipeline,
+    //     then deleteFromMinhashIndex takes down every live id with
+    //     doc_id % 7 == 0. Batch 2 is deduped TWICE — phase 0 against the
+    //     tombstone-filtered index (no rewrite yet), phase 1 after the
+    //     forced physical compaction — and phase 2 lists the surviving
+    //     manifest. The oracle recomputes all three relationally with the
+    //     deleted ids simply absent from the index side: a hash match
+    //     proves a deleted doc neither matches as dup_of nor appears in
+    //     the listing, identically on the anti-join path and the
+    //     physically-rewritten layout, and that nothing else was lost. ------
+    "q89_index_delete" -> ((s, dir) => {
+      val scratchDir = scratch("q89", dir)
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 5 >= 2)
+      val b1 = docs.filter(col("doc_id") % 5 === 0)
+      val b2 = docs.filter(col("doc_id") % 5 === 1)
+      Dedup.writeMinhashIndex(
+        Dedup.buildMinhashIndex(corpus, "doc_id", "text"), scratchDir)
+      Dedup.ingestCycle(b1, scratchDir, "doc_id", "text", threshold = 0.3)
+      Dedup.deleteFromMinhashIndex(s, scratchDir,
+        Dedup.minhashIndexIds(s, scratchDir).filter(col("id") % 7 === 0))
+      def verdicts(phase: Int) =
+        Dedup.dedupAgainstIndex(b2, Dedup.readMinhashIndex(s, scratchDir),
+          "doc_id", "text", threshold = 0.3)
+          .select(lit(phase.toLong).as("phase"), col("id").as("doc_id"),
+            col("is_dup"), col("dup_of"), col("jaccard"))
+      val v0 = verdicts(0).localCheckpoint() // pinned BEFORE the rewrite
+      Dedup.compactMinhashIndex(s, scratchDir) // forced by live tombstones
+      val v1 = verdicts(1)
+      val listing = Dedup.minhashIndexIds(s, scratchDir).select(
+        lit(2L).as("phase"), col("id").as("doc_id"),
+        lit(null).cast(BooleanType).as("is_dup"),
+        lit(null).cast(LongType).as("dup_of"),
+        lit(null).cast(DoubleType).as("jaccard"))
+      v0.unionByName(v1).unionByName(listing)
+        .orderBy(col("phase"), col("doc_id"))
+    }),
+
+    // --- DELETION TIER under the oracle (IVF): q74's fixed-centroid
+    //     pipeline, then deleteFromIvf takes down every vector with
+    //     vec_id % 9 == 0. The probe runs twice — phase 0 against the
+    //     tombstone anti-join, phase 1 after compactIvfOnline's physical
+    //     rewrite — under an oracle that is pure centroid/probe math over
+    //     the corpus WITHOUT the deleted vectors: the hash proves deleted
+    //     vectors never surface as neighbors on either path and every
+    //     surviving neighbor/rank/cosine is untouched. ----------------------
+    "q90_ivf_delete" -> ((s, dir) => {
+      import graft.operators.Ann
+      val scratchDir = scratch("q90", dir)
+      val emb = t(s, dir, "embeddings")
+      val centroids: Array[Array[Double]] = emb.filter(col("vec_id") < 8)
+        .orderBy("vec_id").select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val initial = emb.filter(col("vec_id") % 5 =!= 4)
+      val batch = emb.filter(col("vec_id") % 5 === 4)
+      Ann.writeIvf(Ann.buildIvfFixed(initial, "vec_id", "embedding", centroids), scratchDir)
+      Ann.appendToIvf(batch, scratchDir, "vec_id", "embedding")
+      Ann.deleteFromIvf(s, scratchDir,
+        emb.filter(col("vec_id") % 9 === 0).select(col("vec_id").as("id")))
+      def probe(phase: Int) =
+        Ann.ivfTopK(emb.filter(col("vec_id") % 101 === 7), Ann.readIvf(s, scratchDir),
+          "vec_id", "embedding", k = 5, nprobe = 4)
+          .select(lit(phase.toLong).as("phase"), col("query_id"),
+            col("rank").cast(LongType).as("rank"), col("neighbor_id"), col("cosine"))
+      val p0 = probe(0).localCheckpoint() // pinned BEFORE the rewrite
+      Ann.compactIvfOnline(s, scratchDir)
+      p0.unionByName(probe(1))
+        .orderBy(col("phase"), col("query_id"), col("rank"))
     })
   )
 
@@ -3728,6 +3798,98 @@ object SparkEntry {
         |  (coalesce(discount_percent, 0) >= 30 OR coalesce(discount_amount, 0) >= 100000) is_flash_sale,
         |  crawl_type, date_trunc('second', crawled_at) crawled_at,
         |  CAST(batch_id AS BIGINT) batch_id
-        |FROM ev2 WHERE crawl_type != 'no_change' ORDER BY batch_id, product_id""".stripMargin
+        |FROM ev2 WHERE crawl_type != 'no_change' ORDER BY batch_id, product_id""".stripMargin,
+
+    // q89 = q71's two-batch MinHash ingest model with deleted ids (% 7 = 0)
+    // simply ABSENT from the index side: `live` is the post-append id set,
+    // batch 2's candidates join live MINUS deleted, and the phase cross
+    // join asserts the tombstone-filtered (0) and physically-compacted (1)
+    // reads answer identically; phase 2 is the surviving manifest listing.
+    "q89_index_delete" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), t -> t != '') l
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+        |    ELSE list_distinct([array_to_string(l[i:i+2], ' ') FOR i IN range(1, len(l) - 1)]) END sh
+        |  FROM toks
+        |), sig AS (
+        |  SELECT doc_id, sh, [list_min([md5(i::VARCHAR || '|' || s) FOR s IN sh]) FOR i IN range(0, 12)] sg FROM sh
+        |), bands AS (
+        |  SELECT doc_id, unnest([b::VARCHAR || ':' || md5(array_to_string(sg[b*3+1:b*3+3], ',')) FOR b IN range(0, 4)]) bk FROM sig
+        |), cand1 AS (
+        |  SELECT DISTINCT x.doc_id id_a, y.doc_id id_b FROM bands x JOIN bands y ON x.bk = y.bk
+        |  WHERE x.doc_id % 5 = 0 AND y.doc_id % 5 >= 2
+        |), sj1 AS (
+        |  SELECT c.id_a, c.id_b,
+        |    round(len(list_intersect(a.sh, b.sh))::DOUBLE
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) jaccard
+        |  FROM cand1 c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+        |), dup1 AS (
+        |  SELECT DISTINCT id_a FROM sj1 WHERE jaccard >= 0.3
+        |), live AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 5 >= 2
+        |  UNION ALL
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT id_a FROM dup1)
+        |), cand2 AS (
+        |  SELECT DISTINCT x.doc_id id_a, y.doc_id id_b FROM bands x JOIN bands y ON x.bk = y.bk
+        |  WHERE x.doc_id % 5 = 1 AND y.doc_id % 7 != 0
+        |    AND y.doc_id IN (SELECT doc_id FROM live)
+        |), sj2 AS (
+        |  SELECT c.id_a, c.id_b,
+        |    round(len(list_intersect(a.sh, b.sh))::DOUBLE
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) jaccard
+        |  FROM cand2 c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+        |), best2 AS (
+        |  SELECT id_a, id_b, jaccard FROM sj2 WHERE jaccard >= 0.3
+        |  QUALIFY row_number() OVER (PARTITION BY id_a ORDER BY jaccard DESC, id_b ASC) = 1
+        |), verdicts AS (
+        |  SELECT d.doc_id, (h.id_b IS NOT NULL) AS is_dup, h.id_b AS dup_of, h.jaccard
+        |  FROM documents d LEFT JOIN best2 h ON h.id_a = d.doc_id
+        |  WHERE d.doc_id % 5 = 1
+        |)
+        |SELECT CAST(ph.phase AS BIGINT) AS phase, v.doc_id, v.is_dup, v.dup_of, v.jaccard
+        |FROM verdicts v CROSS JOIN (SELECT 0 AS phase UNION ALL SELECT 1) ph
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), doc_id, CAST(NULL AS BOOLEAN), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+        |FROM live WHERE doc_id % 7 != 0
+        |ORDER BY phase, doc_id""".stripMargin,
+
+    // q90 = q74's fixed-centroid probe math with deleted vectors (% 9 = 0)
+    // absent from the assigned corpus; the phase cross join asserts the
+    // tombstone anti-join (0) and the post-compaction physical layout (1)
+    // probe identically. Queries are untouched (they come from the source
+    // table, not the index).
+    "q90_ivf_delete" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS list, embedding FROM embeddings WHERE vec_id < 8
+        |), dist AS (
+        |  SELECT e.vec_id, c.list,
+        |    list_sum([(e.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)
+        |            * (e.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE) FOR i IN range(1, 65)]) d2
+        |  FROM embeddings e CROSS JOIN cent c
+        |), assigned AS (
+        |  SELECT vec_id, list FROM dist WHERE vec_id % 9 != 0
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, list ASC) = 1
+        |), qprobe AS (
+        |  SELECT vec_id AS query_id, list FROM dist WHERE vec_id % 101 = 7
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, list ASC) <= 4
+        |), scored AS (
+        |  SELECT qp.query_id, a.vec_id neighbor_id,
+        |    round(list_sum([q.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE FOR i IN range(1, 65)])
+        |      / (sqrt(list_sum([q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE FOR i IN range(1, 65)]))
+        |       * sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE FOR i IN range(1, 65)]))), 6) cosine
+        |  FROM qprobe qp
+        |  JOIN embeddings q ON q.vec_id = qp.query_id
+        |  JOIN assigned a ON a.list = qp.list AND a.vec_id != qp.query_id
+        |  JOIN embeddings e ON e.vec_id = a.vec_id
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) rk FROM scored
+        |)
+        |SELECT CAST(ph.phase AS BIGINT) AS phase, query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, cosine
+        |FROM r CROSS JOIN (SELECT 0 AS phase UNION ALL SELECT 1) ph
+        |WHERE rk <= 5
+        |ORDER BY phase, query_id, rank""".stripMargin
   )
 }

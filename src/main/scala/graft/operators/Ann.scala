@@ -237,28 +237,71 @@ object Ann {
     * row per indexed vector — what the streaming replay guard anti-joins
     * against, instead of `distinct`-scanning the whole assigned tree per
     * micro-batch. Falls back to that scan for legacy layouts without a
-    * manifest. */
+    * manifest. Tombstoned ids ([[deleteFromIvf]]) are excluded — the
+    * manifest view agrees with the probe view. */
   def ivfIds(spark: SparkSession, path: String): DataFrame = {
     val gen = requireGen(spark, path)
     val ids = new Path(gen, "ids")
-    if (fsOf(spark, ids).exists(ids)) spark.read.parquet(ids.toString)
-    else {
-      val assigned = spark.read.parquet(new Path(gen, "assigned").toString)
-      assigned.select(col(assigned.columns.head).as("id")).distinct()
+    val base =
+      if (fsOf(spark, ids).exists(ids)) spark.read.parquet(ids.toString)
+      else {
+        val assigned = spark.read.parquet(new Path(gen, "assigned").toString)
+        assigned.select(col(assigned.columns.head).as("id")).distinct()
+      }
+    ivfTombstonesOf(spark, gen) match {
+      case None => base
+      case Some(ts) => base.join(broadcast(ts), Seq("id"), "left_anti")
     }
+  }
+
+  /** DELETION TIER for a persisted IVF layout — [[graft.operators.Dedup
+    * .deleteFromMinhashIndex]]'s twin, same contract: the ids land in a
+    * tombstone relation inside the live generation, [[readIvf]] and
+    * [[ivfIds]] anti-join them out immediately (O(tombstones) per probe,
+    * broadcast — the relation is at most manifest-sized), and the next
+    * [[compactIvfOnline]] (or an offline rebuild) drops the rows
+    * PHYSICALLY and clears the tombstones, since both read the corpus
+    * through the filtered [[readIvf]]. The partition-local [[compactIvf]]
+    * pass rewrites raw files and deliberately does NOT resolve
+    * tombstones — physical removal rides the reader-atomic generation
+    * swap, where result-invisibility is already the discipline. Same
+    * re-ingest contract: a tombstoned id must not be re-appended while
+    * its tombstone is live (the anti-join would hide the new rows until
+    * compaction clears it). Idempotent; returns the count of distinct
+    * ids tombstoned in this call. */
+  def deleteFromIvf(spark: SparkSession, path: String, ids: DataFrame): Long = {
+    val gen = requireGen(spark, path)
+    val ts = ids.toDF("id").distinct().localCheckpoint()
+    ts.coalesce(1).write.mode("append").parquet(new Path(gen, "tombstones").toString)
+    ts.count()
+  }
+
+  private def ivfTombstonesOf(spark: SparkSession, gen: Path): Option[DataFrame] = {
+    val p = new Path(gen, "tombstones")
+    if (fsOf(spark, p).exists(p)) Some(spark.read.parquet(p.toString)) else None
   }
 
   private def requireGen(spark: SparkSession, path: String): Path =
     graft.store.Generations.requireCommitted(spark, path)
 
   /** Load the latest committed generation. The corpus side is a lazy
-    * partitioned scan — pruning happens per probe inside [[ivfTopK]]. */
+    * partitioned scan — pruning happens per probe inside [[ivfTopK]].
+    * Tombstoned vectors ([[deleteFromIvf]]) are anti-joined out, so they
+    * can never surface as neighbors; the `list` partition filter pushes
+    * through the anti-join's left side, keeping the probe's directory
+    * pruning intact (AnnSpec asserts both on a tombstoned layout). */
   def readIvf(spark: SparkSession, path: String): IvfIndex = {
     val gen = requireGen(spark, path)
     val centroids = spark.read.parquet(new Path(gen, "centroids").toString)
       .select("list", "centroid").orderBy("list").collect()
       .map(_.getSeq[Double](1).toArray)
-    IvfIndex(spark.read.parquet(new Path(gen, "assigned").toString), centroids)
+    val assigned = spark.read.parquet(new Path(gen, "assigned").toString)
+    val live = ivfTombstonesOf(spark, gen) match {
+      case None => assigned
+      case Some(ts) => assigned.join(broadcast(ts),
+        assigned(assigned.columns.head) === ts("id"), "left_anti")
+    }
+    IvfIndex(live, centroids)
   }
 
   /** Drop all but the newest `keep` committed generations (plus any

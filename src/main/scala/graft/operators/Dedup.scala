@@ -217,12 +217,71 @@ object Dedup {
 
   /** Load the latest committed generation (lazy scans). The bands relation
     * carries the `__bkt` partition column when read from a bucketed
-    * layout; [[dedupAgainstIndex]] prunes on it. */
+    * layout; [[dedupAgainstIndex]] prunes on it. Tombstoned documents
+    * ([[deleteFromMinhashIndex]]) are anti-joined OUT of both relations —
+    * a deleted document can never surface as a match witness or
+    * contribute shingles to a verify join. */
   def readMinhashIndex(spark: org.apache.spark.sql.SparkSession, path: String): MinhashIndex = {
     val gen = graft.store.Generations.requireCommitted(spark, path)
-    MinhashIndex(spark.read.parquet(s"$gen/bands"), spark.read.parquet(s"$gen/shingles"),
-      genBandBuckets(spark, gen.toString))
+    val (bands, shingles) = minusTombstones(spark, gen.toString,
+      spark.read.parquet(s"$gen/bands"), spark.read.parquet(s"$gen/shingles"))
+    MinhashIndex(bands, shingles, genBandBuckets(spark, gen.toString))
   }
+
+  /** DELETION TIER for a persisted index — the takedown path (PII removal,
+    * retention-expired corpus slices) that previously needed a full
+    * rebuild, O(corpus) per takedown. `deleteFromMinhashIndex` appends the
+    * ids to a tombstone relation INSIDE the live generation; every reader
+    * ([[readMinhashIndex]], [[minhashIndexIds]]) anti-joins it out, so the
+    * documents stop matching and stop being listed IMMEDIATELY at
+    * O(tombstones) per probe (the relation broadcasts — it is at most
+    * manifest-sized). The next [[compactMinhashIndex]] run drops the
+    * tombstoned rows PHYSICALLY (its rewrite reads through the filtered
+    * relations) and clears the tombstones with them — a generation with
+    * live tombstones always compacts, thresholds or not. Cost model:
+    * takedown itself is O(ids) — one tiny parquet append — and the
+    * O(corpus) rewrite is deferred into the compaction the index was
+    * already paying.
+    *
+    * CONTRACT: a tombstoned id must NOT be re-ingested while its
+    * tombstone is live — the anti-join filters the id wholesale, so
+    * re-appended rows would be invisible until the next compaction (which
+    * clears the tombstone and makes the id ingestable again). Takedown
+    * ids do not return in practice; the streaming sinks' replay guards
+    * read the filtered manifest, so they treat a deleted id as new —
+    * replaying a batch containing one re-ingests it, which is exactly the
+    * caller-owned hazard this contract names. Idempotent: re-deleting an
+    * id appends a duplicate tombstone row that changes nothing and is
+    * cleared by the same compaction. Returns the count of distinct ids
+    * tombstoned in this call. */
+  def deleteFromMinhashIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: DataFrame): Long = {
+    val gen = graft.store.Generations.requireCommitted(spark, path)
+    val ts = ids.toDF("id").distinct().localCheckpoint()
+    ts.coalesce(1).write.mode("append").parquet(s"$gen/tombstones")
+    ts.count()
+  }
+
+  /** The live generation's tombstone relation, if any deletions are
+    * pending compaction. */
+  private def tombstonesOf(spark: org.apache.spark.sql.SparkSession,
+      gen: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$gen/tombstones")
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      Some(spark.read.parquet(p.toString))
+    else None
+  }
+
+  /** Anti-join pending tombstones out of the index relations (no-op —
+    * identical frames, unchanged plans — when none are pending). */
+  private def minusTombstones(spark: org.apache.spark.sql.SparkSession, gen: String,
+      bands: DataFrame, shingles: DataFrame): (DataFrame, DataFrame) =
+    tombstonesOf(spark, gen) match {
+      case None => (bands, shingles)
+      case Some(ts) =>
+        (bands.join(broadcast(ts), Seq("id"), "left_anti"),
+          shingles.join(broadcast(ts), Seq("id"), "left_anti"))
+    }
 
   /** The id manifest of the latest committed generation: one narrow row
     * per indexed document id. This is what per-batch replay guards read —
@@ -234,8 +293,15 @@ object Dedup {
     val gen = graft.store.Generations.requireCommitted(spark, path)
     val ids = new org.apache.hadoop.fs.Path(s"$gen/ids")
     val fs = ids.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(ids)) spark.read.parquet(ids.toString)
-    else spark.read.parquet(s"$gen/bands").select("id").distinct()
+    val base =
+      if (fs.exists(ids)) spark.read.parquet(ids.toString)
+      else spark.read.parquet(s"$gen/bands").select("id").distinct()
+    // a tombstoned id is no longer IN the index — the manifest view agrees
+    // with the probe view ([[deleteFromMinhashIndex]]'s contract)
+    tombstonesOf(spark, gen.toString) match {
+      case None => base
+      case Some(ts) => base.join(broadcast(ts), Seq("id"), "left_anti")
+    }
   }
 
   /** Data-file counts of the latest committed generation — the
@@ -485,7 +551,11 @@ object Dedup {
       targetFiles, bandsBytes / newBuckets, maxFileBytes)
     val shinglesTarget = Compact.resolveTarget(
       targetFiles, Compact.dataSizeBytes(spark, s"$gen/shingles"), maxFileBytes)
-    if (newBuckets == curBuckets &&
+    // pending tombstones force the rewrite regardless of file thresholds:
+    // "the next compaction drops deleted rows physically" is the deletion
+    // tier's contract, and the filtered read below is what enforces it
+    val hasTombstones = tombstonesOf(spark, gen.toString).isDefined
+    if (!hasTombstones && newBuckets == curBuckets &&
         bandsFiles <= math.max(minFiles, filesPerBucket) &&
         shinglesFiles <= math.max(minFiles, shinglesTarget)) 0
     else {

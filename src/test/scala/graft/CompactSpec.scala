@@ -132,6 +132,81 @@ class CompactSpec extends SparkSpec {
     assert(graft.store.Generations.genDirs(spark, path).size === 2)
   }
 
+  test("deleteFromMinhashIndex: immediate filtering, physical removal at compaction") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val corpus = docs.filter(col("doc_id") % 3 === 0)
+    val path = tmp("graft_mh_del")
+    Dedup.writeMinhashIndex(Dedup.buildMinhashIndex(corpus, "doc_id", "text"), path)
+    val all = Dedup.minhashIndexIds(spark, path).collect().map(_.getLong(0)).toSet
+    val deleted = all.toSeq.sorted.take(5)
+    assert(Dedup.deleteFromMinhashIndex(spark, path, deleted.toDF("id")) === 5L)
+    // IMMEDIATE: every reader excludes the ids, no rewrite has happened
+    val idx = Dedup.readMinhashIndex(spark, path)
+    assert(idx.bands.filter(col("id").isin(deleted: _*)).count() === 0)
+    assert(idx.shingles.filter(col("id").isin(deleted: _*)).count() === 0)
+    assert(Dedup.minhashIndexIds(spark, path).collect().map(_.getLong(0)).toSet
+      === all -- deleted)
+    // ...while the raw generation still carries the rows (deferred removal)
+    val gen0 = graft.store.Generations.requireCommitted(spark, path).toString
+    assert(spark.read.parquet(s"$gen0/bands")
+      .filter(col("id").isin(deleted: _*)).count() > 0)
+    // re-deleting is idempotent (duplicate tombstone rows change nothing)
+    assert(Dedup.deleteFromMinhashIndex(spark, path, deleted.take(2).toDF("id")) === 2L)
+    // live tombstones force the compaction even below file thresholds
+    assert(Dedup.compactMinhashIndex(spark, path) === 1)
+    val gen1 = graft.store.Generations.requireCommitted(spark, path).toString
+    assert(gen1 !== gen0)
+    // PHYSICAL: gone from every raw relation, tombstones cleared with them
+    for (rel <- Seq("bands", "shingles", "ids"))
+      assert(spark.read.parquet(s"$gen1/$rel")
+        .filter(col("id").isin(deleted: _*)).count() === 0, s"$rel still carries deleted ids")
+    val fs = new org.apache.hadoop.fs.Path(gen1)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$gen1/tombstones")))
+    // survivors conserved exactly
+    assert(spark.read.parquet(s"$gen1/ids").count() === (all.size - 5).toLong)
+    // thresholds rule again once no tombstones are pending
+    assert(Dedup.compactMinhashIndex(spark, path) === 0)
+  }
+
+  test("deleteFromIvf: probes exclude immediately (still pruned), compaction removes physically") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val path = tmp("graft_ivf_del")
+    Ann.writeIvf(Ann.buildIvf(emb, "vec_id", "embedding", nlist = 4), path)
+    def probe() = Ann.ivfTopK(emb.filter(col("vec_id") < 3), Ann.readIvf(spark, path),
+      "vec_id", "embedding", k = 50, nprobe = 2)
+    val deleted = probe().select("neighbor_id").limit(4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(deleted.nonEmpty, "control failed: no neighbors to delete")
+    assert(Ann.deleteFromIvf(spark, path, deleted.toDF("id")) === deleted.size.toLong)
+    // IMMEDIATE: the corpus side and the manifest exclude the ids...
+    val idx = Ann.readIvf(spark, path)
+    assert(idx.assigned.filter(col("vec_id").isin(deleted: _*)).count() === 0)
+    assert(Ann.ivfIds(spark, path).filter(col("id").isin(deleted: _*)).count() === 0)
+    // ...former neighbors never surface again, and the probe scan keeps
+    // its list directory-pruning THROUGH the anti-join
+    val p1 = probe()
+    assert(p1.filter(col("neighbor_id").isin(deleted: _*)).count() === 0)
+    val plan = p1.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*list".r.findFirstIn(plan).isDefined,
+      s"tombstone anti-join broke partition pruning:\n${plan.take(4000)}")
+    val before = p1.collect().map(_.toString).sorted.toSeq
+    // PHYSICAL: the online compaction rewrites without the tombstoned rows
+    val gen0 = graft.store.Generations.requireCommitted(spark, path).toString
+    Ann.compactIvfOnline(spark, path)
+    val gen1 = graft.store.Generations.requireCommitted(spark, path).toString
+    assert(gen1 !== gen0)
+    val rawAssigned = spark.read.parquet(s"$gen1/assigned")
+    assert(rawAssigned.filter(col("vec_id").isin(deleted: _*)).count() === 0)
+    assert(spark.read.parquet(s"$gen1/ids")
+      .filter(col("id").isin(deleted: _*)).count() === 0)
+    val fs = new org.apache.hadoop.fs.Path(gen1)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$gen1/tombstones")))
+    assert(probe().collect().map(_.toString).sorted.toSeq === before,
+      "probe results must be identical across the physical removal")
+  }
+
   test("compactIvfOnline: new committed generation, one file per list, probe identical") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val path = tmp("graft_compact_ivf_online")
