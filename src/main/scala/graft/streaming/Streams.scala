@@ -1125,19 +1125,28 @@ object Streams {
   /** Progress-based drain for TTL'd queries — the `processAllAvailable`
     * replacement that cannot hang: waits (listener-latched, no
     * sleep-polling) until the query completes a micro-batch that read ZERO
-    * rows AND started strictly after this call. Batches are sequential, so
-    * a later empty batch proves every row available at call time has been
-    * processed through the sink — which is all `processAllAvailable`
-    * guarantees — while making no claim about sweep quiescence (under a
-    * TTL there is none). Throws [[java.util.concurrent.TimeoutException]]
-    * after `timeoutMs` (loud, never a silent short wait) and
-    * [[IllegalStateException]] if the query terminates first. */
+    * rows AND was TRIGGERED at or after this call. The trigger-time
+    * condition matters: under a TTL, empty sweep batches churn
+    * continuously, so an in-flight sweep that STARTED before the caller's
+    * data was added can complete just after the call — a later batch-ID
+    * alone would accept it and return with the data unprocessed (the spec
+    * caught exactly that race). A batch triggered after the call reads the
+    * source after every row added before the call, and batches are
+    * sequential — so one such EMPTY batch proves everything available at
+    * call time has been processed through the sink, which is all
+    * `processAllAvailable` guarantees (no claim about sweep quiescence;
+    * under a TTL there is none). Throws
+    * [[java.util.concurrent.TimeoutException]] after `timeoutMs` (loud,
+    * never a silent short wait) and [[IllegalStateException]] if the query
+    * terminates first. */
   def drainTtlQuery(q: StreamingQuery, timeoutMs: Long = 60000L): Unit = {
     import org.apache.spark.sql.streaming.StreamingQueryListener
     val spark = q.sparkSession
-    val entry = q.recentProgress.lastOption.map(_.batchId).getOrElse(-1L)
+    val callMs = System.currentTimeMillis()
+    def triggeredMs(ts: String): Long =
+      try java.time.Instant.parse(ts).toEpochMilli catch { case _: Throwable => Long.MinValue }
     def drained: Boolean =
-      q.recentProgress.exists(p => p.batchId > entry && p.numInputRows == 0)
+      q.recentProgress.exists(p => triggeredMs(p.timestamp) >= callMs && p.numInputRows == 0)
     val gate = new Object
     val listener = new StreamingQueryListener {
       override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
