@@ -93,33 +93,32 @@ object Ann {
 
   /** Assign each row to its nearest centroid by squared L2 distance (ties →
     * lower list id) — the same centroid ranking the probe side uses
-    * ([[rankCentroids]]' two formulations, routed by nlist), shared by
-    * [[buildIvfFixed]] and [[appendToIvf]]. */
+    * ([[rankCentroids]], native formulation), shared by [[buildIvfFixed]]
+    * and [[appendToIvf]]. */
   def assignToCentroids(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]]): DataFrame =
     df.select(col(idCol), col(vecCol),
       element_at(centroidRank(col(vecCol), centroids, 1), 1)
         .getField("list").as("list"))
 
-  /** nlist at or below which centroid ranking uses the literal
-    * expression-tree formulation — the oracle-parity path q74/q86 run
-    * (nlist 8 and 16). The tree is nlist × dim nodes, and its cost is in
-    * PLANNING, not arithmetic: IvfPathProbe (100k × dim-64 corpus)
-    * measures 26.7 s at nlist=64 (a 12k-node tree) against 0.13 s for the
-    * native path, and an optimizer-side OutOfMemory at nlist=256 — a
-    * cliff, not a slowdown, long before production nlist (≈√corpus).
-    * Above the cutoff ranking routes to
-    * [[graft.expressions.VectorExpressions.nearestCentroids]]: one
-    * expression node whose centroid matrix is a codegen REFERENCE OBJECT,
-    * identical arithmetic and tie order (AnnSpec gates equality, ties
-    * included), plan size O(1) in nlist (docs/SCALE.md r10 has the full
-    * measurements, including the broadcast-join alternative both paths
-    * beat). */
-  val LiteralTreeMaxNlist = 16
-
-  /** The `k` nearest (dist, list) structs per row, ascending (dist, list) —
-    * `literal` picks the formulation; [[centroidRank]] routes on nlist.
-    * Package-visible so AnnSpec can pin both paths against each other. */
+  /** The `k` nearest (dist, list) structs per row, ascending (dist, list).
+    * `literal = true` is the original nlist × dim expression-tree
+    * formulation (per-centroid `(element_at(v,j) − c_j)²` chains,
+    * array_sorted); `literal = false` is
+    * [[graft.expressions.VectorExpressions.nearestCentroids]] — the same
+    * arithmetic and tie order as ONE codegen'd node whose centroid matrix
+    * is a reference object. The native form is the production path at
+    * EVERY nlist: the tree's cost is in planning/codegen, not arithmetic —
+    * IvfPathProbe (100k × dim-64) measures 26.7 s at nlist=64 against
+    * 0.13 s native with an optimizer OOM at nlist=256 (the scale cliff),
+    * and even at the oracle-gated sizes (nlist 8–16) the tree's planning
+    * tax is measurable: q86 8.4 → 4.8 s, q45 1.2 → 0.5 s, q90 7.3 → 4.5 s
+    * warm when routed native (QueryProbe, sf0.1). The literal formulation
+    * survives as the INDEPENDENT REFERENCE IMPLEMENTATION AnnSpec pins the
+    * native path against — equality including exact distance ties — on top
+    * of the DuckDB oracle gating the same math end-to-end (q74/q86/q90).
+    * docs/SCALE.md r10 has the full measurements, including the
+    * broadcast-join alternative both formulations beat. */
   private[graft] def rankCentroids(vec: org.apache.spark.sql.Column,
       centroids: Array[Array[Double]], k: Int, literal: Boolean): org.apache.spark.sql.Column =
     if (literal)
@@ -128,7 +127,7 @@ object Ann {
 
   private def centroidRank(vec: org.apache.spark.sql.Column,
       centroids: Array[Array[Double]], k: Int): org.apache.spark.sql.Column =
-    rankCentroids(vec, centroids, k, literal = centroids.length <= LiteralTreeMaxNlist)
+    rankCentroids(vec, centroids, k, literal = false)
 
   /** Build-once cache keyed by corpus identity (the sf dir in this repo's
     * drivers). In production the IVF index is built offline and amortized

@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 import graft.operators.Ann
 
 /** Dev probe: IVF centroid-ranking formulations at production-ish nlist —
-  * the evidence behind [[graft.operators.Ann.LiteralTreeMaxNlist]] and the
-  * native-expression scale path (docs/SCALE.md r10 section).
+  * the evidence behind making [[graft.expressions.NearestCentroidsExpr]]
+  * the production centroid-ranking path at every nlist (docs/SCALE.md r10
+  * section).
   *
   * Three formulations of "assign each vector to its nearest of nlist
   * centroids", timed end-to-end (plan + codegen + execute) on a 100k x

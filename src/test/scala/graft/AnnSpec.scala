@@ -30,11 +30,12 @@ class AnnSpec extends SparkSpec {
   }
 
   test("centroid ranking: native expression path == literal tree at nlist=256, ties included") {
-    // the scale path (one reference-object expression) must be
-    // arithmetic-identical to the literal tree it replaces above
-    // LiteralTreeMaxNlist — same squared-L2 accumulation order, same
-    // (dist asc, list asc) tie-break. Duplicate vectors AND duplicate
-    // centroids force exact distance ties on both axes.
+    // the production path (one reference-object expression) must be
+    // arithmetic-identical to the literal expression tree it replaced —
+    // same squared-L2 accumulation order, same (dist asc, list asc)
+    // tie-break; the tree survives as this independent reference
+    // implementation. Duplicate vectors AND duplicate centroids force
+    // exact distance ties on both axes.
     import spark.implicits._
     val dim = 16
     val corpus = (0 until 400).map { i =>
