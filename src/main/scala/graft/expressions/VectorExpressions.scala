@@ -38,6 +38,31 @@ import org.apache.spark.sql.types._
   */
 object VectorFns {
 
+  /** Dot product of two equal-length vectors, accumulated in ascending
+    * index order with double adds — bit-identical to the
+    * `aggregate(zip_with(x, y, p·q), 0.0, acc + v)` formulation it
+    * replaces (same fold order, same double rounding; ExpressionsSpec
+    * pins the equality), but codegen'd: higher-order-function lambdas are
+    * interpreted per ELEMENT per row, which made the old form the
+    * dominant per-pair cost of every cosine in the similarity family.
+    * Length mismatch throws (the HOF form returned a silent null).
+    * Elements must be non-null. */
+  def dotProduct(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"vector_dot: length mismatch ($n vs ${b.numElements()})")
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      s += x * y
+      i += 1
+    }
+    s
+  }
+
   /** The `k` nearest rows of `cents` to `vec` by squared L2, ascending
     * (dist, list) — list ids are centroid array indices. `isFloat` picks
     * the element reader (`array<float>` corpus vs `array<double>`). */
@@ -132,8 +157,40 @@ case class NearestCentroidsExpr(child: Expression,
     copy(child = newChild)
 }
 
+/** `vector_dot(a, b)` — codegen'd double dot product; see
+  * [[VectorFns.dotProduct]] for the arithmetic contract. */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def prettyName: String = "vector_dot"
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"vector_dot expects array<float> or array<double> input, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorFns.dotProduct(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.VectorFns.dotProduct($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API surface. */
 object VectorExpressions {
   def nearestCentroids(vec: Column, centroids: Array[Array[Double]], k: Int): Column =
     Bridge.column(NearestCentroidsExpr(Bridge.expression(vec), centroids, k))
+
+  def dot(a: Column, b: Column): Column =
+    Bridge.column(DotProductExpr(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -16,11 +16,22 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** Dot product of two float vectors as a pure expression
-    * (`zip_with` + `aggregate`) — codegen-friendly, no UDF. */
+  /** Dot product of two float/double vectors — the native codegen'd
+    * [[graft.expressions.DotProductExpr]]. The original
+    * `aggregate(zip_with(...))` formulation is arithmetic-identical (same
+    * index-order double accumulation — ExpressionsSpec pins bit-identical
+    * doubles) but INTERPRETED: Spark's higher-order functions evaluate
+    * their lambdas per element outside codegen. At the gated sf0.1 scale
+    * the difference is invisible (few scored pairs, dim 64 — A/B probed,
+    * no delta), which is exactly why it needed its own measurement: at
+    * corpus shape the HOF form is the dominant per-pair cost — DotProbe
+    * times 2M pairs at 1.5 s (dim 64) to 7–23 s (dim 256–768) interpreted
+    * vs 0.26–0.41 s native. Every cosine in the similarity family
+    * (brute-force/LSH/IVF scoring, embedding near-dup verify) rides this.
+    * The HOF form survives in ExpressionsSpec as the reference
+    * implementation. */
   def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
+    graft.expressions.VectorExpressions.dot(x, y)
 
   /** L2 norm. Materialize per row before pairwise joins — computing it
     * inside `cosine` would redo the self-dot once per pair. */

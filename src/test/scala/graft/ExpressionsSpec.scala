@@ -32,6 +32,41 @@ class ExpressionsSpec extends SparkSpec {
     assert(empty.head().getLong(0) === 0L)
   }
 
+  test("vector_dot == the aggregate(zip_with(...)) reference, bit-identical doubles") {
+    // the native codegen'd dot product must reproduce the interpreted HOF
+    // formulation it replaced EXACTLY — same index-order double
+    // accumulation, so the same rounding — on real embeddings, float and
+    // double element types alike. java.lang.Double.compare-level equality
+    // (collect as Double bits), not approximate.
+    import org.apache.spark.sql.types.DoubleType
+    val emb = Tables.embeddings(spark, sfDir).limit(200)
+    def hofDot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
+        lit(0.0), (acc, v) => acc + v)
+    val pairs = emb.select(col("vec_id"), col("embedding").as("a"))
+      .crossJoin(emb.limit(7).select(col("embedding").as("b"),
+        transform(col("embedding"), e => e.cast(DoubleType)).as("bd")))
+    val got = pairs.select(col("vec_id"),
+        graft.expressions.VectorExpressions.dot(col("a"), col("b")).as("nat_ff"),
+        hofDot(col("a"), col("b")).as("ref_ff"),
+        graft.expressions.VectorExpressions.dot(col("a"), col("bd")).as("nat_fd"),
+        hofDot(col("a"), col("bd")).as("ref_fd"))
+      .collect()
+    assert(got.length === 200 * 7)
+    got.foreach { r =>
+      assert(java.lang.Double.compare(r.getDouble(1), r.getDouble(2)) === 0,
+        s"float/float dot diverged for vec ${r.getLong(0)}: ${r.getDouble(1)} vs ${r.getDouble(2)}")
+      assert(java.lang.Double.compare(r.getDouble(3), r.getDouble(4)) === 0,
+        s"float/double dot diverged for vec ${r.getLong(0)}: ${r.getDouble(3)} vs ${r.getDouble(4)}")
+    }
+    // length mismatch fails loudly (the HOF form returned a silent null)
+    import spark.implicits._
+    val bad = Seq((Array(1.0f, 2.0f), Array(1.0f))).toDF("a", "b")
+    val e = intercept[Exception](
+      bad.select(graft.expressions.VectorExpressions.dot(col("a"), col("b"))).head())
+    assert(e.getMessage != null)
+  }
+
   test("expressions are registered as SQL functions on a live session") {
     GraftSession.registerOn(spark)
     val r = spark.sql(
