@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftx.Bridge
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native centroid-ranking kernel for the IVF index
   * ([[graft.operators.Ann]]) — the scale path past literal expression
@@ -157,6 +158,91 @@ case class NearestCentroidsExpr(child: Expression,
     copy(child = newChild)
 }
 
+/** Word-n-gram kernel for the shingling hot path — see
+  * [[WordNgramsExpr]]. */
+object TextFns {
+
+  /** N-gram strings over a token array, single-space joined — exactly
+    * `when(size < n, array(array_join(ts, " "))).otherwise(transform(
+    * sequence(...), i => array_join(slice(ts, i, n), " ")))`, the HOF
+    * formulation it replaces (which interprets its lambda per POSITION
+    * per document and re-slices the array each time). `distinct = true`
+    * folds `array_distinct` in (first-occurrence order, same as the
+    * built-in). Tokens must be non-null (the tokenizer filters empties). */
+  def wordNgrams(tokens: ArrayData, n: Int, distinct: Boolean): ArrayData = {
+    val len = tokens.numElements()
+    if (len < n) {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < len) {
+        if (i > 0) sb.append(' ')
+        sb.append(tokens.getUTF8String(i).toString)
+        i += 1
+      }
+      return new GenericArrayData(Array[Any](UTF8String.fromString(sb.toString)))
+    }
+    val count = len - n + 1
+    val toks = new Array[String](len)
+    var i = 0
+    while (i < len) { toks(i) = tokens.getUTF8String(i).toString; i += 1 }
+    if (!distinct) {
+      val out = new Array[Any](count)
+      i = 0
+      while (i < count) {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      val seen = new java.util.LinkedHashSet[String](count * 2)
+      i = 0
+      while (i < count) {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      i = 0
+      while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+      new GenericArrayData(out)
+    }
+  }
+}
+
+/** `word_ngrams(tokens)` — codegen'd n-gram shingling; the per-document
+  * kernel under every MinHash/Jaccard operator. */
+case class WordNgramsExpr(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression {
+
+  override def prettyName: String = "word_ngrams"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextFns.wordNgrams(input.asInstanceOf[ArrayData], n, distinct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.TextFns.wordNgrams($c, $n, $distinct)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgramsExpr =
+    copy(child = newChild)
+}
+
 /** `vector_dot(a, b)` — codegen'd double dot product; see
   * [[VectorFns.dotProduct]] for the arithmetic contract. */
 case class DotProductExpr(left: Expression, right: Expression)
@@ -193,4 +279,7 @@ object VectorExpressions {
 
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotProductExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  def wordNgrams(tokens: Column, n: Int, distinct: Boolean): Column =
+    Bridge.column(WordNgramsExpr(Bridge.expression(tokens), n, distinct))
 }

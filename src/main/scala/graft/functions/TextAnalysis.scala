@@ -27,15 +27,17 @@ object TextAnalysis {
   def bpeTokenCount(c: Column): Column =
     size(regexp_extract_all(c, lit("[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]"), lit(0)))
 
-  /** Shingles from a pre-materialized token array column. Prefer staging
-    * `tokens(c)` into its own projection first — the shingle expression
-    * references the token array once per output element. */
+  /** DISTINCT shingles from a pre-materialized token array column (prefer
+    * staging `tokens(c)` into its own projection first). Routed through
+    * the native [[graft.expressions.WordNgramsExpr]]: the
+    * `array_distinct(transform(sequence(...), i => array_join(slice(...))))`
+    * formulation is result-identical (ExpressionsSpec pins it, and
+    * ShingleProbe found 0 mismatches over 100k real documents) but its
+    * lambda is interpreted per POSITION per document, re-slicing the
+    * array each time — ShingleProbe measures 3.6 s vs 0.9 s native for
+    * 100k docs. This kernel sits under every MinHash/Jaccard operator. */
   def shinglesFromTokens(ts: Column, n: Int): Column =
-    array_distinct(
-      when(size(ts) < n, array(array_join(ts, " ")))
-        .otherwise(transform(
-          sequence(lit(1), size(ts) - (n - 1)),
-          i => array_join(slice(ts, i, lit(n)), " "))))
+    graft.expressions.VectorExpressions.wordNgrams(ts, n, distinct = true)
 
   /** Word n-gram shingles (distinct), the dedup unit for MinHash/Jaccard. */
   def wordShingles(c: Column, n: Int): Column = shinglesFromTokens(tokens(c), n)
@@ -149,10 +151,7 @@ object TextAnalysis {
     * (distinct shingles would hide exactly what repetition scoring looks
     * for). Documents shorter than `n` tokens yield a single n-gram. */
   def rawNgrams(ts: Column, n: Int): Column =
-    when(size(ts) < n, array(array_join(ts, " ")))
-      .otherwise(transform(
-        sequence(lit(1), size(ts) - (n - 1)),
-        i => array_join(slice(ts, i, lit(n)), " ")))
+    graft.expressions.VectorExpressions.wordNgrams(ts, n, distinct = false)
 
   /** Fraction of duplicated n-grams: 1 − distinct/total (0 for empty docs).
     * The Gopher/C4-style repetition signal — high values mean boilerplate

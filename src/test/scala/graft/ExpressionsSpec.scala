@@ -67,6 +67,42 @@ class ExpressionsSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("word_ngrams == the transform/slice/array_join reference, raw and distinct") {
+    // the native shingling kernel must reproduce the HOF formulation it
+    // replaced exactly — order included (array_distinct keeps first
+    // occurrence; so does the native LinkedHashSet) — on real documents
+    // plus the short-document and empty edge cases.
+    def hofRaw(ts: org.apache.spark.sql.Column, n: Int) =
+      when(size(ts) < n, array(array_join(ts, " ")))
+        .otherwise(transform(
+          sequence(lit(1), size(ts) - (n - 1)),
+          i => array_join(slice(ts, i, lit(n)), " ")))
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("ts"))
+    for (n <- Seq(2, 3, 7)) {
+      val diff = toks.select(
+          hofRaw(col("ts"), n).as("h"),
+          graft.expressions.VectorExpressions.wordNgrams(col("ts"), n, distinct = false).as("nr"),
+          array_distinct(hofRaw(col("ts"), n)).as("hd"),
+          graft.expressions.VectorExpressions.wordNgrams(col("ts"), n, distinct = true).as("nd"))
+        .filter(col("h") =!= col("nr") || col("hd") =!= col("nd")).count()
+      assert(diff === 0, s"n=$n diverged from the HOF reference")
+    }
+    import spark.implicits._
+    val edge = Seq("", "one", "two words", "a a a a a").toDF("t")
+      .select(tokens(col("t")).as("ts"))
+      .select(
+        hofRaw(col("ts"), 3).as("h"),
+        graft.expressions.VectorExpressions.wordNgrams(col("ts"), 3, distinct = false).as("nr"),
+        array_distinct(hofRaw(col("ts"), 3)).as("hd"),
+        graft.expressions.VectorExpressions.wordNgrams(col("ts"), 3, distinct = true).as("nd"))
+      .collect()
+    edge.foreach { r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1))
+      assert(r.getSeq[String](2) === r.getSeq[String](3))
+    }
+  }
+
   test("expressions are registered as SQL functions on a live session") {
     GraftSession.registerOn(spark)
     val r = spark.sql(
