@@ -72,6 +72,13 @@ object GraftSession {
     Bridge.registerFunction(s, "simhash64",
       args => SimHashExpr(args.head,
         args(1).asInstanceOf[Literal].value.asInstanceOf[Int]))
+    Bridge.registerFunction(s, "vector_dot",
+      args => graft.expressions.DotProductExpr(args.head, args(1)))
+    Bridge.registerFunction(s, "word_ngrams",
+      args => graft.expressions.WordNgramsExpr(args.head,
+        args(1).asInstanceOf[Literal].value.asInstanceOf[Int],
+        if (args.length > 2) args(2).asInstanceOf[Literal].value.asInstanceOf[Boolean]
+        else false))
     graft.functions.NameCleaner.register(s)
   }
 }

@@ -109,6 +109,14 @@ class ExpressionsSpec extends SparkSpec {
       "SELECT simhash64(array('a','b'), 16) fp, minhash_signature(array('a','b'), 4) sig")
       .head()
     assert(r.getSeq[String](1).length === 4)
+    // the r10 vector/text kernels are on the SQL surface too
+    val v = spark.sql(
+      "SELECT vector_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) d, " +
+        "word_ngrams(array('a','b','c'), 2) raw, " +
+        "word_ngrams(array('a','b','a','b'), 2, true) dst").head()
+    assert(v.getDouble(0) === 11.0)
+    assert(v.getSeq[String](1) === Seq("a b", "b c"))
+    assert(v.getSeq[String](2) === Seq("a b", "b a"))
     // SQL surface agrees with the Column surface
     import spark.implicits._
     val viaCol = Seq(("a b")).toDF("t")
