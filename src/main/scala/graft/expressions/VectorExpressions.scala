@@ -162,6 +162,18 @@ case class NearestCentroidsExpr(child: Expression,
   * [[WordNgramsExpr]]. */
 object TextFns {
 
+  /** Tokens contained in `words` — see [[StopwordHitsExpr]]. */
+  def stopwordHits(tokens: ArrayData, words: java.util.HashSet[UTF8String]): Int = {
+    val len = tokens.numElements()
+    var n = 0
+    var i = 0
+    while (i < len) {
+      if (words.contains(tokens.getUTF8String(i))) n += 1
+      i += 1
+    }
+    n
+  }
+
   /** N-gram strings over a token array, single-space joined — exactly
     * `when(size < n, array(array_join(ts, " "))).otherwise(transform(
     * sequence(...), i => array_join(slice(ts, i, n), " ")))`, the HOF
@@ -223,6 +235,38 @@ object TextFns {
   }
 }
 
+/** `stopword_hits(tokens)` — the number of tokens contained in a fixed
+  * word set, exactly `size(filter(tokenArr, t => words.map(w => t === w)
+  * .reduce(_ || _)))` (binary string equality both ways), the
+  * language-ID / stopword-ratio kernel. The HOF form interprets its
+  * lambda per token — and language ID evaluates it once per LANGUAGE per
+  * document; this is one hashed containment check per token per call. */
+case class StopwordHitsExpr(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+
+  override def prettyName: String = "stopword_hits"
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  // rebuilt lazily wherever the expression deserializes (executors)
+  @transient private lazy val wordSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.size * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextFns.stopwordHits(input.asInstanceOf[ArrayData], wordSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val set = ctx.addReferenceObj("stopwords", wordSet, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextFns.stopwordHits($c, $set)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StopwordHitsExpr =
+    copy(child = newChild)
+}
+
 /** `word_ngrams(tokens)` — codegen'd n-gram shingling; the per-document
   * kernel under every MinHash/Jaccard operator. */
 case class WordNgramsExpr(child: Expression, n: Int, distinct: Boolean)
@@ -282,4 +326,7 @@ object VectorExpressions {
 
   def wordNgrams(tokens: Column, n: Int, distinct: Boolean): Column =
     Bridge.column(WordNgramsExpr(Bridge.expression(tokens), n, distinct))
+
+  def stopwordHits(tokens: Column, words: Seq[String]): Column =
+    Bridge.column(StopwordHitsExpr(Bridge.expression(tokens), words))
 }

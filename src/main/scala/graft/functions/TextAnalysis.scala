@@ -103,9 +103,14 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "de", "et", "est", "un", "une", "pour", "dans", "que"),
     "vi" -> Seq("và", "của", "là", "có", "không", "được", "cho", "với", "này", "các"))
 
+  /** score(lang) via the native [[graft.expressions.StopwordHitsExpr]] —
+    * the `size(filter(tokenArr, 10-way-OR))` formulation it replaces is
+    * result-identical (binary string equality both ways; ExpressionsSpec
+    * pins it) but interprets its lambda per token per LANGUAGE per
+    * document — 50 interpreted comparisons/token under [[langPredict]]'s
+    * five-language argmax, on a full-corpus scan path (curation gates). */
   def langScore(tokenArr: Column, lang: String): Column = {
-    val sw = stopwords(lang)
-    val hits = size(filter(tokenArr, t => sw.map(w => t === w).reduce(_ || _)))
+    val hits = graft.expressions.VectorExpressions.stopwordHits(tokenArr, stopwords(lang))
     when(size(tokenArr) > 0, round(hits.cast(DoubleType) / size(tokenArr), 6)).otherwise(0.0)
   }
 
@@ -164,11 +169,12 @@ object TextAnalysis {
       .otherwise(0.0)
   }
 
-  /** Stopword ratio (any language) — a classic quality signal. */
+  /** Stopword ratio (any language) — a classic quality signal. Native
+    * kernel, same rationale as [[langScore]]. */
   def stopwordRatio(tokenArr: Column): Column = {
     val all = stopwords.values.flatten.toSeq.distinct
     when(size(tokenArr) > 0,
-      round(size(filter(tokenArr, t => all.map(w => t === w).reduce(_ || _))).cast(DoubleType)
+      round(graft.expressions.VectorExpressions.stopwordHits(tokenArr, all).cast(DoubleType)
         / size(tokenArr), 6)).otherwise(0.0)
   }
 }

@@ -49,6 +49,28 @@ object ShingleProbe {
         TextAnalysis.shinglesFromTokens(col("__toks"), 3).as("n2"))
       .filter(col("h") =!= col("n1") || col("hd") =!= col("n2")).count()
     println(s"[shingleprobe] mismatches=$diff")
+    // language-ID kernel: HOF stopword filter (x5 languages under the
+    // argmax) vs the native containment count
+    def hofScore(ts: org.apache.spark.sql.Column, lang: String) = {
+      val sw = TextAnalysis.stopwords(lang)
+      val hits = size(filter(ts, t => sw.map(w => t === w).reduce(_ || _)))
+      when(size(ts) > 0, round(hits.cast("double") / size(ts), 6)).otherwise(0.0)
+    }
+    def hofPredict(ts: org.apache.spark.sql.Column) = {
+      val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+      val scored = langs.zipWithIndex.map { case (l, i) =>
+        struct(hofScore(ts, l).as("s"), lit(langs.size - 1 - i).as("inv"), lit(l).as("l"))
+      }
+      array_max(array(scored: _*)).getField("l")
+    }
+    time("hof    langPredict")(toks.select(
+      count(when(hofPredict(col("__toks")) === "en", 1))).head)
+    time("native langPredict")(toks.select(
+      count(when(TextAnalysis.langPredict(col("__toks")) === "en", 1))).head)
+    val ldiff = toks.select(hofPredict(col("__toks")).as("h"),
+        TextAnalysis.langPredict(col("__toks")).as("n"))
+      .filter(col("h") =!= col("n")).count()
+    println(s"[shingleprobe] lang mismatches=$ldiff")
     spark.stop()
   }
 }

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.expressions.HashExpressions
+import graft.functions.TextAnalysis
 import graft.functions.TextAnalysis._
 
 /** Native sketch expressions: differential-tested against the pure
@@ -101,6 +102,27 @@ class ExpressionsSpec extends SparkSpec {
       assert(r.getSeq[String](0) === r.getSeq[String](1))
       assert(r.getSeq[String](2) === r.getSeq[String](3))
     }
+  }
+
+  test("stopword_hits == the size(filter(...)) reference on real documents") {
+    // the native containment count must equal the HOF filter formulation
+    // token-for-token (binary string equality both ways) for every
+    // language list — langPredict's argmax rides on these counts
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("ts"))
+    TextAnalysis.stopwords.foreach { case (lang, sw) =>
+      val diff = toks.select(
+          size(filter(col("ts"), t => sw.map(w => t === w).reduce(_ || _))).as("h"),
+          graft.expressions.VectorExpressions.stopwordHits(col("ts"), sw).as("n"))
+        .filter(col("h") =!= col("n")).count()
+      assert(diff === 0, s"$lang diverged from the HOF reference")
+    }
+    // empty token array counts zero
+    import spark.implicits._
+    val z = Seq("").toDF("t").select(
+      graft.expressions.VectorExpressions.stopwordHits(tokens(col("t")),
+        TextAnalysis.stopwords("en")))
+    assert(z.head().getInt(0) === 0)
   }
 
   test("expressions are registered as SQL functions on a live session") {
