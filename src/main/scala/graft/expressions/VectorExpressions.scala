@@ -162,6 +162,39 @@ case class NearestCentroidsExpr(child: Expression,
   * [[WordNgramsExpr]]. */
 object TextFns {
 
+  /** One-pass whitespace tokenizer — see [[TokenizeExpr]]. Splits on the
+    * six Java-regex `\s` bytes (safe on raw UTF-8: multibyte sequences
+    * never contain ASCII bytes) and lowercases per token with THE SAME
+    * primitive Spark's `lower()` resolves under the default UTF8_BINARY
+    * collation (`CollationSupport.Lower`, ICU-backed — NOT
+    * `UTF8String.toLowerCase`, whose Greek final-sigma context rule
+    * differs; the fuzz differential caught exactly that, e.g.
+    * "tΣߋq" → "tςߋq" under Spark's lower vs "tσߋq" under UTF8String).
+    * Per-token lowercasing equals whole-string lowercasing: case
+    * mappings never produce or consume whitespace, and the one
+    * context-sensitive mapping (final sigma) keys on word boundaries —
+    * which are exactly the split points. */
+  def tokenize(text: UTF8String): ArrayData = {
+    val b = text.getBytes
+    val n = b.length
+    def isWs(c: Byte): Boolean =
+      c == 0x20 || (c >= 0x09 && c <= 0x0D)
+    val out = new java.util.ArrayList[Any]()
+    var i = 0
+    while (i < n) {
+      if (isWs(b(i))) i += 1
+      else {
+        val start = i
+        while (i < n && !isWs(b(i))) i += 1
+        // collation 0 = UTF8_BINARY, useICU = true — the defaults Spark's
+        // Lower resolves on a stock session (ICU_CASE_MAPPINGS_ENABLED)
+        out.add(org.apache.spark.sql.catalyst.util.CollationSupport.Lower.exec(
+          UTF8String.fromBytes(b, start, i - start), 0, true))
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Tokens contained in `words` — see [[StopwordHitsExpr]]. */
   def stopwordHits(tokens: ArrayData, words: java.util.HashSet[UTF8String]): Int = {
     val len = tokens.numElements()
@@ -233,6 +266,33 @@ object TextFns {
       new GenericArrayData(out)
     }
   }
+}
+
+/** `tokenize(text)` — lowercase whitespace tokens in ONE string scan,
+  * exactly `filter(split(trim(regexp_replace(lower(c), "\\s+", " ")),
+  * " "), t => t =!= "")`: maximal runs of non-`\s` bytes, lowercased
+  * (both formulations split on Java-regex ASCII `\s`; Unicode spaces
+  * like NBSP stay inside tokens in both). The chained form materializes
+  * the lowered string, runs the regex engine over it, materializes the
+  * collapsed string, splits, then filters through an interpreted
+  * lambda — five passes with three intermediate allocations for the
+  * single hottest text kernel (everything tokenizes first). Gated by a
+  * full-corpus differential, a unicode fuzz property, and the oracle
+  * (every MinHash hash rides on these exact token strings). */
+case class TokenizeExpr(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "tokenize"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextFns.tokenize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextFns.tokenize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenizeExpr =
+    copy(child = newChild)
 }
 
 /** `stopword_hits(tokens)` — the number of tokens contained in a fixed
@@ -329,4 +389,7 @@ object VectorExpressions {
 
   def stopwordHits(tokens: Column, words: Seq[String]): Column =
     Bridge.column(StopwordHitsExpr(Bridge.expression(tokens), words))
+
+  def tokenize(text: Column): Column =
+    Bridge.column(TokenizeExpr(Bridge.expression(text)))
 }

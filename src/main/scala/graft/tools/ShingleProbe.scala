@@ -71,6 +71,19 @@ object ShingleProbe {
         TextAnalysis.langPredict(col("__toks")).as("n"))
       .filter(col("h") =!= col("n")).count()
     println(s"[shingleprobe] lang mismatches=$ldiff")
+    // tokenizer: the five-pass lower/regex/split/filter chain vs the
+    // one-pass native kernel
+    def hofTok(c: org.apache.spark.sql.Column) =
+      filter(split(trim(regexp_replace(lower(c), "\\s+", " ")), " "), t => t =!= "")
+    for (_ <- 1 to 2) {
+      time("hof    tokenize")(docs.select(sum(size(hofTok(col("text"))))).head)
+      time("native tokenize")(docs.select(
+        sum(size(graft.expressions.VectorExpressions.tokenize(col("text"))))).head)
+    }
+    val tdiff = docs.select(hofTok(col("text")).as("h"),
+        graft.expressions.VectorExpressions.tokenize(col("text")).as("n"))
+      .filter(col("h") =!= col("n")).count()
+    println(s"[shingleprobe] tokenize mismatches=$tdiff")
     spark.stop()
   }
 }

@@ -125,6 +125,52 @@ class ExpressionsSpec extends SparkSpec {
     assert(z.head().getInt(0) === 0)
   }
 
+  test("tokenize == the lower/regex/split/filter reference: corpus, edges, unicode fuzz") {
+    // every MinHash hash and every text operator rides on these exact
+    // token strings — the native tokenizer must match the five-pass
+    // reference chain byte-for-byte on anything a corpus can contain
+    def hofTokens(c: org.apache.spark.sql.Column) =
+      filter(split(trim(regexp_replace(lower(c), "\\s+", " ")), " "), t => t =!= "")
+    val native = graft.expressions.VectorExpressions.tokenize _
+    // 1) the full real corpus
+    val docs = Tables.documents(spark, sfDir)
+    assert(docs.select(hofTokens(col("text")).as("h"), native(col("text")).as("n"))
+      .filter(col("h") =!= col("n")).count() === 0, "corpus diverged")
+    // 2) adversarial edges: unicode spaces stay IN tokens (java \s is
+    //    ASCII), Greek final sigma (context-sensitive lowercase), Turkish
+    //    dotted I, Vietnamese diacritics, every \s byte, astral plane
+    import spark.implicits._
+    val edges = Seq("", " ", "   ", "\t\r\n", "a", " a ", "a  b",
+      "A B", " ", "ΣΟΦΟΣ ΟΔΥΣΣΕΥΣ ΑΣ", "İstanbul I ı İ",
+      "ĐẸP ĐẼ đẹp", "ẨM THỰC VIỆT", "𝔘nicode 𝒜stral", "ＦＵＬＬ　ＷＩＤＴＨ",
+      "a\tb\rc\ndef", "ß STRASSE", "ǅungla ǆep")
+    val edgeDiff = edges.toDF("t")
+      .select(hofTokens(col("t")).as("h"), native(col("t")).as("n"))
+      .filter(col("h") =!= col("n")).count()
+    assert(edgeDiff === 0, "edge strings diverged")
+    // 3) seeded fuzz: 500 strings mixing printable ASCII, BMP unicode and
+    //    whitespace runs (deterministic — failures reproduce)
+    val rnd = new scala.util.Random(20260814L)
+    def fuzzString(): String = {
+      val n = rnd.nextInt(40)
+      (0 until n).map { _ =>
+        rnd.nextInt(6) match {
+          case 0 => (' ' + rnd.nextInt(95)).toChar // printable ASCII
+          case 1 => "\t\n\r "(rnd.nextInt(6)) // \s bytes
+          case 2 => "    　"(rnd.nextInt(5)) // unicode space (NOT \s)
+          case 3 => ('À' + rnd.nextInt(0x1000)).toChar // BMP letters
+          case 4 => "ΣσςİıßĐđẸẹ"(rnd.nextInt(10))
+          case _ => ('a' + rnd.nextInt(26)).toChar
+        }
+      }.mkString
+    }
+    val fuzz = (0 until 500).map(_ => fuzzString())
+    val fuzzDf = fuzz.toDF("t")
+      .select(col("t"), hofTokens(col("t")).as("h"), native(col("t")).as("n"))
+    val bad = fuzzDf.filter(col("h") =!= col("n")).select("t").collect()
+    assert(bad.isEmpty, s"fuzz diverged on: ${bad.take(3).map(_.getString(0)).mkString("; ")}")
+  }
+
   test("expressions are registered as SQL functions on a live session") {
     GraftSession.registerOn(spark)
     val r = spark.sql(
