@@ -74,6 +74,8 @@ object GraftSession {
         args(1).asInstanceOf[Literal].value.asInstanceOf[Int]))
     Bridge.registerFunction(s, "vector_dot",
       args => graft.expressions.DotProductExpr(args.head, args(1)))
+    Bridge.registerFunction(s, "tokenize",
+      args => graft.expressions.TokenizeExpr(args.head))
     Bridge.registerFunction(s, "word_ngrams",
       args => graft.expressions.WordNgramsExpr(args.head,
         args(1).asInstanceOf[Literal].value.asInstanceOf[Int],

@@ -185,6 +185,8 @@ class ExpressionsSpec extends SparkSpec {
     assert(v.getDouble(0) === 11.0)
     assert(v.getSeq[String](1) === Seq("a b", "b c"))
     assert(v.getSeq[String](2) === Seq("a b", "b a"))
+    assert(spark.sql("SELECT tokenize('  Hello\\tWORLD  ')").head()
+      .getSeq[String](0) === Seq("hello", "world"))
     // SQL surface agrees with the Column surface
     import spark.implicits._
     val viaCol = Seq(("a b")).toDF("t")
