@@ -1926,6 +1926,77 @@ object SparkEntry {
       Ann.compactIvfOnline(s, scratchDir)
       p0.unionByName(probe(1))
         .orderBy(col("phase"), col("query_id"), col("rank"))
+    }),
+
+    // --- RE-INGEST after takedown (MinHash): q89's delete pipeline, then
+    //     the EVEN multiples of 7 among the deleted ids come back with
+    //     their original text (the reference's cleanup→re-crawl cycle).
+    //     appendToMinhashIndex detects the tombstone hit, runs the forced
+    //     physical compaction inline (purging the old rows, clearing the
+    //     tombstones), and appends the fresh rows. Phase 0 dedups batch 2
+    //     against the healed index, phase 1 lists the manifest. The oracle
+    //     computes both with re-added ids simply PRESENT and dead ids
+    //     absent: a hash match proves a re-added doc matches as dup_of
+    //     again, its stale rows are gone (duplicate shingles would corrupt
+    //     every Jaccard it appears in), and odd multiples stayed dead. -----
+    "q91_index_reingest" -> ((s, dir) => {
+      val scratchDir = scratch("q91", dir)
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 5 >= 2)
+      val b1 = docs.filter(col("doc_id") % 5 === 0)
+      val b2 = docs.filter(col("doc_id") % 5 === 1)
+      Dedup.writeMinhashIndex(
+        Dedup.buildMinhashIndex(corpus, "doc_id", "text"), scratchDir)
+      Dedup.ingestCycle(b1, scratchDir, "doc_id", "text", threshold = 0.3)
+      val deleted = Dedup.minhashIndexIds(s, scratchDir)
+        .filter(col("id") % 7 === 0).localCheckpoint()
+      Dedup.deleteFromMinhashIndex(s, scratchDir, deleted)
+      val recrawl = docs.join(
+        deleted.filter(col("id") % 14 === 0).select(col("id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      Dedup.appendToMinhashIndex(recrawl, scratchDir, "doc_id", "text")
+      val verdicts =
+        Dedup.dedupAgainstIndex(b2, Dedup.readMinhashIndex(s, scratchDir),
+          "doc_id", "text", threshold = 0.3)
+          .select(lit(0L).as("phase"), col("id").as("doc_id"),
+            col("is_dup"), col("dup_of"), col("jaccard"))
+      val listing = Dedup.minhashIndexIds(s, scratchDir).select(
+        lit(1L).as("phase"), col("id").as("doc_id"),
+        lit(null).cast(BooleanType).as("is_dup"),
+        lit(null).cast(LongType).as("dup_of"),
+        lit(null).cast(DoubleType).as("jaccard"))
+      verdicts.unionByName(listing)
+        .orderBy(col("phase"), col("doc_id"))
+    }),
+
+    // --- RE-INGEST after takedown (IVF): q90's delete pipeline, then the
+    //     even multiples of 9 come back through appendToIvf, which detects
+    //     the tombstone hit and runs compactIvfOnline inline (purge +
+    //     clear) before appending. The probe runs against the healed
+    //     layout; the oracle is q90's probe math with re-added vectors
+    //     present and odd multiples of 9 absent — the hash proves re-added
+    //     vectors rank as neighbors again exactly once (surviving stale
+    //     rows would duplicate them and shift every rank below). ------------
+    "q92_ivf_reingest" -> ((s, dir) => {
+      import graft.operators.Ann
+      val scratchDir = scratch("q92", dir)
+      val emb = t(s, dir, "embeddings")
+      val centroids: Array[Array[Double]] = emb.filter(col("vec_id") < 8)
+        .orderBy("vec_id").select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val initial = emb.filter(col("vec_id") % 5 =!= 4)
+      val batch = emb.filter(col("vec_id") % 5 === 4)
+      Ann.writeIvf(Ann.buildIvfFixed(initial, "vec_id", "embedding", centroids), scratchDir)
+      Ann.appendToIvf(batch, scratchDir, "vec_id", "embedding")
+      Ann.deleteFromIvf(s, scratchDir,
+        emb.filter(col("vec_id") % 9 === 0).select(col("vec_id").as("id")))
+      Ann.appendToIvf(emb.filter(col("vec_id") % 18 === 0),
+        scratchDir, "vec_id", "embedding")
+      Ann.ivfTopK(emb.filter(col("vec_id") % 101 === 7), Ann.readIvf(s, scratchDir),
+        "vec_id", "embedding", k = 5, nprobe = 4)
+        .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+          col("neighbor_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -3890,6 +3961,95 @@ object SparkEntry {
         |SELECT CAST(ph.phase AS BIGINT) AS phase, query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, cosine
         |FROM r CROSS JOIN (SELECT 0 AS phase UNION ALL SELECT 1) ph
         |WHERE rk <= 5
-        |ORDER BY phase, query_id, rank""".stripMargin
+        |ORDER BY phase, query_id, rank""".stripMargin,
+
+    // q91 = q89's model with the final index side `live2`: the post-append
+    // live set minus deleted ids (% 7 = 0) PLUS the re-ingested even
+    // multiples (% 14 = 0). The oracle knows nothing about tombstones,
+    // purges, or generations — batch 2's candidates simply join live2, and
+    // phase 1 lists it. Blind to the heal mechanism, which is the point.
+    "q91_index_reingest" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), t -> t != '') l
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+        |    ELSE list_distinct([array_to_string(l[i:i+2], ' ') FOR i IN range(1, len(l) - 1)]) END sh
+        |  FROM toks
+        |), sig AS (
+        |  SELECT doc_id, sh, [list_min([md5(i::VARCHAR || '|' || s) FOR s IN sh]) FOR i IN range(0, 12)] sg FROM sh
+        |), bands AS (
+        |  SELECT doc_id, unnest([b::VARCHAR || ':' || md5(array_to_string(sg[b*3+1:b*3+3], ',')) FOR b IN range(0, 4)]) bk FROM sig
+        |), cand1 AS (
+        |  SELECT DISTINCT x.doc_id id_a, y.doc_id id_b FROM bands x JOIN bands y ON x.bk = y.bk
+        |  WHERE x.doc_id % 5 = 0 AND y.doc_id % 5 >= 2
+        |), sj1 AS (
+        |  SELECT c.id_a, c.id_b,
+        |    round(len(list_intersect(a.sh, b.sh))::DOUBLE
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) jaccard
+        |  FROM cand1 c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+        |), dup1 AS (
+        |  SELECT DISTINCT id_a FROM sj1 WHERE jaccard >= 0.3
+        |), live AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 5 >= 2
+        |  UNION ALL
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT id_a FROM dup1)
+        |), live2 AS (
+        |  SELECT doc_id FROM live WHERE doc_id % 7 != 0 OR doc_id % 14 = 0
+        |), cand2 AS (
+        |  SELECT DISTINCT x.doc_id id_a, y.doc_id id_b FROM bands x JOIN bands y ON x.bk = y.bk
+        |  WHERE x.doc_id % 5 = 1 AND y.doc_id IN (SELECT doc_id FROM live2)
+        |), sj2 AS (
+        |  SELECT c.id_a, c.id_b,
+        |    round(len(list_intersect(a.sh, b.sh))::DOUBLE
+        |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) jaccard
+        |  FROM cand2 c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+        |), best2 AS (
+        |  SELECT id_a, id_b, jaccard FROM sj2 WHERE jaccard >= 0.3
+        |  QUALIFY row_number() OVER (PARTITION BY id_a ORDER BY jaccard DESC, id_b ASC) = 1
+        |), verdicts AS (
+        |  SELECT d.doc_id, (h.id_b IS NOT NULL) AS is_dup, h.id_b AS dup_of, h.jaccard
+        |  FROM documents d LEFT JOIN best2 h ON h.id_a = d.doc_id
+        |  WHERE d.doc_id % 5 = 1
+        |)
+        |SELECT CAST(0 AS BIGINT) AS phase, doc_id, is_dup, dup_of, jaccard FROM verdicts
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), doc_id, CAST(NULL AS BOOLEAN), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+        |FROM live2
+        |ORDER BY phase, doc_id""".stripMargin,
+
+    // q92 = q90's probe math with the assigned corpus = everything except
+    // the non-re-ingested deleted vectors (% 9 = 0 and % 18 != 0). Single
+    // phase — the probe runs once, against the healed layout.
+    "q92_ivf_reingest" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS list, embedding FROM embeddings WHERE vec_id < 8
+        |), dist AS (
+        |  SELECT e.vec_id, c.list,
+        |    list_sum([(e.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)
+        |            * (e.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE) FOR i IN range(1, 65)]) d2
+        |  FROM embeddings e CROSS JOIN cent c
+        |), assigned AS (
+        |  SELECT vec_id, list FROM dist WHERE vec_id % 9 != 0 OR vec_id % 18 = 0
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, list ASC) = 1
+        |), qprobe AS (
+        |  SELECT vec_id AS query_id, list FROM dist WHERE vec_id % 101 = 7
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, list ASC) <= 4
+        |), scored AS (
+        |  SELECT qp.query_id, a.vec_id neighbor_id,
+        |    round(list_sum([q.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE FOR i IN range(1, 65)])
+        |      / (sqrt(list_sum([q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE FOR i IN range(1, 65)]))
+        |       * sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE FOR i IN range(1, 65)]))), 6) cosine
+        |  FROM qprobe qp
+        |  JOIN embeddings q ON q.vec_id = qp.query_id
+        |  JOIN assigned a ON a.list = qp.list AND a.vec_id != qp.query_id
+        |  JOIN embeddings e ON e.vec_id = a.vec_id
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) rk FROM scored
+        |)
+        |SELECT query_id, CAST(rk AS BIGINT) AS rank, neighbor_id, cosine
+        |FROM r WHERE rk <= 5
+        |ORDER BY query_id, rank""".stripMargin
   )
 }

@@ -136,11 +136,20 @@ case class NearestCentroidsExpr(child: Expression,
 
   override def nullIntolerant: Boolean = true
 
+  // analysis-time type gate: a caller passing array<int> (the old HOF
+  // formulation casted silently) fails at analysis with a clear message,
+  // not mid-query from the kernel
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"nearest_centroids expects array<float> or array<double> input, got ${other.simpleString}")
+    }
+
   private def elemIsFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
-    case ArrayType(DoubleType, _) => false
-    case other => throw new IllegalArgumentException(
-      s"nearest_centroids expects array<float> or array<double> input, got ${other.simpleString}")
+    case _ => false // array<double>; anything else failed checkInputDataTypes
   }
 
   override protected def nullSafeEval(input: Any): Any =
@@ -155,6 +164,69 @@ case class NearestCentroidsExpr(child: Expression,
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroidsExpr =
+    copy(child = newChild)
+}
+
+/** [[NearestCentroidsExpr]] with the centroid matrix behind a Spark
+  * `Broadcast` — the plan-WEIGHT scale path past the reference-object
+  * form.
+  *
+  * A reference object serializes INSIDE the expression tree: every stage
+  * that evaluates the expression ships the whole matrix in its task
+  * binary, and every TASK deserializes it again (IvfPathProbe's dim-768
+  * leg measures the knee — per-stage cost grows linearly in nlist × dim
+  * once the matrix is tens of MB). Behind a Broadcast the tree carries
+  * only the handle: the matrix crosses the wire once per executor
+  * (torrent blocks), is deserialized once per executor JVM, and is
+  * REUSED across every stage and query that probes the same index —
+  * exactly the long-lived-index access pattern. Same kernel
+  * ([[VectorFns.nearestCentroids]]), bit-identical results (AnnSpec pins
+  * equality against the literal tree, ties included); the generated code
+  * unwraps the broadcast once into per-partition mutable state, so the
+  * per-row call is identical to the reference-object form. */
+case class NearestCentroidsBcastExpr(child: Expression,
+    centroids: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]], k: Int)
+    extends UnaryExpression {
+
+  override def prettyName: String = "nearest_centroids_bcast"
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("dist", DoubleType, nullable = false),
+      StructField("list", IntegerType, nullable = false))),
+    containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"nearest_centroids expects array<float> or array<double> input, got ${other.simpleString}")
+    }
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false // array<double>; anything else failed checkInputDataTypes
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorFns.nearestCentroids(input.asInstanceOf[ArrayData], centroids.value, k, elemIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // only the HANDLE is a reference object; the matrix is unwrapped once
+    // per generated-class instance into mutable state (one executor-local
+    // broadcast fetch), keeping the per-row call a plain array access
+    val bc = ctx.addReferenceObj("centroidsBc", centroids,
+      "org.apache.spark.broadcast.Broadcast")
+    val mat = ctx.addMutableState("double[][]", "centroidsMat",
+      v => s"$v = (double[][]) $bc.value();")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.VectorFns.nearestCentroids($c, $mat, $k, $elemIsFloat)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidsBcastExpr =
     copy(child = newChild)
 }
 
@@ -174,7 +246,7 @@ object TextFns {
     * mappings never produce or consume whitespace, and the one
     * context-sensitive mapping (final sigma) keys on word boundaries —
     * which are exactly the split points. */
-  def tokenize(text: UTF8String): ArrayData = {
+  def tokenize(text: UTF8String, useICU: Boolean): ArrayData = {
     val b = text.getBytes
     val n = b.length
     def isWs(c: Byte): Boolean =
@@ -186,10 +258,12 @@ object TextFns {
       else {
         val start = i
         while (i < n && !isWs(b(i))) i += 1
-        // collation 0 = UTF8_BINARY, useICU = true — the defaults Spark's
-        // Lower resolves on a stock session (ICU_CASE_MAPPINGS_ENABLED)
+        // collation 0 = UTF8_BINARY; useICU is the CALLER's resolution of
+        // ICU_CASE_MAPPINGS_ENABLED — exactly the two args Spark's Lower
+        // passes, so tokenize lowercases identically to lower() under
+        // whichever case-mapping backend the session runs
         out.add(org.apache.spark.sql.catalyst.util.CollationSupport.Lower.exec(
-          UTF8String.fromBytes(b, start, i - start), 0, true))
+          UTF8String.fromBytes(b, start, i - start), 0, useICU))
       }
     }
     new GenericArrayData(out.toArray)
@@ -285,11 +359,20 @@ case class TokenizeExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
+  // resolved from the active SQLConf at expression CONSTRUCTION (driver
+  // side, serialized with the tree) — a session that disables
+  // spark.sql.icu.caseMappings.enabled gets the same non-ICU lowercasing
+  // from tokenize as from lower() (which resolves the same conf), so the
+  // two can never silently diverge
+  private val useICU: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get.getConf(
+      org.apache.spark.sql.internal.SQLConf.ICU_CASE_MAPPINGS_ENABLED)
+
   override protected def nullSafeEval(input: Any): Any =
-    TextFns.tokenize(input.asInstanceOf[UTF8String])
+    TextFns.tokenize(input.asInstanceOf[UTF8String], useICU)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expressions.TextFns.tokenize($c)")
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextFns.tokenize($c, $useICU)")
 
   override protected def withNewChildInternal(newChild: Expression): TokenizeExpr =
     copy(child = newChild)
@@ -356,11 +439,24 @@ case class DotProductExpr(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 
+  // analysis-time type gate (see NearestCentroidsExpr's): each side must
+  // be array<float> or array<double>; the runtime keeps only the
+  // length-mismatch throw, which is data- not type-dependent
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"vector_dot expects array<float> or array<double> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
   private def isFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
-    case ArrayType(DoubleType, _) => false
-    case other => throw new IllegalArgumentException(
-      s"vector_dot expects array<float> or array<double> input, got ${other.simpleString}")
+    case _ => false // array<double>; anything else failed checkInputDataTypes
   }
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -380,6 +476,10 @@ case class DotProductExpr(left: Expression, right: Expression)
 object VectorExpressions {
   def nearestCentroids(vec: Column, centroids: Array[Array[Double]], k: Int): Column =
     Bridge.column(NearestCentroidsExpr(Bridge.expression(vec), centroids, k))
+
+  def nearestCentroidsBcast(vec: Column,
+      centroids: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]], k: Int): Column =
+    Bridge.column(NearestCentroidsBcastExpr(Bridge.expression(vec), centroids, k))
 
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotProductExpr(Bridge.expression(a), Bridge.expression(b)))

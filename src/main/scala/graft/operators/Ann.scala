@@ -74,7 +74,16 @@ object Ann {
     val sampled = Corpus.mixtureSample(
       corpus.withColumn("__g", lit("all")), "__g", idCol,
       Map("all" -> fitFraction), salt = s"ivf-fit-$seed")
-    val feat = sampled.select(array_to_vector(col(vecCol)).as("__features"))
+      .localCheckpoint() // the fit iterates maxIter times over this set
+    // the documented "must leave at least nlist rows" requirement, ENFORCED:
+    // a small corpus under a small fitFraction would otherwise reach
+    // KMeans.fit with fewer points than k and fail opaquely (or fit
+    // degenerate duplicate centroids) — fall back to the full-corpus fit,
+    // which buildIvf is already tested to survive at corpus < nlist
+    val fitSet =
+      if (sampled.count() >= nlist) sampled
+      else { sampled.unpersist(blocking = false); corpus }
+    val feat = fitSet.select(array_to_vector(col(vecCol)).as("__features"))
     val model = new KMeans()
       .setK(nlist).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("__features").setPredictionCol("list")
@@ -98,7 +107,7 @@ object Ann {
   def assignToCentroids(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]]): DataFrame =
     df.select(col(idCol), col(vecCol),
-      element_at(centroidRank(col(vecCol), centroids, 1), 1)
+      element_at(centroidRank(df, col(vecCol), centroids, 1), 1)
         .getField("list").as("list"))
 
   /** The `k` nearest (dist, list) structs per row, ascending (dist, list).
@@ -125,9 +134,46 @@ object Ann {
       slice(array_sort(array(centroidDistStructs(centroids, vec).toIndexedSeq: _*)), 1, k)
     else graft.expressions.VectorExpressions.nearestCentroids(vec, centroids, k)
 
-  private def centroidRank(vec: org.apache.spark.sql.Column,
-      centroids: Array[Array[Double]], k: Int): org.apache.spark.sql.Column =
-    rankCentroids(vec, centroids, k, literal = false)
+  /** Centroid-matrix size (cells = nlist × dim) past which the ranking
+    * expression carries the matrix behind a `Broadcast` handle instead of
+    * a codegen reference object. A reference object re-serializes inside
+    * EVERY stage's task binary and re-deserializes per task; the broadcast
+    * crosses the wire once per executor and is reused across stages and
+    * queries — the win appears once the matrix is tens of MB
+    * (IvfPathProbe's dim-768 leg). 2²⁰ cells ≈ 8 MB of doubles: below it
+    * the handle's indirection buys nothing, above it the per-stage
+    * serialization tax grows linearly while the broadcast's is one-time. */
+  private[graft] val BcastCentroidCells: Long = 1L << 20
+
+  /** Broadcast-per-matrix cache, weakly keyed by the matrix's identity: a
+    * long-lived index ([[readIvf]] result, [[persistedIvfCached]]) ranks
+    * with the SAME broadcast across all its probe batches instead of
+    * re-broadcasting per call. Weak keys let a dropped index's broadcast
+    * be reclaimed by Spark's ContextCleaner once the matrix is GC'd. */
+  private val centroidBcasts =
+    new java.util.WeakHashMap[Array[Array[Double]],
+      org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]]()
+  private def centroidBcast(spark: SparkSession, cents: Array[Array[Double]])
+      : org.apache.spark.broadcast.Broadcast[Array[Array[Double]]] =
+    centroidBcasts.synchronized {
+      val ex = centroidBcasts.get(cents)
+      if (ex != null) ex
+      else {
+        val b = spark.sparkContext.broadcast(cents)
+        centroidBcasts.put(cents, b)
+        b
+      }
+    }
+
+  private def centroidRank(df: DataFrame, vec: org.apache.spark.sql.Column,
+      centroids: Array[Array[Double]], k: Int): org.apache.spark.sql.Column = {
+    val cells = centroids.length.toLong *
+      (if (centroids.isEmpty) 0L else centroids(0).length.toLong)
+    if (cells >= BcastCentroidCells)
+      graft.expressions.VectorExpressions.nearestCentroidsBcast(
+        vec, centroidBcast(df.sparkSession, centroids), k)
+    else rankCentroids(vec, centroids, k, literal = false)
+  }
 
   /** Build-once cache keyed by corpus identity (the sf dir in this repo's
     * drivers). In production the IVF index is built offline and amortized
@@ -264,14 +310,19 @@ object Ann {
     * pass rewrites raw files and deliberately does NOT resolve
     * tombstones — physical removal rides the reader-atomic generation
     * swap, where result-invisibility is already the discipline. Same
-    * re-ingest contract: a tombstoned id must not be re-appended while
-    * its tombstone is live (the anti-join would hide the new rows until
-    * compaction clears it). Idempotent; returns the count of distinct
-    * ids tombstoned in this call. */
+    * enforced re-ingest contract: [[appendToIvf]] semi-joins the batch's
+    * ids against live tombstones and on a hit runs [[compactIvfOnline]]
+    * inline (purging the old vectors, clearing the tombstones) before
+    * appending — delete-then-re-add works, and the old rows can never
+    * resurface beside the new ones as duplicate neighbors. Idempotent;
+    * the tombstone relation is merge-rewritten past
+    * [[Dedup.TombstoneCompactFiles]] accumulated files (one per call),
+    * same single-writer contract as the appends. Returns the count of
+    * distinct ids tombstoned in this call. */
   def deleteFromIvf(spark: SparkSession, path: String, ids: DataFrame): Long = {
     val gen = requireGen(spark, path)
     val ts = ids.toDF("id").distinct().localCheckpoint()
-    ts.coalesce(1).write.mode("append").parquet(new Path(gen, "tombstones").toString)
+    Dedup.writeTombstones(spark, new Path(gen, "tombstones").toString, ts)
     ts.count()
   }
 
@@ -340,14 +391,24 @@ object Ann {
     * The batch schema is validated against the persisted corpus schema
     * first — same column names, same id/vector types — so a mismatched
     * caller fails here with a clear message instead of poisoning the
-    * directory with mixed-schema parquet that only breaks a later read. */
+    * directory with mixed-schema parquet that only breaks a later read.
+    *
+    * RE-INGEST of a tombstoned id ([[deleteFromIvf]]'s contract,
+    * [[Dedup.appendToMinhashIndex]]'s twin): with live tombstones the
+    * batch's ids are semi-joined against them (tombstone-free fast path
+    * costs one existence check); a hit runs [[compactIvfOnline]] inline —
+    * the reader-atomic rewrite live tombstones had already scheduled —
+    * purging the old vectors and clearing the tombstones, then the append
+    * lands in the fresh generation. Delete-then-re-add therefore works,
+    * and a re-added vector's stale rows can never pair with its new ones
+    * as duplicate neighbor candidates. */
   def appendToIvf(batch: DataFrame, path: String, idCol: String, vecCol: String): Unit = {
     val spark = batch.sparkSession
-    val gen = requireGen(spark, path)
-    val existing = spark.read.parquet(new Path(gen, "assigned").toString).schema
+    val gen0 = requireGen(spark, path)
+    val existing = spark.read.parquet(new Path(gen0, "assigned").toString).schema
     for (c <- Seq(idCol, vecCol)) {
       require(existing.fieldNames.contains(c),
-        s"appendToIvf: persisted layout at $gen has columns " +
+        s"appendToIvf: persisted layout at $gen0 has columns " +
           s"${existing.fieldNames.mkString("[", ", ", "]")} — no '$c'; " +
           "pass the same idCol/vecCol the index was built with")
       // nullability-insensitive — an encoder-built batch carries
@@ -356,8 +417,13 @@ object Ann {
       require(asNullable(batch.schema(c).dataType) == asNullable(existing(c).dataType),
         s"appendToIvf: column '$c' is ${batch.schema(c).dataType.simpleString} " +
           s"in the batch but ${existing(c).dataType.simpleString} in the persisted " +
-          s"layout at $gen — vector element types must match exactly")
+          s"layout at $gen0 — vector element types must match exactly")
     }
+    if (ivfTombstonesOf(spark, gen0).exists(ts => !batch.select(col(idCol).as("id"))
+        .join(broadcast(ts), Seq("id"), "left_semi").isEmpty))
+      compactIvfOnline(spark, path) // forced purge + tombstone clear, new generation
+    // re-resolve: the inline compaction (if any) committed a new generation
+    val gen = requireGen(spark, path)
     val centroids = spark.read.parquet(new Path(gen, "centroids").toString)
       .select("list", "centroid").orderBy("list").collect()
       .map(_.getSeq[Double](1).toArray)
@@ -472,7 +538,7 @@ object Ann {
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         Similarity.norm(col(vecCol)).as("qn"))
-      .withColumn("probe", explode(centroidRank(col("qv"), index.centroids, nprobe)))
+      .withColumn("probe", explode(centroidRank(queries, col("qv"), index.centroids, nprobe)))
       .select(col("query_id"), col("qv"), col("qn"), col("probe.list").as("list"))
       .localCheckpoint()
     val probeLists = probes.select("list").distinct()

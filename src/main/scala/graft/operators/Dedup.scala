@@ -243,23 +243,54 @@ object Dedup {
     * O(corpus) rewrite is deferred into the compaction the index was
     * already paying.
     *
-    * CONTRACT: a tombstoned id must NOT be re-ingested while its
-    * tombstone is live — the anti-join filters the id wholesale, so
-    * re-appended rows would be invisible until the next compaction (which
-    * clears the tombstone and makes the id ingestable again). Takedown
-    * ids do not return in practice; the streaming sinks' replay guards
-    * read the filtered manifest, so they treat a deleted id as new —
-    * replaying a batch containing one re-ingests it, which is exactly the
-    * caller-owned hazard this contract names. Idempotent: re-deleting an
-    * id appends a duplicate tombstone row that changes nothing and is
-    * cleared by the same compaction. Returns the count of distinct ids
+    * RE-INGEST: delete-then-re-add WORKS — the contract is enforced in
+    * code, not on the caller. [[appendToMinhashIndex]] semi-joins the
+    * batch's ids against live tombstones; on a hit it runs the forced
+    * physical compaction FIRST (the same reader-atomic rewrite that was
+    * already scheduled — live tombstones force it regardless of file
+    * thresholds), which purges every tombstoned id's rows and clears the
+    * tombstones, and only then appends. The re-added document is live
+    * immediately and its old rows are GONE — they can never double-count
+    * a shingle intersection or resurface stale content. The streaming
+    * sinks' replay guards read the filtered manifest, so they treat a
+    * deleted id as new — replaying a batch containing one re-ingests it
+    * through the same purge-then-append path (the reference's
+    * cleanup→re-crawl cycle, `tasks/detail.py:194-216`). Idempotent:
+    * re-deleting an id writes a duplicate tombstone row that changes
+    * nothing and is cleared by the same compaction. The tombstone
+    * relation itself is kept at a bounded file count: once a sustained
+    * takedown sequence accumulates more than [[TombstoneCompactFiles]]
+    * files (each call writes one), the next call merge-rewrites the
+    * relation as one deduplicated file — same single-writer contract as
+    * the appends it rides between. Returns the count of distinct ids
     * tombstoned in this call. */
   def deleteFromMinhashIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       ids: DataFrame): Long = {
     val gen = graft.store.Generations.requireCommitted(spark, path)
     val ts = ids.toDF("id").distinct().localCheckpoint()
-    ts.coalesce(1).write.mode("append").parquet(s"$gen/tombstones")
+    writeTombstones(spark, s"$gen/tombstones", ts)
     ts.count()
+  }
+
+  /** File-count bound on a generation's tombstone relation: each
+    * [[deleteFromMinhashIndex]] call appends one file, and every reader
+    * broadcast-scans the whole relation per probe — past this many files
+    * the next delete merge-rewrites it as one. */
+  val TombstoneCompactFiles = 8
+
+  /** Append `ts` to a tombstone relation, merge-rewriting (dedup'd, one
+    * file) instead when the accumulated file count exceeds
+    * [[TombstoneCompactFiles]]. The rewrite is in-place (read →
+    * localCheckpoint → overwrite) — safe under the index's single-writer
+    * contract, same as the in-place leaf compactions. */
+  private[graft] def writeTombstones(spark: org.apache.spark.sql.SparkSession,
+      dir: String, ts: DataFrame): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val exists = p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    if (exists && graft.store.Compact.dataFileCount(spark, dir) >= TombstoneCompactFiles)
+      spark.read.parquet(dir).unionByName(ts).distinct().localCheckpoint()
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+    else ts.coalesce(1).write.mode("append").parquet(dir)
   }
 
   /** The live generation's tombstone relation, if any deletions are
@@ -350,20 +381,45 @@ object Dedup {
     * is written by ONE task (`coalesce(1)` — still at most one file per
     * touched bucket, which is all `repartition(__bkt)` achieves) instead
     * of paying a 64-way shuffle whose every task writes a near-empty
-    * file; large appends keep the shuffle for write parallelism. */
+    * file; large appends keep the shuffle for write parallelism.
+    *
+    * RE-INGEST of a tombstoned id ([[deleteFromMinhashIndex]]'s contract):
+    * when the generation carries live tombstones, the batch's ids are
+    * semi-joined against them first (zero cost on the tombstone-free fast
+    * path — one driver-side existence check). A hit means a deleted
+    * document is coming back (the reference's cleanup→re-crawl cycle), so
+    * the forced physical compaction the live tombstones had ALREADY
+    * scheduled is run inline — purging the old rows and clearing the
+    * tombstones — and the append lands in the fresh generation. Without
+    * the purge the anti-join would hide the new rows, and clearing the
+    * tombstone alone would resurface the OLD rows beside them (duplicate
+    * shingles corrupt every future Jaccard the id participates in). Cost:
+    * O(batch) always; plus the index rewrite that was already owed, only
+    * in the rare re-ingest-under-tombstone event. */
   def appendToMinhashIndex(
       batch: DataFrame, path: String, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4,
       idsFrom: Option[DataFrame] = None, docsHint: Long = -1L): Unit = {
-    val gen = graft.store.Generations.requireCommitted(batch.sparkSession, path)
+    val spark = batch.sparkSession
     // .distinct() on idsFrom too: callers pass verdict rows (one per batch
     // row by contract), but a batch that violates ids-uniqueness would
     // otherwise write duplicate manifest entries that inflate every future
     // replay guard's id relation — survivor sets are small, the distinct
     // is cheap insurance
-    idsFrom.map(_.toDF("id").distinct())
+    val ids0 = idsFrom.map(_.toDF("id").distinct())
       .getOrElse(batch.select(col(idCol).as("id")).distinct())
-      .coalesce(1)
+    val gen0 = graft.store.Generations.requireCommitted(spark, path)
+    val ids = tombstonesOf(spark, gen0.toString) match {
+      case None => ids0
+      case Some(ts) =>
+        val ck = ids0.localCheckpoint()
+        if (!ck.join(broadcast(ts), Seq("id"), "left_semi").isEmpty)
+          compactMinhashIndex(spark, path) // forced by live tombstones: purge + clear
+        ck
+    }
+    // re-resolve: the inline compaction (if any) committed a new generation
+    val gen = graft.store.Generations.requireCommitted(spark, path)
+    ids.coalesce(1)
       .write.mode("append").parquet(s"$gen/ids")
     val banded = minhashBandKeys(batch, idCol, textCol, shingleN, numHashes, bands)
       .withColumn("__bkt",

@@ -1145,8 +1145,12 @@ object Streams {
     val callMs = System.currentTimeMillis()
     def triggeredMs(ts: String): Long =
       try java.time.Instant.parse(ts).toEpochMilli catch { case _: Throwable => Long.MinValue }
+    // STRICT >: progress timestamps are millisecond-truncated, so a sweep
+    // triggered in the SAME millisecond as this call could have fired
+    // before the caller's last addData completed — only a batch triggered
+    // in a LATER millisecond provably read the source after the call
     def drained: Boolean =
-      q.recentProgress.exists(p => triggeredMs(p.timestamp) >= callMs && p.numInputRows == 0)
+      q.recentProgress.exists(p => triggeredMs(p.timestamp) > callMs && p.numInputRows == 0)
     val gate = new Object
     val listener = new StreamingQueryListener {
       override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()

@@ -71,6 +71,54 @@ object IvfPathProbe {
       // join fan-out capped where its N x nlist row count stays sane
       if (nlist <= 256) time(f"bjoin   nlist=$nlist%-5d")(viaJoin(cents))
     }
+
+    // --- plan-WEIGHT leg (dim 768): reference object vs Broadcast handle.
+    // The arithmetic is held NEGLIGIBLE (320 rows, 32 partitions — ~10
+    // rows/task) so the per-query time is dominated by what the
+    // formulations differ in: the ref form java-serializes the centroid
+    // matrix into EVERY query's task binary and deserializes it once per
+    // TASK; the bcast form ships a handle and unwraps one executor-cached
+    // copy. Per leg: min of 3 identical queries with a System.gc() between
+    // (accumulated task binaries otherwise bleed GC pressure into later
+    // legs — observed as a 3x outlier on the first run of this probe);
+    // bcast's first rep additionally carries the one-time broadcast
+    // creation, which min-of-3 deliberately amortizes away, matching the
+    // long-lived-index usage the variant exists for.
+    val dim768 = 768
+    val n768 = 320
+    val corpus768 = spark.range(n768).repartition(32)
+      .select(col("id").as("vec_id"),
+        array((0 until dim768).map(j =>
+          ((col("id") * 31 + j * 17) % 97 - 48).cast("double").divide(lit(48.0))
+            .cast("float")): _*).as("embedding"))
+      .localCheckpoint()
+    println(s"[ivfprobe] dim-768 corpus rows=${corpus768.count()} partitions=32")
+    def sumList(rank: => org.apache.spark.sql.Column): Long =
+      corpus768.select(element_at(rank, 1).getField("list").as("list"))
+        .agg(sum("list")).head.getLong(0)
+    def time3(label: String)(f: => Long): Unit = {
+      val secs = (1 to 3).map { _ =>
+        System.gc()
+        val t0 = System.nanoTime()
+        val r = f
+        ((System.nanoTime() - t0) / 1e9, r)
+      }
+      println(f"[ivfprobe] $label min=${secs.map(_._1).min}%6.2fs  " +
+        f"all=[${secs.map(s => f"${s._1}%.2f").mkString(", ")}]  (sum=${secs.head._2})")
+    }
+    val refCap = sys.env.getOrElse("IVFPROBE_REF_CAP", "16384").toInt
+    for (nlist <- Seq(1024, 4096, 16384, 65536)) {
+      val mb = nlist.toLong * dim768 * 8 / (1 << 20)
+      val cents = Array.tabulate(nlist)(c =>
+        Array.tabulate(dim768)(j => (((c * 13 + j * 7) % 89) - 44) / 44.0))
+      if (nlist <= refCap) // past the cap the per-stage matrix ship is the known loser
+        time3(f"ref768   nlist=$nlist%-6d ${mb}%4dMB")(sumList(
+          graft.expressions.VectorExpressions.nearestCentroids(col("embedding"), cents, 1)))
+      val bc = spark.sparkContext.broadcast(cents)
+      time3(f"bcast768 nlist=$nlist%-6d ${mb}%4dMB")(sumList(
+        graft.expressions.VectorExpressions.nearestCentroidsBcast(col("embedding"), bc, 1)))
+      bc.destroy()
+    }
     spark.stop()
   }
 }

@@ -46,17 +46,24 @@ class AnnSpec extends SparkSpec {
       val b = c % 128 // centroids 128..255 duplicate 0..127 -> exact dist ties
       Array.tabulate(dim)(j => (((b * 13 + j * 7) % 89) - 44) / 44.0)
     }
-    def canon(literal: Boolean): Map[Long, Seq[(Double, Int)]] = corpus
-      .select(col("vec_id"),
-        Ann.rankCentroids(col("embedding"), cents, k = 5, literal = literal).as("r"))
+    def canonCol(rank: org.apache.spark.sql.Column): Map[Long, Seq[(Double, Int)]] = corpus
+      .select(col("vec_id"), rank.as("r"))
       .collect().map { r =>
         r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
           .map(s => (s.getDouble(0), s.getInt(1)))
       }.toMap
+    def canon(literal: Boolean): Map[Long, Seq[(Double, Int)]] =
+      canonCol(Ann.rankCentroids(col("embedding"), cents, k = 5, literal = literal))
     val viaTree = canon(literal = true)
     val viaExpr = canon(literal = false)
     assert(viaExpr.size === 400)
     assert(viaExpr === viaTree)
+    // the Broadcast-handle variant (the plan-weight scale path) runs the
+    // SAME kernel and must match the literal tree bit-for-bit too
+    val bc = spark.sparkContext.broadcast(cents)
+    try assert(canonCol(graft.expressions.VectorExpressions
+      .nearestCentroidsBcast(col("embedding"), bc, k = 5)) === viaTree)
+    finally bc.destroy()
     // the duplicate-centroid ties actually materialized AND broke low-first
     val sawTie = viaExpr.values.exists(r => r.map(_._1).distinct.size < r.size)
     assert(sawTie, "fixture produced no distance ties — tie-break untested")
@@ -128,6 +135,21 @@ class AnnSpec extends SparkSpec {
     val recall = (approx & exact).size.toDouble / exact.size
     info(f"sampled-fit recall@10 nprobe=4/8: $recall%.3f")
     assert(recall >= 0.7, f"recall too low: $recall%.3f")
+  }
+
+  test("buildIvfSampled: a sample smaller than nlist falls back to the full-corpus fit") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val total = emb.count()
+    // a fraction that can only yield a handful of rows — far below nlist=8:
+    // the documented requirement is now ENFORCED by falling back to the
+    // full fit instead of reaching KMeans with fewer points than k
+    val idx = Ann.buildIvfSampled(emb, "vec_id", "embedding",
+      nlist = 8, fitFraction = 1.0 / total)
+    assert(idx.centroids.length === 8)
+    assert(idx.assigned.count() === total)
+    // the fallback IS the full fit — same seed, same centroids as buildIvf
+    val full = Ann.buildIvf(emb, "vec_id", "embedding", nlist = 8)
+    assert(idx.centroids.map(_.toSeq).toSeq === full.centroids.map(_.toSeq).toSeq)
   }
 
   test("buildIvf handles a corpus smaller than nlist") {

@@ -207,6 +207,105 @@ class CompactSpec extends SparkSpec {
       "probe results must be identical across the physical removal")
   }
 
+  test("appendToMinhashIndex: re-ingesting a tombstoned id purges old rows, clears the tombstone, re-adds") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val corpus = docs.filter(col("doc_id") % 3 === 0)
+    val path = tmp("graft_mh_reingest")
+    Dedup.writeMinhashIndex(Dedup.buildMinhashIndex(corpus, "doc_id", "text"), path)
+    val all = Dedup.minhashIndexIds(spark, path).collect().map(_.getLong(0)).toSet
+    val deleted = all.toSeq.sorted.take(5)
+    Dedup.deleteFromMinhashIndex(spark, path, deleted.toDF("id"))
+    val gen0 = graft.store.Generations.requireCommitted(spark, path).toString
+    // a DISJOINT append under live tombstones must NOT trigger the purge
+    Dedup.appendToMinhashIndex(docs.filter(col("doc_id") % 3 === 1),
+      path, "doc_id", "text")
+    assert(graft.store.Generations.requireCommitted(spark, path).toString === gen0,
+      "tombstone-disjoint append must not rewrite the generation")
+    val fs = new org.apache.hadoop.fs.Path(gen0)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$gen0/tombstones")))
+    // re-crawl of ONE deleted id: the append detects the tombstone hit,
+    // compacts inline (purging ALL tombstoned rows), clears, then appends
+    val back = deleted.head
+    Dedup.appendToMinhashIndex(docs.filter(col("doc_id") === back),
+      path, "doc_id", "text")
+    val gen1 = graft.store.Generations.requireCommitted(spark, path).toString
+    assert(gen1 !== gen0, "re-ingest under a live tombstone must compact first")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$gen1/tombstones")))
+    // the re-added id is live again with NO stale duplicates (duplicate
+    // shingle rows would corrupt every Jaccard the id participates in)
+    val rawSh = spark.read.parquet(s"$gen1/shingles").filter(col("id") === back)
+    assert(rawSh.count() === rawSh.select("s").distinct().count(),
+      "stale shingle rows survived the re-ingest purge")
+    assert(rawSh.count() > 0)
+    val rawBands = spark.read.parquet(s"$gen1/bands").filter(col("id") === back)
+    assert(rawBands.count() === rawBands.select("bandkey").distinct().count())
+    assert(spark.read.parquet(s"$gen1/ids").filter(col("id") === back).count() === 1)
+    // the other deleted ids stayed dead — physically
+    val stillDead = deleted.tail
+    for (rel <- Seq("bands", "shingles", "ids"))
+      assert(spark.read.parquet(s"$gen1/$rel")
+        .filter(col("id").isin(stillDead: _*)).count() === 0,
+        s"$rel resurrected ids that were not re-ingested")
+    assert(Dedup.minhashIndexIds(spark, path).filter(col("id") === back).count() === 1)
+  }
+
+  test("appendToIvf: re-ingesting a tombstoned id purges old rows, clears the tombstone, re-adds") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val path = tmp("graft_ivf_reingest")
+    Ann.writeIvf(Ann.buildIvf(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", nlist = 4), path)
+    val all = Ann.ivfIds(spark, path).collect().map(_.getLong(0)).toSet
+    val deleted = all.toSeq.sorted.take(4)
+    Ann.deleteFromIvf(spark, path, deleted.toDF("id"))
+    val gen0 = graft.store.Generations.requireCommitted(spark, path).toString
+    // disjoint append: tombstones stay live, generation unchanged
+    Ann.appendToIvf(emb.filter(col("vec_id") % 2 === 1).limit(50),
+      path, "vec_id", "embedding")
+    assert(graft.store.Generations.requireCommitted(spark, path).toString === gen0)
+    // re-crawl of one deleted vector triggers the inline purge
+    val back = deleted.head
+    Ann.appendToIvf(emb.filter(col("vec_id") === back), path, "vec_id", "embedding")
+    val gen1 = graft.store.Generations.requireCommitted(spark, path).toString
+    assert(gen1 !== gen0, "re-ingest under a live tombstone must compact first")
+    val fs = new org.apache.hadoop.fs.Path(gen1)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$gen1/tombstones")))
+    // live again, exactly once — a stale surviving row would pair the
+    // vector with itself as a duplicate neighbor
+    assert(spark.read.parquet(s"$gen1/assigned")
+      .filter(col("vec_id") === back).count() === 1)
+    assert(spark.read.parquet(s"$gen1/ids").filter(col("id") === back).count() === 1)
+    val stillDead = deleted.tail
+    assert(spark.read.parquet(s"$gen1/assigned")
+      .filter(col("vec_id").isin(stillDead: _*)).count() === 0)
+    assert(Ann.ivfIds(spark, path).filter(col("id").isin(stillDead: _*)).count() === 0)
+  }
+
+  test("tombstone relation stays file-bounded under sustained takedowns") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val path = tmp("graft_mh_ts_bound")
+    Dedup.writeMinhashIndex(
+      Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 3 === 0), "doc_id", "text"), path)
+    val all = Dedup.minhashIndexIds(spark, path).collect().map(_.getLong(0)).toSet
+    val victims = all.toSeq.sorted.take(Dedup.TombstoneCompactFiles + 4)
+    val gen = graft.store.Generations.requireCommitted(spark, path).toString
+    def tsFiles() = Compact.dataFileCount(spark, s"$gen/tombstones")
+    // one delete call per id — each writes one file until the bound trips,
+    // then the relation merge-rewrites to a single deduplicated file
+    for (id <- victims) {
+      Dedup.deleteFromMinhashIndex(spark, path, Seq(id).toDF("id"))
+      assert(tsFiles() <= Dedup.TombstoneCompactFiles,
+        s"tombstone relation exceeded the file bound at id $id")
+    }
+    // every takedown still excluded, none lost by the merge-rewrite
+    assert(Dedup.minhashIndexIds(spark, path).collect().map(_.getLong(0)).toSet
+      === all -- victims)
+    assert(spark.read.parquet(s"$gen/tombstones").count()
+      === spark.read.parquet(s"$gen/tombstones").distinct().count(),
+      "merge-rewrite must deduplicate the relation")
+  }
+
   test("compactIvfOnline: new committed generation, one file per list, probe identical") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val path = tmp("graft_compact_ivf_online")
