@@ -145,15 +145,34 @@ object Ann {
     * serialization tax grows linearly while the broadcast's is one-time. */
   private[graft] val BcastCentroidCells: Long = 1L << 20
 
-  /** Broadcast-per-matrix cache, weakly keyed by the matrix's identity: a
-    * long-lived index ([[readIvf]] result, [[persistedIvfCached]]) ranks
-    * with the SAME broadcast across all its probe batches instead of
-    * re-broadcasting per call. Weak keys let a dropped index's broadcast
-    * be reclaimed by Spark's ContextCleaner once the matrix is GC'd. */
+  /** Broadcast-per-matrix cache, keyed by the matrix's IDENTITY (arrays
+    * compare by reference): a long-lived index ([[readIvf]] result,
+    * [[persistedIvfCached]]) ranks with the SAME broadcast across all its
+    * probe batches instead of re-broadcasting per call. BOUNDED, not
+    * weak: a weak-keyed map cannot evict here — the broadcast VALUE pins
+    * its own key (the matrix also lives in the driver block manager), so
+    * under sustained generation turnover (each [[readIvf]] builds a fresh
+    * matrix) entries would accumulate forever. Instead an access-order
+    * LRU keeps the last [[CentroidBcastCacheSize]] matrices and
+    * `unpersist(blocking=false)`s evicted broadcasts — executors drop
+    * their copies, an in-flight stage can still refetch from the driver,
+    * and the dropped Broadcast object is reclaimed by ContextCleaner once
+    * unreferenced. Concurrent probes of up to that many distinct indexes
+    * stay cached; the pathological many-index driver degrades to
+    * re-broadcasting, never to a leak. */
+  private[graft] val CentroidBcastCacheSize = 4
   private val centroidBcasts =
-    new java.util.WeakHashMap[Array[Array[Double]],
-      org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]]()
-  private def centroidBcast(spark: SparkSession, cents: Array[Array[Double]])
+    new java.util.LinkedHashMap[Array[Array[Double]],
+        org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Array[Array[Double]],
+            org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]]): Boolean = {
+        val evict = size() > CentroidBcastCacheSize
+        if (evict) e.getValue.unpersist(false)
+        evict
+      }
+    }
+  private[graft] def centroidBcast(spark: SparkSession, cents: Array[Array[Double]])
       : org.apache.spark.broadcast.Broadcast[Array[Array[Double]]] =
     centroidBcasts.synchronized {
       val ex = centroidBcasts.get(cents)

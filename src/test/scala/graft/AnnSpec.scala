@@ -137,6 +137,22 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.7, f"recall too low: $recall%.3f")
   }
 
+  test("centroid broadcast cache: identity-keyed, bounded LRU, eviction re-broadcasts") {
+    def mat(seed: Int): Array[Array[Double]] =
+      Array.tabulate(4)(c => Array.tabulate(4)(j => (seed * 17 + c * 5 + j).toDouble))
+    val m0 = mat(0)
+    val b0 = Ann.centroidBcast(spark, m0)
+    // same matrix identity -> the SAME broadcast (no re-broadcast per probe)
+    assert(Ann.centroidBcast(spark, m0) eq b0)
+    // equal CONTENT but different identity is a different index -> new broadcast
+    assert(!(Ann.centroidBcast(spark, mat(0)) eq b0))
+    // churn more distinct matrices than the cache holds: m0 (the eldest,
+    // untouched since) is evicted, and re-requesting it re-broadcasts —
+    // bounded degradation, never unbounded growth
+    (1 to Ann.CentroidBcastCacheSize + 1).foreach(i => Ann.centroidBcast(spark, mat(i)))
+    assert(!(Ann.centroidBcast(spark, m0) eq b0))
+  }
+
   test("buildIvfSampled: a sample smaller than nlist falls back to the full-corpus fit") {
     val emb = Tables.embeddings(spark, sfDir)
     val total = emb.count()
