@@ -280,17 +280,31 @@ object Dedup {
 
   /** Append `ts` to a tombstone relation, merge-rewriting (dedup'd, one
     * file) instead when the accumulated file count exceeds
-    * [[TombstoneCompactFiles]]. The rewrite is in-place (read →
-    * localCheckpoint → overwrite) — safe under the index's single-writer
-    * contract, same as the in-place leaf compactions. */
+    * [[TombstoneCompactFiles]]. The merge NEVER overwrites in place — an
+    * `overwrite` write deletes the relation before the new file commits,
+    * and a crash in that window would silently UNDO every prior takedown
+    * (deleted documents resurfacing is the one failure a deletion tier
+    * must not have). Instead the merged file is APPENDED beside the old
+    * ones (materialized first — the read is of the same dir), then the
+    * superseded files (snapshotted BEFORE the append) are dropped: a
+    * crash before the append loses only this call's ids (the caller's
+    * failure, retryable), a crash mid-delete leaves duplicate tombstone
+    * rows — harmless to every reader (anti-joins) and dedup'd by the next
+    * merge. Single-writer contract, same as the appends it rides between. */
   private[graft] def writeTombstones(spark: org.apache.spark.sql.SparkSession,
       dir: String, ts: DataFrame): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir)
-    val exists = p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-    if (exists && graft.store.Compact.dataFileCount(spark, dir) >= TombstoneCompactFiles)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) &&
+        graft.store.Compact.dataFileCount(spark, dir) >= TombstoneCompactFiles) {
+      val old = fs.listStatus(p).filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }.map(_.getPath)
       spark.read.parquet(dir).unionByName(ts).distinct().localCheckpoint()
-        .coalesce(1).write.mode("overwrite").parquet(dir)
-    else ts.coalesce(1).write.mode("append").parquet(dir)
+        .coalesce(1).write.mode("append").parquet(dir)
+      old.foreach(fs.delete(_, false))
+    } else ts.coalesce(1).write.mode("append").parquet(dir)
   }
 
   /** The live generation's tombstone relation, if any deletions are
