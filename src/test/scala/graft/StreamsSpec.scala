@@ -1255,6 +1255,84 @@ class StreamsSpec extends SparkSpec {
     assert(l2.getAs[Long]("appended") === 0L)
   }
 
+  test("ingestSink: a takedown'd id re-streamed through the sink heals the index") {
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    // threshold ~1.0: nothing verdicts as a dup, so every streamed doc
+    // survives and the re-stream's heal is deterministic (a re-crawled doc
+    // that re-verdicts as a dup of OTHER live content is correctly not
+    // re-added — that's the ingest contract, not the heal's concern)
+    val docs = Tables.load(spark, sfDir, "documents").filter(col("doc_id") < 500)
+    val corpus = docs.filter(col("doc_id") % 3 === 0)
+    val b1df = docs.filter(col("doc_id") % 3 === 1)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[DocRow] =
+      df.select("doc_id", "text").as[DocRow].collect().toSeq
+    val dir = Files.createTempDirectory("graft_ingest_reing").toString
+    val idxPath = s"$dir/index"; val vPath = s"$dir/verdicts"; val ckpt = s"$dir/ckpt"
+    Dedup.writeMinhashIndex(Dedup.buildMinhashIndex(corpus, "doc_id", "text"), idxPath)
+    val mem = MemoryStream[DocRow]
+    val q = Streams.ingestSink(mem.toDF, idxPath, vPath, ckpt,
+      "doc_id", "text", threshold = 0.99, compactAt = 64)
+    mem.addData(rows(b1df): _*); q.processAllAvailable()
+    // takedown a slice of the streamed-in docs
+    val deleted = Dedup.minhashIndexIds(spark, idxPath)
+      .filter(col("id") % 3 === 1).limit(5).collect().map(_.getLong(0)).toSeq
+    assert(Dedup.deleteFromMinhashIndex(spark, idxPath, deleted.toDF("id")) === 5L)
+    val gen0 = graft.store.Generations.requireCommitted(spark, idxPath).toString
+    // the re-crawl arrives through the STREAM: the replay guard reads the
+    // filtered manifest (deleted ids look new), and the append path heals —
+    // inline purge-compaction, tombstones cleared, docs live again
+    mem.addData(rows(docs.filter(col("doc_id").isin(deleted: _*))): _*)
+    q.processAllAvailable(); q.stop()
+    val gen1 = graft.store.Generations.requireCommitted(spark, idxPath).toString
+    assert(gen1 !== gen0, "the streamed re-ingest must trigger the inline compaction")
+    val fs = new org.apache.hadoop.fs.Path(gen1)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$gen1/tombstones")))
+    assert(Dedup.minhashIndexIds(spark, idxPath)
+      .filter(col("id").isin(deleted: _*)).count() === 5L)
+    // no stale duplicates: one manifest row and distinct shingles per id
+    assert(spark.read.parquet(s"$gen1/ids")
+      .filter(col("id").isin(deleted: _*)).count() === 5L)
+    val sh = spark.read.parquet(s"$gen1/shingles").filter(col("id").isin(deleted: _*))
+    assert(sh.count() === sh.distinct().count())
+  }
+
+  test("annIngestSink: a takedown'd vector re-streamed through the sink heals the index") {
+    import graft.operators.Ann
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val initial = emb.filter(col("vec_id") % 2 === 0)
+    val b1df = emb.filter(col("vec_id") % 2 === 1)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[VecRow] =
+      df.select("vec_id", "embedding").as[VecRow].collect().toSeq
+    val dir = Files.createTempDirectory("graft_ann_reing").toString
+    val idxPath = s"$dir/index"; val ckpt = s"$dir/ckpt"
+    Ann.writeIvf(Ann.buildIvf(initial, "vec_id", "embedding", nlist = 4), idxPath)
+    val mem = MemoryStream[VecRow]
+    val q = Streams.annIngestSink(mem.toDF, idxPath, ckpt,
+      "vec_id", "embedding", compactAt = 64)
+    mem.addData(rows(b1df): _*); q.processAllAvailable()
+    val total = Ann.readIvf(spark, idxPath).assigned.count()
+    assert(total === emb.count())
+    val deleted = b1df.limit(3).select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(Ann.deleteFromIvf(spark, idxPath, deleted.toDF("id")) === 3L)
+    val gen0 = graft.store.Generations.requireCommitted(spark, idxPath).toString
+    assert(Ann.readIvf(spark, idxPath).assigned.count() === total - 3)
+    // re-stream the deleted vectors: guard sees them as new, append heals
+    mem.addData(rows(emb.filter(col("vec_id").isin(deleted: _*))): _*)
+    q.processAllAvailable(); q.stop()
+    val gen1 = graft.store.Generations.requireCommitted(spark, idxPath).toString
+    assert(gen1 !== gen0, "the streamed re-ingest must trigger the inline compaction")
+    val fs = new org.apache.hadoop.fs.Path(gen1)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$gen1/tombstones")))
+    // live again, exactly once each — and the corpus is whole
+    val assigned = spark.read.parquet(s"$gen1/assigned")
+    deleted.foreach(id => assert(assigned.filter(col("vec_id") === id).count() === 1))
+    assert(Ann.readIvf(spark, idxPath).assigned.count() === total)
+  }
+
   test("ingestSink resumes from its checkpoint across query restarts (file source)") {
     import graft.operators.Dedup
     val docs = Tables.load(spark, sfDir, "documents").filter(col("doc_id") < 1000)
