@@ -119,16 +119,15 @@ object VectorFns {
   }
 }
 
-/** `nearest_centroids(vec)` — array<struct<dist:double,list:int>> of the
-  * `k` nearest centroids, ascending (dist, list). The centroid matrix is
-  * expression STATE (a codegen reference object), not expression TREE —
-  * see [[VectorFns]] for why that distinction is the scale cliff. */
-case class NearestCentroidsExpr(child: Expression,
-    centroids: Array[Array[Double]], k: Int) extends UnaryExpression {
+/** Shared shape of the two centroid-ranking formulations: result schema,
+  * analysis-time type gate, element-reader dispatch. The subclasses
+  * differ ONLY in how the matrix travels (reference object vs Broadcast
+  * handle) — everything the AnnSpec bit-identity pin depends on lives
+  * here once. */
+abstract class NearestCentroidsBase extends UnaryExpression {
+  def k: Int
 
-  override def prettyName: String = "nearest_centroids"
-
-  override def dataType: DataType = ArrayType(
+  override final def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("dist", DoubleType, nullable = false),
       StructField("list", IntegerType, nullable = false))),
@@ -139,18 +138,29 @@ case class NearestCentroidsExpr(child: Expression,
   // analysis-time type gate: a caller passing array<int> (the old HOF
   // formulation casted silently) fails at analysis with a clear message,
   // not mid-query from the kernel
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+  override final def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
       case ArrayType(FloatType | DoubleType, _) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"nearest_centroids expects array<float> or array<double> input, got ${other.simpleString}")
+        s"$prettyName expects array<float> or array<double> input, got ${other.simpleString}")
     }
 
-  private def elemIsFloat: Boolean = child.dataType match {
+  protected final def elemIsFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false // array<double>; anything else failed checkInputDataTypes
   }
+}
+
+/** `nearest_centroids(vec)` — array<struct<dist:double,list:int>> of the
+  * `k` nearest centroids, ascending (dist, list). The centroid matrix is
+  * expression STATE (a codegen reference object), not expression TREE —
+  * see [[VectorFns]] for why that distinction is the scale cliff. */
+case class NearestCentroidsExpr(child: Expression,
+    centroids: Array[Array[Double]], k: Int) extends NearestCentroidsBase {
+
+  override def prettyName: String = "nearest_centroids"
 
   override protected def nullSafeEval(input: Any): Any =
     VectorFns.nearestCentroids(input.asInstanceOf[ArrayData], centroids, k, elemIsFloat)
@@ -186,30 +196,9 @@ case class NearestCentroidsExpr(child: Expression,
   * per-row call is identical to the reference-object form. */
 case class NearestCentroidsBcastExpr(child: Expression,
     centroids: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]], k: Int)
-    extends UnaryExpression {
+    extends NearestCentroidsBase {
 
   override def prettyName: String = "nearest_centroids_bcast"
-
-  override def dataType: DataType = ArrayType(
-    StructType(Seq(
-      StructField("dist", DoubleType, nullable = false),
-      StructField("list", IntegerType, nullable = false))),
-    containsNull = false)
-
-  override def nullIntolerant: Boolean = true
-
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    child.dataType match {
-      case ArrayType(FloatType | DoubleType, _) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"nearest_centroids expects array<float> or array<double> input, got ${other.simpleString}")
-    }
-
-  private def elemIsFloat: Boolean = child.dataType match {
-    case ArrayType(FloatType, _) => true
-    case _ => false // array<double>; anything else failed checkInputDataTypes
-  }
 
   override protected def nullSafeEval(input: Any): Any =
     VectorFns.nearestCentroids(input.asInstanceOf[ArrayData], centroids.value, k, elemIsFloat)
@@ -353,20 +342,11 @@ object TextFns {
   * single hottest text kernel (everything tokenizes first). Gated by a
   * full-corpus differential, a unicode fuzz property, and the oracle
   * (every MinHash hash rides on these exact token strings). */
-case class TokenizeExpr(child: Expression) extends UnaryExpression {
+case class TokenizeExpr(child: Expression, useICU: Boolean) extends UnaryExpression {
 
   override def prettyName: String = "tokenize"
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
-
-  // resolved from the active SQLConf at expression CONSTRUCTION (driver
-  // side, serialized with the tree) — a session that disables
-  // spark.sql.icu.caseMappings.enabled gets the same non-ICU lowercasing
-  // from tokenize as from lower() (which resolves the same conf), so the
-  // two can never silently diverge
-  private val useICU: Boolean =
-    org.apache.spark.sql.internal.SQLConf.get.getConf(
-      org.apache.spark.sql.internal.SQLConf.ICU_CASE_MAPPINGS_ENABLED)
 
   override protected def nullSafeEval(input: Any): Any =
     TextFns.tokenize(input.asInstanceOf[UTF8String], useICU)
@@ -376,6 +356,23 @@ case class TokenizeExpr(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): TokenizeExpr =
     copy(child = newChild)
+}
+
+object TokenizeExpr {
+  /** Resolve `useICU` from the active SQLConf at CONSTRUCTION — the same
+    * conf Spark's `lower()` resolves (a session that disables
+    * spark.sql.icu.caseMappings.enabled gets the same non-ICU
+    * lowercasing from both, so they can never silently diverge). A
+    * CONSTRUCTOR PARAMETER, not a body val: body vals are excluded from
+    * case-class equality and re-computed by every `copy()`, so the plan
+    * cache could match two tokenize plans built under different
+    * case-mapping backends, and an optimizer transform could silently
+    * re-resolve the conf mid-plan. As a field it participates in
+    * equality/canonicalization and survives `withNewChildInternal`. */
+  def apply(child: Expression): TokenizeExpr =
+    TokenizeExpr(child,
+      org.apache.spark.sql.internal.SQLConf.get.getConf(
+        org.apache.spark.sql.internal.SQLConf.ICU_CASE_MAPPINGS_ENABLED))
 }
 
 /** `stopword_hits(tokens)` — the number of tokens contained in a fixed

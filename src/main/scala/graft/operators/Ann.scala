@@ -88,6 +88,10 @@ object Ann {
       .setK(nlist).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("__features").setPredictionCol("list")
       .fit(feat)
+    // the fit is done with the sample — drop its checkpoint blocks NOW
+    // (at O(100·nlist) sample rows they would otherwise squeeze storage
+    // memory under the full-corpus assignment until a GC notices)
+    sampled.unpersist(blocking = false)
     buildIvfFixed(corpus, idCol, vecCol, model.clusterCenters.map(_.toArray))
   }
 
@@ -161,25 +165,30 @@ object Ann {
     * stay cached; the pathological many-index driver degrades to
     * re-broadcasting, never to a leak. */
   private[graft] val CentroidBcastCacheSize = 4
+  private final case class CachedBcast(
+      sc: org.apache.spark.SparkContext,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]])
   private val centroidBcasts =
-    new java.util.LinkedHashMap[Array[Array[Double]],
-        org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]](8, 0.75f, true) {
+    new java.util.LinkedHashMap[Array[Array[Double]], CachedBcast](8, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[Array[Array[Double]],
-            org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]]): Boolean = {
+          e: java.util.Map.Entry[Array[Array[Double]], CachedBcast]): Boolean = {
         val evict = size() > CentroidBcastCacheSize
-        if (evict) e.getValue.unpersist(false)
+        if (evict && !e.getValue.sc.isStopped) e.getValue.bc.unpersist(false)
         evict
       }
     }
   private[graft] def centroidBcast(spark: SparkSession, cents: Array[Array[Double]])
       : org.apache.spark.broadcast.Broadcast[Array[Array[Double]]] =
     centroidBcasts.synchronized {
+      val sc = spark.sparkContext
       val ex = centroidBcasts.get(cents)
-      if (ex != null) ex
+      // a hit from a STOPPED context (session restart in the same JVM,
+      // matrix retained by the caller) must re-broadcast, not hand back a
+      // dead handle that fails at evaluation
+      if (ex != null && (ex.sc eq sc)) ex.bc
       else {
-        val b = spark.sparkContext.broadcast(cents)
-        centroidBcasts.put(cents, b)
+        val b = sc.broadcast(cents)
+        centroidBcasts.put(cents, CachedBcast(sc, b))
         b
       }
     }
@@ -333,16 +342,22 @@ object Ann {
     * ids against live tombstones and on a hit runs [[compactIvfOnline]]
     * inline (purging the old vectors, clearing the tombstones) before
     * appending — delete-then-re-add works, and the old rows can never
-    * resurface beside the new ones as duplicate neighbors. Idempotent;
-    * the tombstone relation is merge-rewritten past
-    * [[Dedup.TombstoneCompactFiles]] accumulated files (one per call),
-    * same single-writer contract as the appends. Returns the count of
-    * distinct ids tombstoned in this call. */
+    * resurface beside the new ones as duplicate neighbors. Idempotent.
+    * The tombstone relation is file-bounded the same way as the MinHash
+    * twin's ([[Dedup.TombstoneCompactFiles]]): a call that pushes it to
+    * the bound runs [[compactIvfOnline]] immediately — the reader-atomic
+    * swap the live tombstones had already scheduled — never an in-place
+    * rewrite. Returns the count of distinct ids tombstoned in this
+    * call. */
   def deleteFromIvf(spark: SparkSession, path: String, ids: DataFrame): Long = {
     val gen = requireGen(spark, path)
     val ts = ids.toDF("id").distinct().localCheckpoint()
-    Dedup.writeTombstones(spark, new Path(gen, "tombstones").toString, ts)
-    ts.count()
+    ts.coalesce(1).write.mode("append").parquet(new Path(gen, "tombstones").toString)
+    val n = ts.count()
+    if (graft.store.Compact.dataFileCount(spark, new Path(gen, "tombstones").toString)
+        >= Dedup.TombstoneCompactFiles)
+      compactIvfOnline(spark, path) // forced purge + clear, new generation
+    n
   }
 
   private def ivfTombstonesOf(spark: SparkSession, gen: Path): Option[DataFrame] = {
@@ -438,9 +453,19 @@ object Ann {
           s"in the batch but ${existing(c).dataType.simpleString} in the persisted " +
           s"layout at $gen0 — vector element types must match exactly")
     }
-    if (ivfTombstonesOf(spark, gen0).exists(ts => !batch.select(col(idCol).as("id"))
-        .join(broadcast(ts), Seq("id"), "left_semi").isEmpty))
-      compactIvfOnline(spark, path) // forced purge + tombstone clear, new generation
+    // the heal check and the manifest write must see the SAME id set: a
+    // nondeterministic batch re-evaluated per action could pass the check
+    // with one id set and append another — checkpoint the projection once
+    // when tombstones are live and reuse it (the MinHash twin's shape);
+    // the tombstone-free fast path stays a single lazy projection
+    val ids = ivfTombstonesOf(spark, gen0) match {
+      case None => batch.select(col(idCol).as("id")).distinct()
+      case Some(ts) =>
+        val ck = batch.select(col(idCol).as("id")).distinct().localCheckpoint()
+        if (!ck.join(broadcast(ts), Seq("id"), "left_semi").isEmpty)
+          compactIvfOnline(spark, path) // forced purge + tombstone clear, new generation
+        ck
+    }
     // re-resolve: the inline compaction (if any) committed a new generation
     val gen = requireGen(spark, path)
     val centroids = spark.read.parquet(new Path(gen, "centroids").toString)
@@ -450,7 +475,7 @@ object Ann {
     // manifest-without-data means a replay merely skips the batch (vectors
     // lost softly); data-without-manifest means a replay re-appends and
     // duplicates vectors
-    batch.select(col(idCol).as("id")).distinct().coalesce(1)
+    ids.coalesce(1)
       .write.mode("append").parquet(new Path(gen, "ids").toString)
     assignToCentroids(batch, idCol, vecCol, centroids)
       .write.mode("append").partitionBy("list")

@@ -258,54 +258,41 @@ object Dedup {
     * cleanup→re-crawl cycle, `tasks/detail.py:194-216`). Idempotent:
     * re-deleting an id writes a duplicate tombstone row that changes
     * nothing and is cleared by the same compaction. The tombstone
-    * relation itself is kept at a bounded file count: once a sustained
-    * takedown sequence accumulates more than [[TombstoneCompactFiles]]
-    * files (each call writes one), the next call merge-rewrites the
-    * relation as one deduplicated file — same single-writer contract as
-    * the appends it rides between. Returns the count of distinct ids
-    * tombstoned in this call. */
+    * relation itself is kept at a bounded file count: a call that pushes
+    * it to [[TombstoneCompactFiles]] files (each call writes one) runs
+    * the forced compaction immediately — reader-atomic, never an
+    * in-place rewrite (see the constant's scaladoc for why). Returns the
+    * count of distinct ids tombstoned in this call. */
   def deleteFromMinhashIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       ids: DataFrame): Long = {
     val gen = graft.store.Generations.requireCommitted(spark, path)
     val ts = ids.toDF("id").distinct().localCheckpoint()
-    writeTombstones(spark, s"$gen/tombstones", ts)
-    ts.count()
+    ts.coalesce(1).write.mode("append").parquet(s"$gen/tombstones")
+    val n = ts.count()
+    // the file bound: pull the owed compaction forward instead of any
+    // in-place rewrite (see TombstoneCompactFiles for why)
+    if (graft.store.Compact.dataFileCount(spark, s"$gen/tombstones")
+        >= TombstoneCompactFiles)
+      compactMinhashIndex(spark, path) // forced by live tombstones
+    n
   }
 
-  /** File-count bound on a generation's tombstone relation: each
-    * [[deleteFromMinhashIndex]] call appends one file, and every reader
-    * broadcast-scans the whole relation per probe — past this many files
-    * the next delete merge-rewrites it as one. */
+  /** File-count bound on a generation's tombstone relation: each delete
+    * call appends one file, and every reader broadcast-scans the whole
+    * relation per probe. When a call pushes the count to this bound, the
+    * FORCED physical compaction that live tombstones had already
+    * scheduled runs immediately — a reader-atomic generation swap that
+    * purges the tombstoned rows and retires the relation with its
+    * generation. NO in-place rewrite of the relation is ever attempted:
+    * an overwrite opens a crash window that silently undoes prior
+    * takedowns, and deleting data files inside the LIVE generation (even
+    * after appending a merged file) breaks any concurrent or held reader
+    * whose plan captured the old file listing — physical removal rides
+    * the generation swap HERE TOO, same as everywhere else in this store.
+    * Cost: a pathological one-id-per-call takedown loop pays the
+    * (already-owed) O(corpus) rewrite every [[TombstoneCompactFiles]]
+    * calls; real takedown batches are chunky and never hit it. */
   val TombstoneCompactFiles = 8
-
-  /** Append `ts` to a tombstone relation, merge-rewriting (dedup'd, one
-    * file) instead when the accumulated file count exceeds
-    * [[TombstoneCompactFiles]]. The merge NEVER overwrites in place — an
-    * `overwrite` write deletes the relation before the new file commits,
-    * and a crash in that window would silently UNDO every prior takedown
-    * (deleted documents resurfacing is the one failure a deletion tier
-    * must not have). Instead the merged file is APPENDED beside the old
-    * ones (materialized first — the read is of the same dir), then the
-    * superseded files (snapshotted BEFORE the append) are dropped: a
-    * crash before the append loses only this call's ids (the caller's
-    * failure, retryable), a crash mid-delete leaves duplicate tombstone
-    * rows — harmless to every reader (anti-joins) and dedup'd by the next
-    * merge. Single-writer contract, same as the appends it rides between. */
-  private[graft] def writeTombstones(spark: org.apache.spark.sql.SparkSession,
-      dir: String, ts: DataFrame): Unit = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) &&
-        graft.store.Compact.dataFileCount(spark, dir) >= TombstoneCompactFiles) {
-      val old = fs.listStatus(p).filter { st =>
-        val n = st.getPath.getName
-        st.isFile && !n.startsWith("_") && !n.startsWith(".")
-      }.map(_.getPath)
-      spark.read.parquet(dir).unionByName(ts).distinct().localCheckpoint()
-        .coalesce(1).write.mode("append").parquet(dir)
-      old.foreach(fs.delete(_, false))
-    } else ts.coalesce(1).write.mode("append").parquet(dir)
-  }
 
   /** The live generation's tombstone relation, if any deletions are
     * pending compaction. */

@@ -289,21 +289,29 @@ class CompactSpec extends SparkSpec {
       Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 3 === 0), "doc_id", "text"), path)
     val all = Dedup.minhashIndexIds(spark, path).collect().map(_.getLong(0)).toSet
     val victims = all.toSeq.sorted.take(Dedup.TombstoneCompactFiles + 4)
-    val gen = graft.store.Generations.requireCommitted(spark, path).toString
-    def tsFiles() = Compact.dataFileCount(spark, s"$gen/tombstones")
-    // one delete call per id — each writes one file until the bound trips,
-    // then the relation merge-rewrites to a single deduplicated file
+    val gen0 = graft.store.Generations.requireCommitted(spark, path).toString
+    // one delete call per id — the pathological worst case for file
+    // accumulation: the call that reaches the bound runs the forced
+    // reader-atomic compaction (generation swap — never an in-place
+    // rewrite), which purges the accumulated tombstones entirely
     for (id <- victims) {
       Dedup.deleteFromMinhashIndex(spark, path, Seq(id).toDF("id"))
-      assert(tsFiles() <= Dedup.TombstoneCompactFiles,
-        s"tombstone relation exceeded the file bound at id $id")
+      val gen = graft.store.Generations.requireCommitted(spark, path).toString
+      val p = new org.apache.hadoop.fs.Path(s"$gen/tombstones")
+      val files =
+        if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+          Compact.dataFileCount(spark, s"$gen/tombstones")
+        else 0
+      assert(files < Dedup.TombstoneCompactFiles,
+        s"tombstone relation exceeded the file bound at id $id ($files files)")
     }
-    // every takedown still excluded, none lost by the merge-rewrite
+    // the bound actually tripped: at least one generation swap happened
+    assert(graft.store.Generations.requireCommitted(spark, path).toString !== gen0,
+      "the forced compaction at the file bound never fired")
+    // every takedown still excluded — the first slice physically purged by
+    // the forced compaction, the tail tombstoned in the new generation
     assert(Dedup.minhashIndexIds(spark, path).collect().map(_.getLong(0)).toSet
       === all -- victims)
-    assert(spark.read.parquet(s"$gen/tombstones").count()
-      === spark.read.parquet(s"$gen/tombstones").distinct().count(),
-      "merge-rewrite must deduplicate the relation")
   }
 
   test("compactIvfOnline: new committed generation, one file per list, probe identical") {
