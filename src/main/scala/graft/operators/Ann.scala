@@ -61,8 +61,9 @@ object Ann {
     * sample is [[Corpus.mixtureSample]]'s stateless md5-threshold filter
     * (salted by the seed, no shuffle, no rand()): the fit set is
     * DETERMINISTIC under any partitioning or rerun, so rebuilds
-    * reproduce. `fitFraction` must leave at least `nlist` rows (KMeans
-    * needs k points); size it to O(100·nlist) rows — centroid quality
+    * reproduce. `fitFraction` must leave at least `nlist` DISTINCT
+    * vectors (KMeans needs k distinct points — enforced below, with a
+    * full-corpus fallback); size it to O(100·nlist) rows — centroid quality
     * plateaus there while the fit cost drops from O(corpus) to O(sample)
     * per iteration. Assignment routes through [[assignToCentroids]], so a
     * corpus-scale `nlist` takes the O(1)-plan expression path
@@ -75,13 +76,16 @@ object Ann {
       corpus.withColumn("__g", lit("all")), "__g", idCol,
       Map("all" -> fitFraction), salt = s"ivf-fit-$seed")
       .localCheckpoint() // the fit iterates maxIter times over this set
-    // the documented "must leave at least nlist rows" requirement, ENFORCED:
-    // a small corpus under a small fitFraction would otherwise reach
-    // KMeans.fit with fewer points than k and fail opaquely (or fit
+    // the documented "must leave at least nlist rows" requirement, ENFORCED
+    // on DISTINCT vectors, not raw rows: a duplicate-heavy sample could
+    // clear a row-count guard with >= nlist rows yet still reach KMeans.fit
+    // with fewer distinct points than k and fail opaquely (or fit
     // degenerate duplicate centroids) — fall back to the full-corpus fit,
-    // which buildIvf is already tested to survive at corpus < nlist
+    // which buildIvf is already tested to survive at corpus < nlist. The
+    // distinct is one shuffle over the already-checkpointed O(100·nlist)
+    // sample, noise next to the fit's maxIter passes over the same set
     val fitSet =
-      if (sampled.count() >= nlist) sampled
+      if (sampled.select(vecCol).distinct().count() >= nlist) sampled
       else { sampled.unpersist(blocking = false); corpus }
     val feat = fitSet.select(array_to_vector(col(vecCol)).as("__features"))
     val model = new KMeans()
@@ -453,18 +457,23 @@ object Ann {
           s"in the batch but ${existing(c).dataType.simpleString} in the persisted " +
           s"layout at $gen0 — vector element types must match exactly")
     }
-    // the heal check and the manifest write must see the SAME id set: a
-    // nondeterministic batch re-evaluated per action could pass the check
-    // with one id set and append another — checkpoint the projection once
-    // when tombstones are live and reuse it (the MinHash twin's shape);
-    // the tombstone-free fast path stays a single lazy projection
-    val ids = ivfTombstonesOf(spark, gen0) match {
-      case None => batch.select(col(idCol).as("id")).distinct()
+    // the heal check, the manifest write, and the DATA write must see the
+    // SAME batch: a nondeterministic batch re-evaluated per action could
+    // pass the check with one id set, append a second to the manifest, and
+    // write data rows carrying a third — checkpoint the BATCH once when
+    // tombstones are live and derive all three from it (the MinHash twin's
+    // shape). The tombstone-free fast path stays lazy: batches are
+    // deterministic by contract, and its residual manifest/data divergence
+    // window for a contract-violating batch is accepted rather than taxing
+    // every hot-path append with a full-batch materialization
+    val (src, ids) = ivfTombstonesOf(spark, gen0) match {
+      case None => (batch, batch.select(col(idCol).as("id")).distinct())
       case Some(ts) =>
-        val ck = batch.select(col(idCol).as("id")).distinct().localCheckpoint()
-        if (!ck.join(broadcast(ts), Seq("id"), "left_semi").isEmpty)
+        val ck = batch.localCheckpoint()
+        val ckIds = ck.select(col(idCol).as("id")).distinct()
+        if (!ckIds.join(broadcast(ts), Seq("id"), "left_semi").isEmpty)
           compactIvfOnline(spark, path) // forced purge + tombstone clear, new generation
-        ck
+        (ck, ckIds)
     }
     // re-resolve: the inline compaction (if any) committed a new generation
     val gen = requireGen(spark, path)
@@ -477,9 +486,10 @@ object Ann {
     // duplicates vectors
     ids.coalesce(1)
       .write.mode("append").parquet(new Path(gen, "ids").toString)
-    assignToCentroids(batch, idCol, vecCol, centroids)
+    assignToCentroids(src, idCol, vecCol, centroids)
       .write.mode("append").partitionBy("list")
       .parquet(new Path(gen, "assigned").toString)
+    if (src ne batch) src.unpersist(blocking = false)
   }
 
   /** Data-file count per `list=` dir of the latest committed generation —

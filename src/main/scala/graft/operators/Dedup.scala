@@ -377,7 +377,10 @@ object Dedup {
     *
     * `idsFrom`: a caller that already materialized the batch's DISTINCT
     * ids (e.g. [[ingestCycle]]'s checkpointed verdicts) passes them here
-    * and skips a re-scan + distinct of the batch. `docsHint` (batch doc
+    * and skips a re-scan + distinct of the batch. (When live tombstones
+    * force the checkpointed-batch path below, ids are re-derived from the
+    * checkpoint instead — identical for conforming callers, and it keeps
+    * the manifest and data writes provably in agreement.) `docsHint` (batch doc
     * count, when the caller knows it): a small append's banding relation
     * is written by ONE task (`coalesce(1)` — still at most one file per
     * touched bucket, which is all `repartition(__bkt)` achieves) instead
@@ -402,29 +405,42 @@ object Dedup {
       shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4,
       idsFrom: Option[DataFrame] = None, docsHint: Long = -1L): Unit = {
     val spark = batch.sparkSession
-    // .distinct() on idsFrom too: callers pass verdict rows (one per batch
-    // row by contract), but a batch that violates ids-uniqueness would
-    // otherwise write duplicate manifest entries that inflate every future
-    // replay guard's id relation — survivor sets are small, the distinct
-    // is cheap insurance
-    val ids0 = idsFrom.map(_.toDF("id").distinct())
-      .getOrElse(batch.select(col(idCol).as("id")).distinct())
     val gen0 = graft.store.Generations.requireCommitted(spark, path)
-    val ids = tombstonesOf(spark, gen0.toString) match {
-      case None => ids0
+    // with live tombstones the heal check, the manifest write, and BOTH
+    // data writes (bands, shingles) must see the SAME batch: a
+    // nondeterministic batch re-evaluated per action could pass the check
+    // with one id set and write data rows carrying another, silently
+    // defeating future replay guards — checkpoint the BATCH once and
+    // derive everything from it (ids too: re-deriving from the checkpoint
+    // is cheaper than trusting idsFrom to agree with a batch that just
+    // proved mutable, and for conforming callers the result is identical).
+    // The tombstone-free fast path stays lazy: batches are deterministic
+    // by contract, and its residual manifest/data divergence window for a
+    // contract-violating batch is accepted rather than taxing every
+    // hot-path append with a full-batch materialization
+    val (src, ids) = tombstonesOf(spark, gen0.toString) match {
+      case None =>
+        // .distinct() on idsFrom too: callers pass verdict rows (one per
+        // batch row by contract), but a batch that violates ids-uniqueness
+        // would otherwise write duplicate manifest entries that inflate
+        // every future replay guard's id relation — survivor sets are
+        // small, the distinct is cheap insurance
+        (batch, idsFrom.map(_.toDF("id").distinct())
+          .getOrElse(batch.select(col(idCol).as("id")).distinct()))
       case Some(ts) =>
-        val ck = ids0.localCheckpoint()
-        if (!ck.join(broadcast(ts), Seq("id"), "left_semi").isEmpty)
+        val ck = batch.localCheckpoint()
+        val ckIds = ck.select(col(idCol).as("id")).distinct()
+        if (!ckIds.join(broadcast(ts), Seq("id"), "left_semi").isEmpty)
           compactMinhashIndex(spark, path) // forced by live tombstones: purge + clear
-        ck
+        (ck, ckIds)
     }
     // re-resolve: the inline compaction (if any) committed a new generation
     val gen = graft.store.Generations.requireCommitted(spark, path)
     ids.coalesce(1)
       .write.mode("append").parquet(s"$gen/ids")
-    val banded = minhashBandKeys(batch, idCol, textCol, shingleN, numHashes, bands)
+    val banded = minhashBandKeys(src, idCol, textCol, shingleN, numHashes, bands)
       .withColumn("__bkt",
-        bandBucket(col("bandkey"), genBandBuckets(batch.sparkSession, gen.toString)))
+        bandBucket(col("bandkey"), genBandBuckets(spark, gen.toString)))
     // repartition(1), NOT coalesce(1): coalesce collapses the UPSTREAM
     // tokenize+sketch stage to one core (measured q71 6.3 → 10.1 s);
     // repartition keeps the compute 32-way and funnels only the tiny
@@ -433,8 +449,9 @@ object Dedup {
       if (docsHint >= 0 && docsHint <= SmallAppendDocs) banded.repartition(1)
       else banded.repartition(col("__bkt"))
     laid.write.mode("append").partitionBy("__bkt").parquet(s"$gen/bands")
-    shingleRows(batch, idCol, textCol, shingleN)
+    shingleRows(src, idCol, textCol, shingleN)
       .write.mode("append").parquet(s"$gen/shingles")
+    if (src ne batch) src.unpersist(blocking = false)
   }
 
   /** Batch-size cutoff below which an append's banding relation skips the

@@ -37,10 +37,11 @@ object IvfPathProbe {
     println(s"[ivfprobe] corpus rows=${corpus.count()} dim=$dim")
     // session warmup so the first timed leg doesn't absorb first-job cost
     corpus.agg(sum(element_at(col("embedding"), 1))).head
-    def time(label: String)(f: => Long): Unit = {
+    def time(label: String)(f: => Long): Long = {
       val t0 = System.nanoTime()
       val r = f
       println(f"[ivfprobe] $label%-22s ${(System.nanoTime() - t0) / 1e9}%7.2fs  (sum=$r)")
+      r
     }
     def viaRank(cents: Array[Array[Double]], literal: Boolean): Long =
       corpus.select(
@@ -66,10 +67,15 @@ object IvfPathProbe {
         Array.tabulate(dim)(j => (((c * 13 + j * 7) % 89) - 44) / 44.0))
       // literal capped at 64: at 256 the optimizer OOMs a default-heap
       // driver on the 49k-node tree — the cliff this probe documents
-      if (nlist <= 64) time(f"literal nlist=$nlist%-5d")(viaRank(cents, literal = true))
-      time(f"native  nlist=$nlist%-5d")(viaRank(cents, literal = false))
+      val sums = collection.mutable.LinkedHashMap[String, Long]()
+      if (nlist <= 64) sums("literal") = time(f"literal nlist=$nlist%-5d")(viaRank(cents, literal = true))
+      sums("native") = time(f"native  nlist=$nlist%-5d")(viaRank(cents, literal = false))
       // join fan-out capped where its N x nlist row count stays sane
-      if (nlist <= 256) time(f"bjoin   nlist=$nlist%-5d")(viaJoin(cents))
+      if (nlist <= 256) sums("bjoin") = time(f"bjoin   nlist=$nlist%-5d")(viaJoin(cents))
+      // the formulations must AGREE, not just finish — a timing probe that
+      // is blind to a result divergence would bless a wrong fast path
+      require(sums.values.toSet.size == 1,
+        s"[ivfprobe] nlist=$nlist formulations disagree: $sums")
     }
 
     // --- plan-WEIGHT leg (dim 768): reference object vs Broadcast handle.
@@ -96,28 +102,41 @@ object IvfPathProbe {
     def sumList(rank: => org.apache.spark.sql.Column): Long =
       corpus768.select(element_at(rank, 1).getField("list").as("list"))
         .agg(sum("list")).head.getLong(0)
-    def time3(label: String)(f: => Long): Unit = {
+    def time3(label: String)(f: => Long): Long = {
       val secs = (1 to 3).map { _ =>
         System.gc()
         val t0 = System.nanoTime()
         val r = f
         ((System.nanoTime() - t0) / 1e9, r)
       }
+      // all three reps ran the same query — any checksum spread means a
+      // nondeterministic plan, which would invalidate the timing too
+      require(secs.map(_._2).distinct.size == 1,
+        s"[ivfprobe] $label reps disagree: ${secs.map(_._2).mkString(", ")}")
       println(f"[ivfprobe] $label min=${secs.map(_._1).min}%6.2fs  " +
         f"all=[${secs.map(s => f"${s._1}%.2f").mkString(", ")}]  (sum=${secs.head._2})")
+      secs.head._2
     }
     val refCap = sys.env.getOrElse("IVFPROBE_REF_CAP", "16384").toInt
     for (nlist <- Seq(1024, 4096, 16384, 65536)) {
       val mb = nlist.toLong * dim768 * 8 / (1 << 20)
       val cents = Array.tabulate(nlist)(c =>
         Array.tabulate(dim768)(j => (((c * 13 + j * 7) % 89) - 44) / 44.0))
-      if (nlist <= refCap) // past the cap the per-stage matrix ship is the known loser
-        time3(f"ref768   nlist=$nlist%-6d ${mb}%4dMB")(sumList(
-          graft.expressions.VectorExpressions.nearestCentroids(col("embedding"), cents, 1)))
+      val refSum =
+        if (nlist <= refCap) // past the cap the per-stage matrix ship is the known loser
+          Some(time3(f"ref768   nlist=$nlist%-6d ${mb}%4dMB")(sumList(
+            graft.expressions.VectorExpressions.nearestCentroids(col("embedding"), cents, 1))))
+        else None
       val bc = spark.sparkContext.broadcast(cents)
-      time3(f"bcast768 nlist=$nlist%-6d ${mb}%4dMB")(sumList(
+      val bcastSum = time3(f"bcast768 nlist=$nlist%-6d ${mb}%4dMB")(sumList(
         graft.expressions.VectorExpressions.nearestCentroidsBcast(col("embedding"), bc, 1)))
       bc.destroy()
+      // the two legs are the same math via different matrix transports —
+      // a divergence here is a bug in one of them, not a timing artifact
+      // (AnnSpec pins bit-identity at small scale; this cross-checks at
+      // dim 768 and production nlist for free)
+      refSum.foreach(r => require(r == bcastSum,
+        s"[ivfprobe] nlist=$nlist ref=$r vs bcast=$bcastSum diverge"))
     }
     spark.stop()
   }

@@ -168,6 +168,23 @@ class AnnSpec extends SparkSpec {
     assert(idx.centroids.map(_.toSeq).toSeq === full.centroids.map(_.toSeq).toSeq)
   }
 
+  test("buildIvfSampled: a duplicate-heavy sample with too few DISTINCT vectors falls back") {
+    import spark.implicits._
+    // 200 rows but only 3 distinct vectors: a raw row-count guard would
+    // wave this through to KMeans with fewer points than k — the guard
+    // must count distinct vectors
+    val dup = spark.range(200).select(col("id").as("vec_id"),
+      array((col("id") % 3).cast("float"), lit(1.0f)).as("embedding"))
+    val idx = Ann.buildIvfSampled(dup, "vec_id", "embedding",
+      nlist = 8, fitFraction = 0.9)
+    // the full-corpus fallback fired and buildIvf's corpus<nlist handling
+    // took over: every row assigned, no crash, no null lists
+    assert(idx.assigned.count() === 200)
+    assert(idx.assigned.filter(col("list").isNull).count() === 0)
+    val full = Ann.buildIvf(dup, "vec_id", "embedding", nlist = 8)
+    assert(idx.centroids.map(_.toSeq).toSeq === full.centroids.map(_.toSeq).toSeq)
+  }
+
   test("buildIvf handles a corpus smaller than nlist") {
     import spark.implicits._
     val tiny = Seq(
