@@ -457,24 +457,13 @@ object Ann {
           s"in the batch but ${existing(c).dataType.simpleString} in the persisted " +
           s"layout at $gen0 — vector element types must match exactly")
     }
-    // the heal check, the manifest write, and the DATA write must see the
-    // SAME batch: a nondeterministic batch re-evaluated per action could
-    // pass the check with one id set, append a second to the manifest, and
-    // write data rows carrying a third — checkpoint the BATCH once when
-    // tombstones are live and derive all three from it (the MinHash twin's
-    // shape). The tombstone-free fast path stays lazy: batches are
-    // deterministic by contract, and its residual manifest/data divergence
-    // window for a contract-violating batch is accepted rather than taxing
-    // every hot-path append with a full-batch materialization
-    val (src, ids) = ivfTombstonesOf(spark, gen0) match {
-      case None => (batch, batch.select(col(idCol).as("id")).distinct())
-      case Some(ts) =>
-        val ck = batch.localCheckpoint()
-        val ckIds = ck.select(col(idCol).as("id")).distinct()
-        if (!ckIds.join(broadcast(ts), Seq("id"), "left_semi").isEmpty)
-          compactIvfOnline(spark, path) // forced purge + tombstone clear, new generation
-        (ck, ckIds)
-    }
+    // the heal check, the manifest write, and the data write must not
+    // disagree on the batch's ids — [[TombstoneHeal.resolve]] decides what
+    // each write derives from (and what to checkpoint) per tombstone state
+    val (src, ids, pinned) = TombstoneHeal.resolve(batch,
+      batch.select(col(idCol).as("id")).distinct(), idCol,
+      ivfTombstonesOf(spark, gen0))(
+      () => compactIvfOnline(spark, path)) // forced purge + tombstone clear, new generation
     // re-resolve: the inline compaction (if any) committed a new generation
     val gen = requireGen(spark, path)
     val centroids = spark.read.parquet(new Path(gen, "centroids").toString)
@@ -484,12 +473,13 @@ object Ann {
     // manifest-without-data means a replay merely skips the batch (vectors
     // lost softly); data-without-manifest means a replay re-appends and
     // duplicates vectors
-    ids.coalesce(1)
-      .write.mode("append").parquet(new Path(gen, "ids").toString)
-    assignToCentroids(src, idCol, vecCol, centroids)
-      .write.mode("append").partitionBy("list")
-      .parquet(new Path(gen, "assigned").toString)
-    if (src ne batch) src.unpersist(blocking = false)
+    try {
+      ids.coalesce(1)
+        .write.mode("append").parquet(new Path(gen, "ids").toString)
+      assignToCentroids(src, idCol, vecCol, centroids)
+        .write.mode("append").partitionBy("list")
+        .parquet(new Path(gen, "assigned").toString)
+    } finally pinned.foreach(_.unpersist(blocking = false))
   }
 
   /** Data-file count per `list=` dir of the latest committed generation —

@@ -377,10 +377,11 @@ object Dedup {
     *
     * `idsFrom`: a caller that already materialized the batch's DISTINCT
     * ids (e.g. [[ingestCycle]]'s checkpointed verdicts) passes them here
-    * and skips a re-scan + distinct of the batch. (When live tombstones
-    * force the checkpointed-batch path below, ids are re-derived from the
-    * checkpoint instead — identical for conforming callers, and it keeps
-    * the manifest and data writes provably in agreement.) `docsHint` (batch doc
+    * and skips a re-scan + distinct of the batch. (When a tombstone HIT
+    * forces the heal path, ids are re-derived from the checkpointed batch
+    * instead — identical for conforming callers, and it keeps the manifest
+    * and data writes provably in agreement; see
+    * [[TombstoneHeal.resolve]].) `docsHint` (batch doc
     * count, when the caller knows it): a small append's banding relation
     * is written by ONE task (`coalesce(1)` — still at most one file per
     * touched bucket, which is all `repartition(__bkt)` achieves) instead
@@ -406,52 +407,38 @@ object Dedup {
       idsFrom: Option[DataFrame] = None, docsHint: Long = -1L): Unit = {
     val spark = batch.sparkSession
     val gen0 = graft.store.Generations.requireCommitted(spark, path)
-    // with live tombstones the heal check, the manifest write, and BOTH
-    // data writes (bands, shingles) must see the SAME batch: a
-    // nondeterministic batch re-evaluated per action could pass the check
-    // with one id set and write data rows carrying another, silently
-    // defeating future replay guards — checkpoint the BATCH once and
-    // derive everything from it (ids too: re-deriving from the checkpoint
-    // is cheaper than trusting idsFrom to agree with a batch that just
-    // proved mutable, and for conforming callers the result is identical).
-    // The tombstone-free fast path stays lazy: batches are deterministic
-    // by contract, and its residual manifest/data divergence window for a
-    // contract-violating batch is accepted rather than taxing every
-    // hot-path append with a full-batch materialization
-    val (src, ids) = tombstonesOf(spark, gen0.toString) match {
-      case None =>
-        // .distinct() on idsFrom too: callers pass verdict rows (one per
-        // batch row by contract), but a batch that violates ids-uniqueness
-        // would otherwise write duplicate manifest entries that inflate
-        // every future replay guard's id relation — survivor sets are
-        // small, the distinct is cheap insurance
-        (batch, idsFrom.map(_.toDF("id").distinct())
-          .getOrElse(batch.select(col(idCol).as("id")).distinct()))
-      case Some(ts) =>
-        val ck = batch.localCheckpoint()
-        val ckIds = ck.select(col(idCol).as("id")).distinct()
-        if (!ckIds.join(broadcast(ts), Seq("id"), "left_semi").isEmpty)
-          compactMinhashIndex(spark, path) // forced by live tombstones: purge + clear
-        (ck, ckIds)
-    }
+    // .distinct() on idsFrom too: callers pass verdict rows (one per batch
+    // row by contract), but a batch that violates ids-uniqueness would
+    // otherwise write duplicate manifest entries that inflate every future
+    // replay guard's id relation — survivor sets are small, the distinct
+    // is cheap insurance
+    val ids0 = idsFrom.map(_.toDF("id").distinct())
+      .getOrElse(batch.select(col(idCol).as("id")).distinct())
+    // the heal check, the manifest write, and the data writes must not
+    // disagree on the batch's ids — [[TombstoneHeal.resolve]] decides what
+    // each write derives from (and what to checkpoint) per tombstone state
+    val (src, ids, pinned) = TombstoneHeal.resolve(batch, ids0, idCol,
+      tombstonesOf(spark, gen0.toString))(
+      () => compactMinhashIndex(spark, path)) // forced by live tombstones: purge + clear
     // re-resolve: the inline compaction (if any) committed a new generation
     val gen = graft.store.Generations.requireCommitted(spark, path)
-    ids.coalesce(1)
-      .write.mode("append").parquet(s"$gen/ids")
-    val banded = minhashBandKeys(src, idCol, textCol, shingleN, numHashes, bands)
-      .withColumn("__bkt",
-        bandBucket(col("bandkey"), genBandBuckets(spark, gen.toString)))
-    // repartition(1), NOT coalesce(1): coalesce collapses the UPSTREAM
-    // tokenize+sketch stage to one core (measured q71 6.3 → 10.1 s);
-    // repartition keeps the compute 32-way and funnels only the tiny
-    // banding relation through one writer task
-    val laid =
-      if (docsHint >= 0 && docsHint <= SmallAppendDocs) banded.repartition(1)
-      else banded.repartition(col("__bkt"))
-    laid.write.mode("append").partitionBy("__bkt").parquet(s"$gen/bands")
-    shingleRows(src, idCol, textCol, shingleN)
-      .write.mode("append").parquet(s"$gen/shingles")
-    if (src ne batch) src.unpersist(blocking = false)
+    try {
+      ids.coalesce(1)
+        .write.mode("append").parquet(s"$gen/ids")
+      val banded = minhashBandKeys(src, idCol, textCol, shingleN, numHashes, bands)
+        .withColumn("__bkt",
+          bandBucket(col("bandkey"), genBandBuckets(spark, gen.toString)))
+      // repartition(1), NOT coalesce(1): coalesce collapses the UPSTREAM
+      // tokenize+sketch stage to one core (measured q71 6.3 → 10.1 s);
+      // repartition keeps the compute 32-way and funnels only the tiny
+      // banding relation through one writer task
+      val laid =
+        if (docsHint >= 0 && docsHint <= SmallAppendDocs) banded.repartition(1)
+        else banded.repartition(col("__bkt"))
+      laid.write.mode("append").partitionBy("__bkt").parquet(s"$gen/bands")
+      shingleRows(src, idCol, textCol, shingleN)
+        .write.mode("append").parquet(s"$gen/shingles")
+    } finally pinned.foreach(_.unpersist(blocking = false))
   }
 
   /** Batch-size cutoff below which an append's banding relation skips the
