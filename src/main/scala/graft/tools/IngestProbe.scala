@@ -13,7 +13,9 @@ import graft.operators.Dedup
   * compact id manifest vs a `distinct` over the corpus-sized bands
   * relation (the pre-r7 guard). Corpus generator shared with
   * [[ScaleProbe]]'s deterministic shape (no RNG). Results go in
-  * docs/BENCH_NOTES_r7.md. */
+  * docs/BENCH_NOTES_r7.md; the r12 append-tier leg (tombstone-free vs
+  * disjoint vs heal-hit append cost) in docs/SCALE.md's re-ingest
+  * section. */
 object IngestProbe {
   def main(a: Array[String]): Unit = {
     val spark = graft.GraftSession.create("local[32]", 32)
@@ -62,6 +64,30 @@ object IngestProbe {
         idx.bands.select(col("id")).distinct().count())
       println(f"[ingestprobe] n=$n%7d guard_manifest=$tManifest%6.2fs ($nIds%d ids)  " +
         f"guard_distinct=$tGuardOld%6.2fs")
+      // r12 heal tiers: the same append under the three tombstone states.
+      // The DISJOINT tier must sit ~at the tombstone-free cost — its only
+      // addition is a checkpoint of the batch's id projection (the full
+      // batch stays lazy, the fix the r12 self-review forced); the HIT
+      // tier pays the owed physical rewrite by design, which is the point
+      // of reporting it next to the others
+      import spark.implicits._
+      def appendLeg(off: Long): Double = {
+        val ab = corpus(1024L, off); ab.count()
+        val (_, t) = time(Dedup.appendToMinhashIndex(
+          ab, dir, "doc_id", "text", docsHint = 1024L))
+        org.apache.spark.sql.graftx.Bridge.unpersistCheckpoint(ab)
+        t
+      }
+      val tFree = appendLeg(20_000_000L)
+      Dedup.deleteFromMinhashIndex(spark, dir,
+        Seq(1L, 2L, 3L).toDF("id")) // live tombstones, disjoint from the next batch
+      val tDisjoint = appendLeg(30_000_000L)
+      val hitBatch = corpus(4L, 0L); hitBatch.count() // ids 0-3 ⊇ tombstoned 1-3 → heal
+      val (_, tHit) = time(Dedup.appendToMinhashIndex(
+        hitBatch, dir, "doc_id", "text", docsHint = 4L))
+      org.apache.spark.sql.graftx.Bridge.unpersistCheckpoint(hitBatch)
+      println(f"[ingestprobe] n=$n%7d append_free=$tFree%6.2fs  " +
+        f"append_disjoint=$tDisjoint%6.2fs  append_hit(heal)=$tHit%6.2fs")
       org.apache.spark.sql.graftx.Bridge.unpersistCheckpoint(docs)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       System.gc()
