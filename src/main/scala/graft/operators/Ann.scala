@@ -6,6 +6,7 @@ import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftx.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 /** IVF (inverted-file) approximate nearest neighbour — the scale path for
@@ -86,7 +87,7 @@ object Ann {
     // sample, noise next to the fit's maxIter passes over the same set
     val fitSet =
       if (sampled.select(vecCol).distinct().count() >= nlist) sampled
-      else { sampled.unpersist(blocking = false); corpus }
+      else { Bridge.unpersistCheckpoint(sampled); corpus }
     val feat = fitSet.select(array_to_vector(col(vecCol)).as("__features"))
     val model = new KMeans()
       .setK(nlist).setSeed(seed).setMaxIter(10)
@@ -95,7 +96,7 @@ object Ann {
     // the fit is done with the sample — drop its checkpoint blocks NOW
     // (at O(100·nlist) sample rows they would otherwise squeeze storage
     // memory under the full-corpus assignment until a GC notices)
-    sampled.unpersist(blocking = false)
+    Bridge.unpersistCheckpoint(sampled)
     buildIvfFixed(corpus, idCol, vecCol, model.clusterCenters.map(_.toArray))
   }
 
@@ -479,7 +480,7 @@ object Ann {
       assignToCentroids(src, idCol, vecCol, centroids)
         .write.mode("append").partitionBy("list")
         .parquet(new Path(gen, "assigned").toString)
-    } finally pinned.foreach(_.unpersist(blocking = false))
+    } finally pinned.foreach(Bridge.unpersistCheckpoint)
   }
 
   /** Data-file count per `list=` dir of the latest committed generation —

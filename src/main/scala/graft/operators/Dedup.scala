@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftx.Bridge
 import graft.functions.TextAnalysis._
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
@@ -438,7 +439,7 @@ object Dedup {
       laid.write.mode("append").partitionBy("__bkt").parquet(s"$gen/bands")
       shingleRows(src, idCol, textCol, shingleN)
         .write.mode("append").parquet(s"$gen/shingles")
-    } finally pinned.foreach(_.unpersist(blocking = false))
+    } finally pinned.foreach(Bridge.unpersistCheckpoint)
   }
 
   /** Batch-size cutoff below which an append's banding relation skips the
@@ -562,7 +563,7 @@ object Dedup {
     val candidatePairs = cands.count()
     // the verdicts checkpoint broke the lineage; cands' blocks are dead
     // weight from here (a sustained ingest loop must not accumulate them)
-    cands.unpersist(blocking = false)
+    Bridge.unpersistCheckpoint(cands)
     (verdicts, IngestStats(
       batchRows = total, candidatePairs = candidatePairs, dups = dups,
       appendedRows = total - dups,
@@ -864,7 +865,6 @@ object Dedup {
     * over k rounds ⇔ a fixed point after each of them) — halving the
     * action count vs a per-round check. */
   def clusterNearDups(pairs: DataFrame, maxIter: Int = 20, convEvery: Int = 2): DataFrame = {
-    import org.apache.spark.sql.graftx.Bridge
     val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
       .distinct().localCheckpoint()

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.{broadcast, col}
+import org.apache.spark.sql.graftx.Bridge
 
 /** The tombstone-heal idiom shared by the twin index append paths
   * ([[Dedup.appendToMinhashIndex]], [[Ann.appendToIvf]]) — kept in ONE
@@ -10,7 +11,7 @@ import org.apache.spark.sql.functions.{broadcast, col}
   * itself (delete-then-re-add works; the purge-first ordering is
   * load-bearing) and docs/SCALE.md for the cost adjudication.
   */
-private[operators] object TombstoneHeal {
+private[graft] object TombstoneHeal {
 
   /** Resolve what an append must write from, given the generation's live
     * tombstones. Returns `(src, ids, pinned)`: every DATA write must
@@ -34,7 +35,9 @@ private[operators] object TombstoneHeal {
     *    come from ONE materialization. On this path consistency is
     *    absolute even for a nondeterministic batch; the batch-sized
     *    checkpoint is paid only here, where the owed index rewrite
-    *    dominates it.
+    *    dominates it — and not at all when the caller already handed in a
+    *    checkpoint-backed frame (the streaming sinks do), which replays
+    *    identically without a second copy in the block manager.
     *
     * Residual window, accepted and documented: on the lazy paths a
     * CONTRACT-VIOLATING nondeterministic batch can still write data rows
@@ -49,11 +52,26 @@ private[operators] object TombstoneHeal {
       case None => (batch, ids0, Nil)
       case Some(ts) =>
         val ckIds = ids0.localCheckpoint()
-        if (!ckIds.join(broadcast(ts), Seq("id"), "left_semi").isEmpty) {
-          forceCompact()
-          val ck = batch.localCheckpoint()
-          ckIds.unpersist(blocking = false) // superseded by the re-derivation
-          (ck, ck.select(col(idCol).as("id")).distinct(), Seq(ck))
-        } else (batch, ckIds, Seq(ckIds))
+        // from here ckIds pins blocks, and the caller's `finally` can only
+        // release what resolve RETURNS — a throw anywhere in between (the
+        // forced compaction, a full-index rewrite, is the failure-prone
+        // step) must release them here or a retrying ingest loop
+        // accumulates orphaned checkpoint blocks per failed heal
+        try {
+          if (!ckIds.join(broadcast(ts), Seq("id"), "left_semi").isEmpty) {
+            forceCompact()
+            // a batch that already IS a concrete checkpoint (the streaming
+            // sinks hand their checkpointed frame straight in) replays the
+            // same stored rows on every action — a second copy of it in
+            // the block manager would buy zero determinism, so reuse it
+            val preMaterialized = Bridge.isCheckpointBacked(batch)
+            val ck = if (preMaterialized) batch else batch.localCheckpoint()
+            Bridge.unpersistCheckpoint(ckIds) // superseded by the re-derivation
+            (ck, ck.select(col(idCol).as("id")).distinct(),
+              if (preMaterialized) Nil else Seq(ck))
+          } else (batch, ckIds, Seq(ckIds))
+        } catch {
+          case t: Throwable => Bridge.unpersistCheckpoint(ckIds); throw t
+        }
     }
 }

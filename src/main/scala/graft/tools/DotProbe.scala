@@ -35,7 +35,7 @@ object DotProbe {
         pairs.agg(sum(hofDot(col("a"), col("b")))).head)
       time(f"native dim=$dim%-4d 2M pairs")(
         pairs.agg(sum(graft.expressions.VectorExpressions.dot(col("a"), col("b")))).head)
-      pairs.unpersist(blocking = true)
+      org.apache.spark.sql.graftx.Bridge.unpersistCheckpoint(pairs)
     }
     spark.stop()
   }

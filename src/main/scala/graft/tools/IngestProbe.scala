@@ -82,9 +82,13 @@ object IngestProbe {
       Dedup.deleteFromMinhashIndex(spark, dir,
         Seq(1L, 2L, 3L).toDF("id")) // live tombstones, disjoint from the next batch
       val tDisjoint = appendLeg(30_000_000L)
-      val hitBatch = corpus(4L, 0L); hitBatch.count() // ids 0-3 ⊇ tombstoned 1-3 → heal
+      // EXACTLY the tombstoned ids: a batch that also carried a live id
+      // (e.g. id 0) would violate the append contract (batch disjoint from
+      // live corpus ids) and write duplicate rows post-heal — the heal cost
+      // measured is identical, the index stays well-formed
+      val hitBatch = corpus(3L, 1L); hitBatch.count() // ids 1-3 = tombstoned → heal
       val (_, tHit) = time(Dedup.appendToMinhashIndex(
-        hitBatch, dir, "doc_id", "text", docsHint = 4L))
+        hitBatch, dir, "doc_id", "text", docsHint = 3L))
       org.apache.spark.sql.graftx.Bridge.unpersistCheckpoint(hitBatch)
       println(f"[ingestprobe] n=$n%7d append_free=$tFree%6.2fs  " +
         f"append_disjoint=$tDisjoint%6.2fs  append_hit(heal)=$tHit%6.2fs")

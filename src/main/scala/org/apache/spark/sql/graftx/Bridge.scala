@@ -38,4 +38,22 @@ object Bridge {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
       case _ => ()
     }
+
+  /** True iff the frame IS a concrete checkpoint — its analyzed plan is
+    * exactly the `LogicalRDD` leaf a `(local)Checkpoint()` returns, backed
+    * by a checkpointed RDD. Every action on such a frame replays the same
+    * stored rows (block loss fails loudly instead of recomputing), so a
+    * consistency checkpoint on top of it would duplicate the data for zero
+    * determinism gain. Derived plans — even ones rooted at a checkpointed
+    * leaf — return false: re-evaluation is plan replay, and whether that is
+    * acceptable is the caller's call. (`LogicalRDD` is `private[sql]`,
+    * hence the shim.) */
+  def isCheckpointBacked(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.analyzed match {
+      // isCheckpointed is true for BOTH reliable and (materialized) local
+      // checkpoints — and Dataset.localCheckpoint() is eager by default,
+      // so a checkpointed frame handed in by a caller always reports true
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.isCheckpointed
+      case _ => false
+    }
 }
