@@ -8,6 +8,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftx.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+import graft.operators.Scratch.Ops
 
 /** IVF (inverted-file) approximate nearest neighbour — the scale path for
   * similarity search beyond [[Similarity.lshTopK]]'s sign buckets.
@@ -76,7 +77,7 @@ object Ann {
     val sampled = Corpus.mixtureSample(
       corpus.withColumn("__g", lit("all")), "__g", idCol,
       Map("all" -> fitFraction), salt = s"ivf-fit-$seed")
-      .localCheckpoint() // the fit iterates maxIter times over this set
+      .scratchCheckpoint() // the fit iterates maxIter times over this set
     // the documented "must leave at least nlist rows" requirement, ENFORCED
     // on DISTINCT vectors, not raw rows: a duplicate-heavy sample could
     // clear a row-count guard with >= nlist rows yet still reach KMeans.fit
@@ -356,7 +357,7 @@ object Ann {
     * call. */
   def deleteFromIvf(spark: SparkSession, path: String, ids: DataFrame): Long = {
     val gen = requireGen(spark, path)
-    val ts = ids.toDF("id").distinct().localCheckpoint()
+    val ts = ids.toDF("id").distinct().scratchCheckpoint()
     ts.coalesce(1).write.mode("append").parquet(new Path(gen, "tombstones").toString)
     val n = ts.count()
     if (graft.store.Compact.dataFileCount(spark, new Path(gen, "tombstones").toString)
@@ -585,7 +586,7 @@ object Ann {
         Similarity.norm(col(vecCol)).as("qn"))
       .withColumn("probe", explode(centroidRank(queries, col("qv"), index.centroids, nprobe)))
       .select(col("query_id"), col("qv"), col("qn"), col("probe.list").as("list"))
-      .localCheckpoint()
+      .scratchCheckpoint()
     val probeLists = probes.select("list").distinct()
       .collect().map(_.getInt(0)).toSeq
     val corpus = index.assigned

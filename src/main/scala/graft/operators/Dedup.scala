@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftx.Bridge
 import graft.functions.TextAnalysis._
+import graft.operators.Scratch.Ops
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
   * SimHash, n-gram Jaccard, embedding-cosine near-dup (builder-prompt
@@ -87,7 +88,7 @@ object Dedup {
     // pass once PER SIDE (no shuffle ⇒ no exchange reuse); the banded
     // relation is tiny (bands × docs rows of (key, id))
     val withBands = minhashBandKeys(docs, idCol, textCol, shingleN, numHashes, bands)
-      .localCheckpoint()
+      .scratchCheckpoint()
     val a = withBands.select(col("bandkey"), col("id").as("id_a"))
     val b = withBands.select(col("bandkey"), col("id").as("id_b"))
     a.join(b, Seq("bandkey"))
@@ -104,7 +105,7 @@ object Dedup {
       threshold: Double, shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4): DataFrame = {
     // the verify join reads the exploded shingle relation three times
     // (sizes, id_a side, id_b side) — materialize it once
-    val sh = shingleRows(docs, idCol, textCol, shingleN).localCheckpoint()
+    val sh = shingleRows(docs, idCol, textCol, shingleN).scratchCheckpoint()
     val cands = minhashLshCandidates(docs, idCol, textCol, shingleN, numHashes, bands)
     verifyJaccard(cands, sh, threshold)
   }
@@ -267,7 +268,7 @@ object Dedup {
   def deleteFromMinhashIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       ids: DataFrame): Long = {
     val gen = graft.store.Generations.requireCommitted(spark, path)
-    val ts = ids.toDF("id").distinct().localCheckpoint()
+    val ts = ids.toDF("id").distinct().scratchCheckpoint()
     ts.coalesce(1).write.mode("append").parquet(s"$gen/tombstones")
     val n = ts.count()
     // the file bound: pull the owed compaction forward instead of any
@@ -488,7 +489,7 @@ object Dedup {
       batch: DataFrame, idx: MinhashIndex, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int, bands: Int): DataFrame = {
     val bBands = minhashBandKeys(batch, idCol, textCol, shingleN, numHashes, bands)
-      .localCheckpoint()
+      .scratchCheckpoint()
     val idxBands =
       if (!idx.bands.columns.contains("__bkt")) idx.bands
       else {
@@ -544,9 +545,9 @@ object Dedup {
     val spark = batch.sparkSession
     val idx = readMinhashIndex(spark, path)
     val cands = bandCandidates(batch, idx, idCol, textCol, shingleN, numHashes, bands)
-      .localCheckpoint()
+      .scratchCheckpoint()
     val verdicts = verdictsFromCandidates(
-      batch, cands, idx, idCol, textCol, threshold, shingleN).localCheckpoint()
+      batch, cands, idx, idCol, textCol, threshold, shingleN).scratchCheckpoint()
     val agg = verdicts.agg(
       count(lit(1)).as("n"), count(when(col("is_dup"), 1)).as("d")).head
     val (total, dups) = (agg.getLong(0), agg.getLong(1))
@@ -656,7 +657,7 @@ object Dedup {
   private def verifyJaccard(cands: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
     val candIds = cands.select(col("id_a").as("id"))
       .unionByName(cands.select(col("id_b").as("id"))).distinct()
-    val shc = sh.join(candIds, Seq("id"), "left_semi").localCheckpoint()
+    val shc = sh.join(candIds, Seq("id"), "left_semi").scratchCheckpoint()
     val sizes = shc.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = cands
       .join(shc.select(col("id").as("id_a"), col("s")), Seq("id_a"))
@@ -711,7 +712,7 @@ object Dedup {
     val sh = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
       .repartition(col("id"))
       .select(col("id"), explode(rawNgrams(col("__toks"), shingleN)).as("s"))
-      .localCheckpoint()
+      .scratchCheckpoint()
     if (forceInverted) return ngramJaccardInverted(sh.distinct(), threshold)
     // Size probe AND dense vocab in one pass: distinct().limit(bits + 1)
     // stops the limit at denseVocabBits + 1 rows, so a big vocabulary
@@ -785,7 +786,7 @@ object Dedup {
       .groupBy("id")
       .agg(bitAggs.head, bitAggs.tail: _*)
       .withColumn("n", nCol)
-      .localCheckpoint()
+      .scratchCheckpoint()
     // Block count scales with the corpus: total pair work is ~n²/2 no matter
     // the blocking, but blocks bound rows-per-task (≈ n/blocks per side) so
     // per-task compare count stays ~PairBlockRows² and parallelism grows
@@ -835,7 +836,7 @@ object Dedup {
       // re-evaluating the popcount chain two more times per CANDIDATE pair
       // (measured 4.8 → 7.1 s — worse than the exact-in-join form it was
       // meant to replace)
-      .localCheckpoint()
+      .scratchCheckpoint()
       .filter(col("jaccard") >= threshold)
   }
 
@@ -867,10 +868,10 @@ object Dedup {
   def clusterNearDups(pairs: DataFrame, maxIter: Int = 20, convEvery: Int = 2): DataFrame = {
     val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
-      .distinct().localCheckpoint()
+      .distinct().scratchCheckpoint()
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint()
+      .scratchCheckpoint()
     var lastChecked = labels
     var converged = false
     var i = 0
@@ -881,7 +882,7 @@ object Dedup {
       val next = labels.join(nbr, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("minNbr"), col("label"))).as("label"))
-        .localCheckpoint()
+        .scratchCheckpoint()
       if (labels ne lastChecked) Bridge.unpersistCheckpoint(labels)
       labels = next
       i += 1
@@ -918,7 +919,7 @@ object Dedup {
       .withColumn("b0", concat(lit("lo:"), (col("fp").bitwiseAND(lit((1L << (bits / 2)) - 1))).cast("string")))
       .withColumn("b1", concat(lit("hi:"), shiftright(col("fp"), bits / 2).cast("string")))
       .select(col("id"), col("fp"), explode(array(col("b0"), col("b1"))).as("band"))
-      .localCheckpoint()
+      .scratchCheckpoint()
     banded.as("x").join(banded.as("y"), col("x.band") === col("y.band") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         hammingDistance(col("x.fp"), col("y.fp")).as("hamming"))
@@ -948,7 +949,7 @@ object Dedup {
     // narrow (id, band) relation; localCheckpoint so the self-join's two
     // sides don't each re-scan the corpus
     val banded = base.select(col("id"), explode(array(bandCols: _*)).as("band"))
-      .localCheckpoint()
+      .scratchCheckpoint()
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.{broadcast, col}
 import org.apache.spark.sql.graftx.Bridge
+import graft.operators.Scratch.Ops
 
 /** The tombstone-heal idiom shared by the twin index append paths
   * ([[Dedup.appendToMinhashIndex]], [[Ann.appendToIvf]]) — kept in ONE
@@ -51,7 +52,7 @@ private[graft] object TombstoneHeal {
     tombstones match {
       case None => (batch, ids0, Nil)
       case Some(ts) =>
-        val ckIds = ids0.localCheckpoint()
+        val ckIds = ids0.scratchCheckpoint()
         // from here ckIds pins blocks, and the caller's `finally` can only
         // release what resolve RETURNS — a throw anywhere in between (the
         // forced compaction, a full-index rewrite, is the failure-prone
@@ -65,7 +66,7 @@ private[graft] object TombstoneHeal {
             // same stored rows on every action — a second copy of it in
             // the block manager would buy zero determinism, so reuse it
             val preMaterialized = Bridge.isCheckpointBacked(batch)
-            val ck = if (preMaterialized) batch else batch.localCheckpoint()
+            val ck = if (preMaterialized) batch else batch.scratchCheckpoint()
             Bridge.unpersistCheckpoint(ckIds) // superseded by the re-derivation
             (ck, ck.select(col(idCol).as("id")).distinct(),
               if (preMaterialized) Nil else Seq(ck))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
 import graft.operators.{Corpus, Dedup}
+import graft.operators.Scratch.Ops
 
 /** Corpus curation — the training-data pipeline composed end-to-end over a
   * documents table: language/quality gates (pure expressions), exact
@@ -26,6 +27,68 @@ object Curation {
 
   case class CurationResult(kept: DataFrame, ledger: DataFrame)
 
+  /** Per-stage survivor counts of [[gateAndDedup]] — the numbers both
+    * callers' drop ledgers are derived from set-theoretically (stage
+    * input/output counts: deterministic under retries and partitioning). */
+  private[graft] case class StageCounts(
+      input: Long, gated: Long, afterExact: Long, afterNearDup: Long)
+
+  /** The within-corpus curation stages — language/quality gates, exact
+    * dedup, near-dup removal — shared by [[curate]] and the streaming sink
+    * ([[graft.streaming.Streams]]'s curation `foreachBatch`), in ONE place
+    * so the two paths cannot silently diverge when a gate expression or a
+    * drop rule changes. Returns the surviving frame plus [[StageCounts]].
+    *
+    * Stage 1: the gates are scored in a NARROW projection — (id, __lang,
+    * __q) only — and THAT is what gets checkpointed: a full-width
+    * checkpoint would hold a second copy of the corpus in executor-local
+    * storage (at 100 TB, a non-fault-tolerant cluster-memory copy of
+    * everything), while the narrow score relation is a few bytes per
+    * document. Scoring in a projection (never a Filter) still pins the
+    * gate expressions where codegen subexpression elimination applies —
+    * pushing them into the Filter condition evaluates the raw duplicated
+    * tree per row (measured ~6× slower). The gated corpus is then a
+    * semi-join of the source against surviving ids: downstream stages
+    * re-read the cheap columnar source scan instead of a corpus-wide
+    * checkpoint, and callers keep all payload columns. (Docs are id-keyed —
+    * one row per document id, the curation contract — so the ledger counts
+    * read the materialized narrow checkpoint, never re-scan the source.)
+    *
+    * Stage 2: exact dedup (normalized-text fingerprint, min-id wins);
+    * checkpointed for the same reason — near-dup pairing and the kept
+    * anti-join both re-read it.
+    *
+    * Stage 3: near-dup removal — drop the larger id of each verified pair.
+    * `losers` is checkpointed (tiny — one id per dropped doc) so the
+    * ledger's count AND the caller's materialization of the result don't
+    * each re-run the whole MinHash+verify pass. */
+  private[graft] def gateAndDedup(
+      docs: DataFrame, idCol: String, textCol: String,
+      allowedLangs: Seq[String], minQuality: Double, nearDupThreshold: Double,
+      shingleN: Int, numHashes: Int = 12, bands: Int = 4): (DataFrame, StageCounts) = {
+    val scored = docs
+      .select(col(idCol),
+        TextAnalysis.langPredict(TextAnalysis.tokens(col(textCol))).as("__lang"),
+        TextAnalysis.qualityScore(col(textCol)).as("__q"))
+      .scratchCheckpoint()
+    val keepIds = scored
+      .filter(col("__lang").isin(allowedLangs: _*) && col("__q") >= minQuality)
+      .select(idCol)
+    val gated = docs.join(keepIds, Seq(idCol), "left_semi")
+    val total = scored.count()
+    val nGated = keepIds.count()
+
+    val exact = Dedup.exactDedup(gated, idCol, textCol).scratchCheckpoint()
+    val nExact = exact.count()
+
+    val pairs = Dedup.minhashDedupPairs(exact, idCol, textCol, nearDupThreshold,
+      shingleN, numHashes, bands)
+    val losers = pairs.select(col("id_b").as(idCol)).distinct().scratchCheckpoint()
+    val kept = exact.join(losers, Seq(idCol), "left_anti")
+    val nKept = kept.count()
+    (kept, StageCounts(total, nGated, nExact, nKept))
+  }
+
   def curate(
       docs: DataFrame, idCol: String, textCol: String,
       allowedLangs: Seq[String] = Seq("en", "de", "es", "fr", "vi"),
@@ -34,57 +97,14 @@ object Curation {
       shingleN: Int = 3): CurationResult = {
     val spark = docs.sparkSession
     import spark.implicits._
-
-    // stage 1: language + quality gates (one scan, both expressions).
-    // The gates are scored in a NARROW projection — (id, __lang, __q) only —
-    // and THAT is what gets localCheckpoint'd: a full-width checkpoint would
-    // hold a second copy of the corpus in executor-local storage (at 100 TB,
-    // a non-fault-tolerant cluster-memory copy of everything), while the
-    // narrow score relation is a few bytes per document. Scoring in a
-    // projection (never a Filter) still pins the gate expressions where
-    // codegen subexpression elimination applies — pushing them into the
-    // Filter condition evaluates the raw duplicated tree per row (measured
-    // ~6× slower). The gated corpus is then a semi-join of the source
-    // against surviving ids: downstream stages re-read the cheap columnar
-    // source scan instead of a corpus-wide checkpoint, and callers keep all
-    // payload columns.
-    val scored = docs
-      .select(col(idCol),
-        TextAnalysis.langPredict(TextAnalysis.tokens(col(textCol))).as("__lang"),
-        TextAnalysis.qualityScore(col(textCol)).as("__q"))
-      .localCheckpoint()
-    val keepIds = scored
-      .filter(col("__lang").isin(allowedLangs: _*) && col("__q") >= minQuality)
-      .select(idCol)
-    val gated = docs.join(keepIds, Seq(idCol), "left_semi")
-    // docs are id-keyed (one row per document id — the curation contract),
-    // so both ledger counts read the materialized narrow checkpoint instead
-    // of re-scanning the source
-    val total = scored.count()
-    val nGated = keepIds.count()
-
-    // stage 2: exact dedup (normalized-text fingerprint, min-id wins);
-    // checkpointed for the same reason — near-dup pairing and the kept
-    // anti-join both re-read it
-    val exact = Dedup.exactDedup(gated, idCol, textCol).localCheckpoint()
-    val nExact = exact.count()
-
-    // stage 3: near-dup removal — drop the larger id of each verified pair.
-    // `losers` is checkpointed (it's tiny — one id per dropped doc) so the
-    // ledger's count AND the caller's materialization of `kept` don't each
-    // re-run the whole MinHash+verify pass.
-    val pairs = Dedup.minhashDedupPairs(exact, idCol, textCol, nearDupThreshold,
-      shingleN = shingleN)
-    val losers = pairs.select(col("id_b").as(idCol)).distinct().localCheckpoint()
-    val kept = exact.join(losers, Seq(idCol), "left_anti")
-    val nKept = kept.count()
-
+    val (kept, c) = gateAndDedup(
+      docs, idCol, textCol, allowedLangs, minQuality, nearDupThreshold, shingleN)
     val ledger = Seq(
-      ("input", total),
-      ("dropped_lang_or_quality", total - nGated),
-      ("dropped_exact_dup", nGated - nExact),
-      ("dropped_near_dup", nExact - nKept),
-      ("kept", nKept)
+      ("input", c.input),
+      ("dropped_lang_or_quality", c.input - c.gated),
+      ("dropped_exact_dup", c.gated - c.afterExact),
+      ("dropped_near_dup", c.afterExact - c.afterNearDup),
+      ("kept", c.afterNearDup)
     ).toDF("reason", "n")
     CurationResult(kept, ledger)
   }

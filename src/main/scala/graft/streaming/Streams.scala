@@ -8,6 +8,8 @@ import org.apache.hadoop.fs.Path
 
 import graft.operators.{Dedup, History, Merge}
 import graft.store.Generations
+import graft.operators.Scratch
+import graft.operators.Scratch.Ops
 
 /** Structured Streaming surface (SURVEY.md §2.10). The reference is
   * micro-batch incremental (resumable progress, recency watermark, CDC into
@@ -162,7 +164,29 @@ object Streams {
       throw new IllegalStateException(
         s"CDC companion at $historyPath has an interrupted rebuild ($marker exists) — " +
           "re-run cdcRebuildCompanion to complete recovery before resuming the sink")
-    cdcGensBelowUnchecked(spark, historyPath, batchId)
+    val gens = cdcGensBelowUnchecked(spark, historyPath, batchId)
+    // ZERO committed generations below a NON-FIRST batch while earlier
+    // event partitions exist: `_latest` was lost without a rebuild marker
+    // (disk loss, accidental delete). Deriving against nothing would
+    // silently reclassify the whole catalog as first sightings — the one
+    // failure mode that must never happen quietly. Fail loudly toward
+    // recovery instead. Cost: this listing runs only when gens is empty,
+    // i.e. normally just the stream's very first batch over an empty tree.
+    if (gens.isEmpty && batchId > 0) {
+      val root = new Path(historyPath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val priorData = fs.exists(root) && fs.listStatus(root).exists { st =>
+        val n = st.getPath.getName
+        n == "_archive" || (st.isDirectory && n.startsWith("batch_id=") &&
+          scala.util.Try(n.stripPrefix("batch_id=").toLong).toOption.exists(_ < batchId))
+      }
+      if (priorData) throw new IllegalStateException(
+        s"CDC companion at $historyPath has NO committed generation below batch " +
+          s"$batchId, but earlier event partitions exist — the `_latest` tree was " +
+          "lost. Run cdcRebuildCompanion before resuming, or every key would be " +
+          "silently reclassified as a first sighting")
+    }
+    gens
   }
 
   private def cdcGensBelowUnchecked(spark: SparkSession, historyPath: String,
@@ -198,6 +222,12 @@ object Streams {
       staleHorizon: Option[String] = None, keyBuckets: Int = CdcKeyBuckets): Unit = {
     val spark = batch.sparkSession
     scopedUnpersist(spark) {
+      // the batch is deliberately NOT checkpointed (unlike the ingest
+      // sinks'): its extra evaluations are the bucket-prune collects —
+      // key-column-only, column-pruned at a columnar source — and the one
+      // full-width use is deriveEvents, whose output is what gets pinned.
+      // A full-width batch checkpoint would trade those narrow scans for a
+      // second copy of the whole batch in executor storage.
       val gens = cdcGensBelow(spark, historyPath, batchId)
       // the derive needs previous state for the BATCH's keys only — prune
       // the companion read to their buckets, computed PER MODULUS in play
@@ -222,7 +252,7 @@ object Streams {
       // change — no_change observations do not refresh it — matching the
       // reference's probe-the-last-stored-history-row shape (its history
       // also only holds should_log rows, postgres_storage.py:1283-1305).
-      val events = History.deriveEvents(batch, prev, None, staleHorizon).localCheckpoint()
+      val events = History.deriveEvents(batch, prev, None, staleHorizon).scratchCheckpoint()
       events.write.mode("overwrite").parquet(s"$historyPath/batch_id=$batchId")
       // the batch's delta: its own changed rows only, collapsed to one per
       // key below. A no_change row never enters any generation — it carries
@@ -253,12 +283,24 @@ object Streams {
         deltasSinceFull + 1 >= collapseEvery || bytesDue
       // a collapse folds the WHOLE catalog — unpruned read — not just the
       // batch's buckets
+      // tie-break discipline (matching cdcStateFrom's): on a crawled_at tie
+      // the CURRENT batch's row supersedes resolved prior state — batch
+      // recency, the reference's last-write-wins upsert order — and the
+      // trailing value columns totalize the order WITHIN a delta (a batch
+      // can log several changes for one key; rows tying on every ordered
+      // column are identical, so the pick is immaterial). A replayed batch
+      // therefore collapses deterministically, which the byte-identical
+      // generation-rewrite contract requires.
+      val valueTieBreaks = Seq(col("price").desc, col("sales_count").desc,
+        col("original_price").desc, col("discount_percent").desc)
       val next =
         if (isFull) Merge.latestPerKey(
-          cdcStateFrom(spark, gens).getOrElse(delta.limit(0)).unionByName(delta),
-          Seq("product_id"), "crawled_at", Seq(col("price").desc))
+          cdcStateFrom(spark, gens).getOrElse(delta.limit(0))
+            .withColumn("__cur", lit(0)).unionByName(delta.withColumn("__cur", lit(1))),
+          Seq("product_id"), "crawled_at", col("__cur").desc +: valueTieBreaks)
+          .drop("__cur")
         else Merge.latestPerKey(delta,
-          Seq("product_id"), "crawled_at", Seq(col("price").desc))
+          Seq("product_id"), "crawled_at", valueTieBreaks)
       val root = s"$historyPath/_latest"
       // %012d, not Generations' %06d: companion generation NAMES carry the
       // batch id, and vacuum/latest resolution sort lexicographically — a
@@ -366,8 +408,8 @@ object Streams {
       // a batch whose rows all matched state writes an EMPTY delta — no
       // part files (bucketed layout: no __kbkt= dirs), so it must be
       // skipped, not schema-inferred over
-      val dirs = fromFull.map(g => (new Path(g.path, "state"), g.buckets))
-        .filter { case (d, _) =>
+      val dirs = fromFull.map(g => (new Path(g.path, "state"), g.buckets, g.id))
+        .filter { case (d, _, _) =>
           val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
           fs.exists(d) && fs.listStatus(d).exists { st =>
             val n = st.getPath.getName
@@ -388,7 +430,7 @@ object Streams {
         // ITS OWN recorded modulus — and as a row filter on flat
         // deltas/legacy gens (deltas are O(batch); a legacy full gen
         // re-anchors bucketed at its next collapse).
-        val frames = dirs.map { case (d, nbkt) =>
+        val frames = dirs.map { case (d, nbkt, genId) =>
           val df = spark.read.parquet(d.toString)
           val bucketed = df.columns.contains("__kbkt")
           val pruned = pruneTo.flatMap(_.get(if (bucketed) nbkt else flatModulus)) match {
@@ -396,10 +438,20 @@ object Streams {
             case Some(b) => df.filter(keyBucket(col("product_id"), flatModulus).isin(b: _*))
             case None => df
           }
-          if (bucketed) pruned.drop("__kbkt") else pruned
+          (if (bucketed) pruned.drop("__kbkt") else pruned)
+            .withColumn("__gen", lit(genId))
         }
+        // GENERATION recency breaks crawled_at ties, making the collapse
+        // total and faithful: a later batch's re-observation of a key at an
+        // identical timestamp must supersede older state (the reference's
+        // upsert is last-write-wins in batch order), not lose to it on an
+        // arbitrary value-column comparison. Each generation holds at most
+        // one row per key (every write collapses first), so (crawled_at,
+        // __gen) is a TOTAL order per key — a replayed collapse is
+        // deterministic even for same-timestamp cross-batch ties.
         Some(Merge.latestPerKey(frames.reduce(_ unionByName _),
-          Seq("product_id"), "crawled_at", Seq(col("price").desc)))
+          Seq("product_id"), "crawled_at", Seq(col("__gen").desc, col("price").desc))
+          .drop("__gen"))
       }
     }
   }
@@ -471,14 +523,38 @@ object Streams {
     fs.create(marker, true).close()
     // archived batches count: a key whose last logged event was moved
     // under _archive/ by archiveEventLog must not vanish from the rebuilt
-    // state (the live tree alone under-represents exactly the stalest keys)
+    // state (the live tree alone under-represents exactly the stalest
+    // keys). The live partitions are listed EXPLICITLY: in the documented
+    // steady state sustained archival can have moved EVERY live partition
+    // under _archive, and a bare read of the root (only underscore dirs
+    // left — invisible to the reader) would die on schema inference with
+    // the recovery marker already planted, wedging the companion.
+    val histRoot = new Path(historyPath)
+    val liveParts = (if (fs.exists(histRoot)) fs.listStatus(histRoot).toSeq else Nil)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+      .map(_.getPath.toString)
     val arch = new Path(s"$historyPath/_archive")
-    val log = (Seq(spark.read.parquet(historyPath)) ++
-        (if (fs.exists(arch)) Seq(spark.read.parquet(arch.toString)) else Nil))
-      .map(_.filter(col("batch_id") < nextBatchId).select(CdcStateCols.map(col): _*))
+    val srcs =
+      (if (liveParts.nonEmpty)
+        Seq(spark.read.option("basePath", historyPath).parquet(liveParts: _*))
+      else Nil) ++
+        (if (fs.exists(arch)) Seq(spark.read.parquet(arch.toString)) else Nil)
+    require(srcs.nonEmpty,
+      s"cdcRebuildCompanion: no event partitions under $historyPath (live or " +
+        "archived) — there is nothing to rebuild the companion from")
+    // batch_id rides through the collapse: on a crawled_at tie the LATER
+    // batch's row wins (the incremental companion's last-write-wins order;
+    // the raw log, unlike the per-generation states, can also hold several
+    // same-key rows whose ties the value columns then totalize)
+    val log = srcs
+      .map(_.filter(col("batch_id") < nextBatchId)
+        .select((CdcStateCols :+ "batch_id").map(col): _*))
       .reduce(_ unionByName _)
     val state = Merge.latestPerKey(
-      log, Seq("product_id"), "crawled_at", Seq(col("price").desc))
+      log, Seq("product_id"), "crawled_at",
+      col("batch_id").desc +: Seq(col("price").desc, col("sales_count").desc,
+        col("original_price").desc, col("discount_percent").desc))
+      .drop("batch_id")
     // stage the rebuilt generation fully — data, markers, commit — while
     // the old tree is still intact: the expensive write can crash at any
     // point without destroying state, and the swap below is two metadata
@@ -505,21 +581,59 @@ object Streams {
     fs.delete(marker, false)
   }
 
-  /** Run `body`, then unpersist every persistent RDD it created — the
-    * `foreachBatch` twin of the bench's per-query cleanup. The ingest
-    * cycle localCheckpoints per-batch scratch (band keys, candidate
-    * pairs, the verdict frame), and with a large heap GC rarely runs, so
-    * the ContextCleaner's weak-ref cleanup never fires and a long-running
-    * stream accumulates dead blocks until heavy batches pay eviction
-    * churn (the block-manager pathology docs/BENCH_NOTES_r5.md measured
-    * at 24 GiB). Scoped by RDD id: caches that existed before the batch
-    * are untouched. */
-  private def scopedUnpersist[A](spark: SparkSession)(body: => A): A = {
-    val before = spark.sparkContext.getPersistentRDDs.keySet
-    try body
-    finally spark.sparkContext.getPersistentRDDs
-      .filterNot { case (id, _) => before.contains(id) }
-      .values.foreach(_.unpersist(blocking = false))
+  /** Run `body`, then release the per-batch scratch checkpoints it
+    * registered — the `foreachBatch` twin of the bench's per-query
+    * cleanup. The ingest cycle checkpoints per-batch scratch (band keys,
+    * candidate pairs, the verdict frame), and with a large heap GC rarely
+    * runs, so the ContextCleaner's weak-ref cleanup never fires and a
+    * long-running stream accumulates dead blocks until heavy batches pay
+    * eviction churn (the block-manager pathology docs/BENCH_NOTES_r5.md
+    * measured at 24 GiB). Scoping is by [[graft.operators.Scratch]]'s
+    * thread-confined registry, NOT a context-global `getPersistentRDDs`
+    * diff: the global diff also swept checkpoints a CONCURRENTLY RUNNING
+    * query created in the same window, and a localCheckpoint's blocks are
+    * unrecoverable once unpersisted — one sink's per-batch cleanup could
+    * kill another sink's in-flight batch in a multi-query session. */
+  private def scopedUnpersist[A](spark: SparkSession)(body: => A): A =
+    Scratch.scoped(body)
+
+  /** Move a `batch_id=` partition dir under `destRoot`, resolving a
+    * pre-existing destination — shared by [[archiveBatchOutputs]] and
+    * [[archiveEventLog]] so the resolution rules cannot drift apart.
+    *
+    *  - dest absent (the normal sweep): one whole-directory rename.
+    *  - dest present and src COMPLETE (`_SUCCESS` — the default committer
+    *    writes it): a replayed batch rewrote a partition that was already
+    *    archived (reachable for [[archiveEventLog]]: a backfill batch's old
+    *    event times can expire the current partition, and a crash before
+    *    the checkpoint commit replays it). The rewrite is the same logical
+    *    content with NEW task-UUID file names, so a file-level merge would
+    *    duplicate every row and collide on `_SUCCESS` (rename onto an
+    *    existing path returns false) — the archived copy is REPLACED
+    *    instead.
+    *  - dest present and src INCOMPLETE: residue of an interrupted
+    *    file-level merge (this branch's own crash window) — move the
+    *    remaining children; one that already made it across is dropped.
+    *    Complete-partition replacement above never leaves this state (a
+    *    whole-dir rename is atomic on HDFS-like filesystems), so the
+    *    branch is a recovery path, not a steady state. */
+  private def moveOrMergePartition(fs: org.apache.hadoop.fs.FileSystem,
+      src: Path, destRoot: Path, what: String): Unit = {
+    def checked(ok: Boolean, op: String): Unit =
+      if (!ok) throw new java.io.IOException(s"$what: $op failed (filesystem returned false)")
+    val dest = new Path(destRoot, src.getName)
+    if (!fs.exists(dest)) checked(fs.rename(src, dest), s"rename($src -> $dest)")
+    else if (fs.exists(new Path(src, "_SUCCESS"))) {
+      checked(fs.delete(dest, true), s"delete($dest)")
+      checked(fs.rename(src, dest), s"rename($src -> $dest)")
+    } else {
+      fs.listStatus(src).foreach { part =>
+        val pdest = new Path(dest, part.getPath.getName)
+        if (fs.exists(pdest)) checked(fs.delete(part.getPath, true), s"delete(${part.getPath})")
+        else checked(fs.rename(part.getPath, pdest), s"rename(${part.getPath} -> $pdest)")
+      }
+      checked(fs.delete(src, true), s"delete($src)")
+    }
   }
 
   /** Continuous near-dup ingest — the streaming closure of the ingest loop
@@ -560,18 +674,26 @@ object Streams {
         scopedUnpersist(spark) {
           // the source is re-read per downstream action otherwise (the
           // guard uses the batch twice, ingestCycle twice more)
-          val b = batch.localCheckpoint()
+          val b = batch.scratchCheckpoint()
           // the compact id manifest, maintained at append time — never the
           // corpus-sized bands relation (the pre-r7 per-batch distinct scan)
           val known = Dedup.minhashIndexIds(spark, indexPath)
             .select(col("id").as(idCol))
           val fresh = b.join(known, Seq(idCol), "left_anti")
-          val (verdicts, stats) = Dedup.ingestCycle(
-            fresh, indexPath, idCol, textCol, threshold, shingleN, numHashes, bands)
+          // pinned BEFORE the cycle's append, like the ANN twin's guard
+          // join: correctness of the lazy form rested on `known`'s file
+          // listing being snapshotted at read time — one refactor away from
+          // the semi-join seeing the batch's own just-appended ids and
+          // re-emitting every survivor as a replayed row. Replays are rare,
+          // so the pinned frame is usually empty and the materialization
+          // costs one tiny job.
           val replayed = b.join(known, Seq(idCol), "left_semi")
             .select(col(idCol).as("id"), lit(false).as("is_dup"),
               lit(null).cast(b.schema(idCol).dataType).as("dup_of"),
               lit(null).cast("double").as("jaccard"))
+            .scratchCheckpoint()
+          val (verdicts, stats) = Dedup.ingestCycle(
+            fresh, indexPath, idCol, textCol, threshold, shingleN, numHashes, bands)
           verdicts.unionByName(replayed)
             .write.mode("overwrite").parquet(s"$verdictsPath/batch_id=$batchId")
           val compacted = math.max(stats.bandsFiles, stats.shinglesFiles) > compactAt
@@ -603,7 +725,9 @@ object Streams {
   /** Continuous corpus curation — the streaming closure of
     * [[graft.pipeline.Curation.curate]], against a PERSISTED cross-stream
     * MinHash index instead of a within-corpus pass. Per micro-batch:
-    * language/quality gates (the same pure expressions), exact dedup
+    * language/quality gates (the batch pipeline's own
+    * [[graft.pipeline.Curation.gateAndDedup]] stages — shared code, so the
+    * paths cannot drift), exact dedup
     * WITHIN the batch (min-id wins), near-dup removal within the batch
     * (drop the larger id of each verified pair), then the full
     * [[graft.operators.Dedup.ingestCycle]] against the index — batch docs
@@ -655,36 +779,25 @@ object Streams {
       outPath: String, batchId: Long, idCol: String, textCol: String,
       allowedLangs: Seq[String], minQuality: Double, nearDupThreshold: Double,
       shingleN: Int, numHashes: Int, bands: Int, compactAt: Int): Unit = {
-    import graft.functions.TextAnalysis
     val spark = batch.sparkSession
     scopedUnpersist(spark) {
-      val b = batch.localCheckpoint()
+      val b = batch.scratchCheckpoint()
       val total = b.count()
       // replay guard: ids in the manifest were appended = kept — re-emit
       // them, pipeline the rest (same manifest-not-bands read as ingestSink)
       val known = Dedup.minhashIndexIds(spark, indexPath).select(col("id").as(idCol))
       val fresh = b.join(known, Seq(idCol), "left_anti")
-      val replayedKept = b.join(known, Seq(idCol), "left_semi")
-      // gates — narrow scored projection, the Curation.curate shape
-      val scored = fresh.select(col(idCol),
-          TextAnalysis.langPredict(TextAnalysis.tokens(col(textCol))).as("__lang"),
-          TextAnalysis.qualityScore(col(textCol)).as("__q"))
-        .localCheckpoint()
-      val keepIds = scored
-        .filter(col("__lang").isin(allowedLangs: _*) && col("__q") >= minQuality)
-        .select(idCol)
-      val gated = fresh.join(keepIds, Seq(idCol), "left_semi")
-      val nFresh = scored.count()
-      val nGated = keepIds.count()
-      // exact dedup within the batch
-      val exact = Dedup.exactDedup(gated, idCol, textCol).localCheckpoint()
-      val nExact = exact.count()
-      // near-dups within the batch: drop the larger id of each verified pair
-      val pairs = Dedup.minhashDedupPairs(exact, idCol, textCol, nearDupThreshold,
-        shingleN, numHashes, bands)
-      val losers = pairs.select(col("id_b").as(idCol)).distinct().localCheckpoint()
-      val internalKept = exact.join(losers, Seq(idCol), "left_anti")
-      val nInternal = internalKept.count()
+      // pinned BEFORE the cycle's append (ingestSink's replay-guard rule):
+      // evaluated lazily after it, one refactor of the manifest read away
+      // from seeing the batch's own appended ids. Usually empty — replays
+      // are rare — so the pin costs one tiny job.
+      val replayedKept = b.join(known, Seq(idCol), "left_semi").scratchCheckpoint()
+      // gates + exact dedup + within-batch near-dup: the SAME stage helper
+      // the batch pipeline runs (graft.pipeline.Curation.gateAndDedup) —
+      // shared code, not a "same pure expressions" promise kept by
+      // copy-paste; a gate or drop-rule change lands on both paths at once
+      val (internalKept, c) = graft.pipeline.Curation.gateAndDedup(fresh, idCol,
+        textCol, allowedLangs, minQuality, nearDupThreshold, shingleN, numHashes, bands)
       // cross-stream near-dup + survivor append, one ingest cycle
       val (verdicts, stats) = Dedup.ingestCycle(internalKept, indexPath,
         idCol, textCol, nearDupThreshold, shingleN, numHashes, bands)
@@ -695,8 +808,8 @@ object Streams {
       val compacted = math.max(stats.bandsFiles, stats.shinglesFiles) > compactAt
       if (compacted) Dedup.compactMinhashIndex(spark, indexPath)
       import spark.implicits._
-      Seq((total, total - nFresh, nFresh - nGated, nGated - nExact,
-          nExact - nInternal, stats.dups, stats.appendedRows, compacted))
+      Seq((total, total - c.input, c.input - c.gated, c.gated - c.afterExact,
+          c.afterExact - c.afterNearDup, stats.dups, stats.appendedRows, compacted))
         .toDF("input", "replayed", "dropped_lang_or_quality", "dropped_exact_dup",
           "dropped_near_dup_batch", "dropped_near_dup_corpus", "kept", "compacted")
         .coalesce(1)
@@ -802,7 +915,7 @@ object Streams {
         val spark = batch.sparkSession
         scopedUnpersist(spark) {
           // materialized once: the batch feeds the guard join and the append
-          val b = batch.localCheckpoint()
+          val b = batch.scratchCheckpoint()
           // id manifest, not a distinct over the whole assigned tree
           val known = Ann.ivfIds(spark, indexPath).select(col("id").as(idCol))
           // ONE ledger job, not two count()s: a left join against the
@@ -819,12 +932,18 @@ object Streams {
           // own ids and append zero vectors — the guard join must be
           // evaluated exactly once, against the pre-append manifest
           val fresh = b.join(known.drop("__known"), Seq(idCol), "left_anti")
-            .localCheckpoint()
+            .scratchCheckpoint()
           Ann.appendToIvf(fresh, indexPath, idCol, vecCol)
           val counts = Ann.ivfFileCounts(spark, indexPath)
           val maxFiles = if (counts.isEmpty) 0 else counts.values.max
           val compacted = maxFiles > compactAt
-          if (compacted) Ann.compactIvf(spark, indexPath)
+          // the READER-ATOMIC compaction, not the in-place per-list pass:
+          // this sink advertises "probes see appended vectors immediately",
+          // i.e. concurrent probes are the normal case, and compactIvf's
+          // per-dir swap is documented non-atomic for a concurrent reader
+          // (a probe could list mid-swap and hit deleted part files). The
+          // MinHash twin already compacts generationally; this matches it.
+          if (compacted) Ann.compactIvfOnline(spark, indexPath)
           import spark.implicits._
           Seq((rows, appended, maxFiles, compacted))
             .toDF("rows", "appended", "max_list_files", "compacted")
@@ -866,17 +985,8 @@ object Streams {
       if (!ok) throw new java.io.IOException(
         s"archiveBatchOutputs: $what failed (filesystem returned false)")
     checked(fs.mkdirs(destRoot), s"mkdirs($destRoot)")
-    expired.foreach { st =>
-      val dest = new Path(destRoot, st.getPath.getName)
-      if (!fs.exists(dest)) checked(fs.rename(st.getPath, dest), s"rename(${st.getPath} -> $dest)")
-      else {
-        fs.listStatus(st.getPath).foreach { part =>
-          val pdest = new Path(dest, part.getPath.getName)
-          checked(fs.rename(part.getPath, pdest), s"rename(${part.getPath} -> $pdest)")
-        }
-        checked(fs.delete(st.getPath, true), s"delete(${st.getPath})")
-      }
-    }
+    expired.foreach(st =>
+      moveOrMergePartition(fs, st.getPath, destRoot, "archiveBatchOutputs"))
     expired.size.toLong
   }
 
@@ -898,8 +1008,10 @@ object Streams {
     * bounded, so the scan does not grow with stream age), one rename per
     * expired partition, and — for the return value — one parquet FOOTER
     * read per expired file (driver-side metadata, no Spark job, no data
-    * pages). Re-runs are idempotent: an already-archived
-    * partition name merges file-by-file (part names carry task UUIDs).
+    * pages). Re-runs are idempotent: an already-archived partition name is
+    * resolved by [[moveOrMergePartition]] (a COMPLETE re-appearance — a
+    * replayed batch whose partition this sweep had already expired —
+    * REPLACES the archived copy; an interrupted sweep's residue merges).
     * Run from the stream owner between batches — maintenance under the
     * sink's single-writer discipline, like history compaction. */
   def archiveEventLog(spark: SparkSession, historyPath: String, cutoff: String,
@@ -931,17 +1043,8 @@ object Streams {
       if (!ok) throw new java.io.IOException(
         s"archiveEventLog: $what failed (filesystem returned false)")
     checked(fs.mkdirs(destRoot), s"mkdirs($destRoot)")
-    expiredDirs.foreach { st =>
-      val dest = new Path(destRoot, st.getPath.getName)
-      if (!fs.exists(dest)) checked(fs.rename(st.getPath, dest), s"rename(${st.getPath} -> $dest)")
-      else {
-        fs.listStatus(st.getPath).foreach { part =>
-          val pdest = new Path(dest, part.getPath.getName)
-          checked(fs.rename(part.getPath, pdest), s"rename(${part.getPath} -> $pdest)")
-        }
-        checked(fs.delete(st.getPath, true), s"delete(${st.getPath})")
-      }
-    }
+    expiredDirs.foreach(st =>
+      moveOrMergePartition(fs, st.getPath, destRoot, "archiveEventLog"))
     n
   }
 

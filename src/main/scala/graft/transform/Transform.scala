@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{ColumnOps, NameCleaner}
+import graft.operators.Scratch.Ops
 
 /** The transform stage (SURVEY.md §2.2 P1/P2, §2.3 F1/F2, §2.6 D1, §2.5
   * A6/A8): nested crawl shape → flat validated deduplicated products, with a
@@ -105,7 +106,7 @@ object Transform {
     // otherwise each re-run the flatten+normalize projection over the raw
     // input — one materialization feeds all three consumers
     val flat0 = normalize(flatten(raw))
-    val flat = if (materialize) flat0.localCheckpoint() else flat0
+    val flat = if (materialize) flat0.scratchCheckpoint() else flat0
     val validDf = flat.filter(validity)
     val rejects = flat.filter(!validity).withColumn("reject_reason", rejectReason)
     val deduped0 = dedup(validDf)

@@ -383,7 +383,10 @@ class StreamsSpec extends SparkSpec {
     val latestRoot = new org.apache.hadoop.fs.Path(s"$histPath/_latest")
     val fs = latestRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.delete(latestRoot, true))
-    assert(Streams.cdcState(spark, histPath, 3L).isEmpty)
+    // a lost tree is NOT a silent empty read (that shape re-seeds the whole
+    // catalog as first sightings) — it fails toward recovery
+    val boom = intercept[IllegalStateException](Streams.cdcState(spark, histPath, 3L))
+    assert(boom.getMessage.contains("cdcRebuildCompanion"))
     Streams.cdcRebuildCompanion(spark, histPath, 3L)
     // byte-equal state, including p0's last-LOGGED timestamp (day 2, not 3)
     val got = Streams.cdcState(spark, histPath, 3L).get
@@ -1415,5 +1418,102 @@ class StreamsSpec extends SparkSpec {
     assert(lrow(1).getAs[Long]("rows") === b1df.count())
     assert(lrow(1).getAs[Long]("appended") === 0L)
     assert(lrow(2).getAs[Long]("appended") === b2df.count())
+  }
+
+  test("a lost _latest tree without a marker fails the next batch loudly, recoverable by rebuild") {
+    val dir = Files.createTempDirectory("graft_cdc_lost").toString
+    val histPath = s"$dir/history"
+    Streams.cdcProcessBatch(Seq(
+      Crawl("p1", 100.0, 120.0, null, 5L, ts("2024-01-01 00:00:00"))).toDF, histPath, 0L)
+    Streams.cdcProcessBatch(Seq(
+      Crawl("p1", 110.0, 120.0, null, 5L, ts("2024-01-02 00:00:00"))).toDF, histPath, 1L)
+    // simulate companion loss with NO rebuild marker (disk loss, fat-finger
+    // delete): earlier event partitions exist, zero committed generations
+    val root = new org.apache.hadoop.fs.Path(s"$histPath/_latest")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(root, true))
+    // the silent alternative would re-seed the catalog as first sightings;
+    // the guard must fail toward recovery instead
+    val boom = intercept[IllegalStateException] {
+      Streams.cdcProcessBatch(Seq(
+        Crawl("p1", 115.0, 120.0, null, 5L, ts("2024-01-03 00:00:00"))).toDF, histPath, 2L)
+    }
+    assert(boom.getMessage.contains("cdcRebuildCompanion"))
+    // recovery: rebuild, then the batch processes and derives against the
+    // reconstructed state (a price move from 110, not a first sighting)
+    Streams.cdcRebuildCompanion(spark, histPath, nextBatchId = 2L)
+    Streams.cdcProcessBatch(Seq(
+      Crawl("p1", 115.0, 120.0, null, 5L, ts("2024-01-03 00:00:00"))).toDF, histPath, 2L)
+    val ev2 = spark.read.parquet(s"$histPath/batch_id=2")
+    assert(ev2.count() === 1)
+    assert(ev2.select("previous_price").as[Double].head() === 110.0)
+  }
+
+  test("cdcRebuildCompanion works when EVERY live partition has been archived") {
+    val dir = Files.createTempDirectory("graft_cdc_archonly").toString
+    val histPath = s"$dir/history"
+    Streams.cdcProcessBatch(Seq(
+      Crawl("p1", 100.0, 120.0, null, 5L, ts("2024-01-01 00:00:00")),
+      Crawl("p2", 50.0, 60.0, null, 1L, ts("2024-01-01 06:00:00"))).toDF, histPath, 0L)
+    Streams.cdcProcessBatch(Seq(
+      Crawl("p1", 110.0, 120.0, null, 5L, ts("2024-01-02 00:00:00"))).toDF, histPath, 1L)
+    // sustained archival's steady state, taken to the limit: the cutoff
+    // expires EVERY live partition — only underscore trees remain
+    assert(Streams.archiveEventLog(spark, histPath, "2024-06-01 00:00:00") === 3L)
+    val root = new org.apache.hadoop.fs.Path(s"$histPath/_latest")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(root, true))
+    // the rebuild must reconstruct from the archive alone — a bare read of
+    // the root would find zero visible data files and die on schema
+    // inference with the recovery marker already planted
+    Streams.cdcRebuildCompanion(spark, histPath, nextBatchId = 2L)
+    val st = Streams.cdcState(spark, histPath, 2L).get
+    assert(st.count() === 2)
+    assert(st.filter(col("product_id") === "p1").select("price").as[Double].head() === 110.0)
+  }
+
+  test("re-archiving a replayed partition REPLACES the archived copy — no duplicates, no rename collision") {
+    val dir = Files.createTempDirectory("graft_cdc_rearch").toString
+    val histPath = s"$dir/history"
+    Streams.cdcProcessBatch(Seq(
+      Crawl("p1", 100.0, 120.0, null, 5L, ts("2024-01-01 00:00:00")),
+      Crawl("p2", 50.0, 60.0, null, 1L, ts("2024-01-01 06:00:00"))).toDF, histPath, 0L)
+    Streams.cdcProcessBatch(Seq(
+      Crawl("p1", 110.0, 120.0, null, 5L, ts("2024-01-02 00:00:00"))).toDF, histPath, 1L)
+    Streams.cdcProcessBatch(Seq(
+      Crawl("p1", 115.0, 120.0, null, 5L, ts("2024-06-03 00:00:00"))).toDF, histPath, 2L)
+    assert(Streams.archiveEventLog(spark, histPath, "2024-05-01 00:00:00") === 3L)
+    // crash-before-checkpoint-commit replays batch 1: the sink rewrites
+    // batch_id=1 live (new task-UUID file names, same logical content)
+    Streams.cdcProcessBatch(Seq(
+      Crawl("p1", 110.0, 120.0, null, 5L, ts("2024-01-02 00:00:00"))).toDF, histPath, 1L)
+    // the next sweep expires it again; the archive already has batch_id=1 —
+    // a file-level merge would land BOTH copies (and throw on _SUCCESS)
+    assert(Streams.archiveEventLog(spark, histPath, "2024-05-01 00:00:00") === 1L)
+    val arch = spark.read.option("basePath", s"$histPath/_archive")
+      .parquet(s"$histPath/_archive")
+    assert(arch.filter(col("batch_id") === 1L).count() === 1,
+      "the replayed partition must supersede the archived copy, not union with it")
+    assert(arch.count() === 3)
+  }
+
+  test("companion collapse: on a crawled_at tie the LATER batch wins, not the higher price") {
+    val dir = Files.createTempDirectory("graft_cdc_tie").toString
+    val histPath = s"$dir/history"
+    val t = ts("2024-01-01 00:00:00")
+    Streams.cdcProcessBatch(Seq(Crawl("p1", 100.0, 120.0, null, 5L, t)).toDF, histPath, 0L)
+    // a later batch re-observes the key at the IDENTICAL timestamp with a
+    // LOWER price (a correction). Last-write-wins in batch order is the
+    // upsert semantics; a value-ordered tie-break would resurrect 100.0
+    Streams.cdcProcessBatch(Seq(Crawl("p1", 90.0, 120.0, null, 5L, t)).toDF, histPath, 1L)
+    val st = Streams.cdcState(spark, histPath, 2L).get
+    assert(st.filter(col("product_id") === "p1").select("price").as[Double].head() === 90.0)
+    // and the REBUILT companion agrees (batch_id recency over the raw log)
+    val root = new org.apache.hadoop.fs.Path(s"$histPath/_latest")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(root, true))
+    Streams.cdcRebuildCompanion(spark, histPath, nextBatchId = 2L)
+    val st2 = Streams.cdcState(spark, histPath, 2L).get
+    assert(st2.filter(col("product_id") === "p1").select("price").as[Double].head() === 90.0)
   }
 }

@@ -17,21 +17,24 @@ class TombstoneHealSpec extends SparkSpec {
     ids.toDF("doc_id").withColumn("text", concat(lit("doc "), col("doc_id")))
   private def idsOf(b: org.apache.spark.sql.DataFrame) =
     b.select(col("doc_id").as("id")).distinct()
-  private def persistedRddCount = spark.sparkContext.getPersistentRDDs.size
+  // id-SET diffs, not size compares: suites share one session, and another
+  // suite's unpersist(blocking = false) can land asynchronously mid-test —
+  // what must hold is that THIS test's new ids are gone, not a global count
+  private def persistedIds = spark.sparkContext.getPersistentRDDs.keySet
 
   test("no live tombstones: everything stays lazy, nothing pinned") {
-    val before = persistedRddCount
+    val before = persistedIds
     val b = batchOf(1L, 2L)
     val (src, ids, pinned) = TombstoneHeal.resolve(b, idsOf(b), "doc_id", None)(() =>
       fail("compaction must not run without tombstones"))
     assert(src eq b)
     assert(pinned.isEmpty)
-    assert(persistedRddCount === before) // not even the ids were materialized
+    assert((persistedIds -- before).isEmpty) // not even the ids were materialized
     assert(ids.as[Long].collect().sorted === Array(1L, 2L))
   }
 
   test("disjoint tombstones: ids checkpointed and pinned, batch stays lazy") {
-    val before = persistedRddCount
+    val before = persistedIds
     val b = batchOf(10L, 11L)
     val ts = Seq(1L).toDF("id")
     val (src, ids, pinned) = TombstoneHeal.resolve(b, idsOf(b), "doc_id", Some(ts))(() =>
@@ -40,11 +43,11 @@ class TombstoneHealSpec extends SparkSpec {
     assert(pinned.size === 1)
     assert(Bridge.isCheckpointBacked(ids))
     pinned.foreach(Bridge.unpersistCheckpoint)
-    assert(persistedRddCount === before)
+    assert((persistedIds -- before).isEmpty)
   }
 
   test("tombstone hit: compaction fires, batch checkpointed, ids re-derived from it") {
-    val before = persistedRddCount
+    val before = persistedIds
     val b = batchOf(5L, 6L)
     val ts = Seq(5L).toDF("id")
     var compacted = false
@@ -56,11 +59,11 @@ class TombstoneHealSpec extends SparkSpec {
     assert(pinned.size === 1)
     assert(ids.as[Long].collect().sorted === Array(5L, 6L))
     pinned.foreach(Bridge.unpersistCheckpoint)
-    assert(persistedRddCount === before) // the superseded id checkpoint was released too
+    assert((persistedIds -- before).isEmpty) // the superseded id checkpoint was released too
   }
 
   test("tombstone hit on a checkpoint-backed batch: reused, no second copy") {
-    val before = persistedRddCount
+    val before = persistedIds
     val b = batchOf(7L, 8L).localCheckpoint()
     val ts = Seq(7L).toDF("id")
     val (src, ids, pinned) =
@@ -68,12 +71,12 @@ class TombstoneHealSpec extends SparkSpec {
     assert(src eq b) // the caller's checkpoint IS the materialization
     assert(pinned.isEmpty) // nothing of resolve's own left pinned
     assert(ids.as[Long].collect().sorted === Array(7L, 8L))
-    assert(persistedRddCount === before + 1) // only the caller's own checkpoint
+    assert((persistedIds -- before).size === 1) // only the caller's own checkpoint
     Bridge.unpersistCheckpoint(b)
   }
 
   test("a throwing forced compaction releases the id checkpoint before propagating") {
-    val before = persistedRddCount
+    val before = persistedIds
     val b = batchOf(9L)
     val ts = Seq(9L).toDF("id")
     val boom = intercept[RuntimeException] {
@@ -81,6 +84,6 @@ class TombstoneHealSpec extends SparkSpec {
         throw new RuntimeException("rewrite died"))
     }
     assert(boom.getMessage === "rewrite died")
-    assert(persistedRddCount === before) // no orphaned checkpoint blocks
+    assert((persistedIds -- before).isEmpty) // no orphaned checkpoint blocks
   }
 }
