@@ -34,6 +34,11 @@ class Store(spark: SparkSession, root: String, buckets: Int = 0) {
   private def fs(p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** RAW generation listing — includes a crashed writer's partial
+    * directory. Generation NUMBERING must see those (re-issuing a partial
+    * generation's number would collide with its never-deleted claim
+    * tombstone and wedge the table); READERS must not — they go through
+    * [[committedGens]]. */
   private def gens(table: String): Seq[String] = {
     val dir = new Path(s"$root/$table")
     val f = fs(dir)
@@ -43,10 +48,42 @@ class Store(spark: SparkSession, root: String, buckets: Int = 0) {
       .map(_.getPath.getName).sorted
   }
 
-  private def latestGen(table: String): Option[String] = gens(table).lastOption
+  /** A generation is COMMITTED iff the write that produced it ran to
+    * completion — witnessed by the committer's own `_SUCCESS` marker (the
+    * default FileOutputCommitter writes it last; deployments that disable
+    * `mapreduce.fileoutputcommitter.marksuccessfuljobs` lose this store's
+    * crash-visibility guarantee). Without the gate, an upsert crashing
+    * mid-write leaves a partial directory that sorts LAST — and every
+    * reader would silently serve the truncated snapshot as current. One
+    * existence RPC per check. */
+  private def isCommitted(table: String, gen: String): Boolean = {
+    val marker = new Path(s"$root/$table/$gen/_SUCCESS")
+    fs(marker).exists(marker)
+  }
+
+  private def committedGens(table: String): Seq[String] =
+    gens(table).filter(isCommitted(table, _))
+
+  private def latestGen(table: String): Option[String] =
+    committedGens(table).lastOption
+
+  /** Catalog names are scoped by a digest of `root`: two stores with
+    * different roots but the same table name and bucket count would
+    * otherwise share entries — one store's upsert re-pointing the other
+    * store's `spark.table` reads at its own files, silently. */
+  private val rootTag = java.security.MessageDigest.getInstance("MD5")
+    .digest(root.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
 
   private def catalogName(table: String, gen: String): String =
-    s"graft_${table}_$gen".replaceAll("[^a-zA-Z0-9_]", "_")
+    s"graft_${table}_${gen}_$rootTag".replaceAll("[^a-zA-Z0-9_]", "_")
+
+  /** One generation's frame: the catalog entry when it exists (carries
+    * bucket metadata -> bucket-aligned joins), else a plain parquet read of
+    * the same files — the single read expression every snapshot API uses. */
+  private def readGen(table: String, g: String): DataFrame =
+    if (buckets > 0 && spark.catalog.tableExists(catalogName(table, g)))
+      spark.table(catalogName(table, g))
+    else spark.read.parquet(s"$root/$table/$g")
 
   /** Claim the next generation number with an atomic exclusive create of a
     * `.claim_gen_N` marker. Generation numbering is otherwise
@@ -74,7 +111,13 @@ class Store(spark: SparkSession, root: String, buckets: Int = 0) {
   }
 
   private def writeGen(table: String, df: DataFrame, keys: Seq[String] = Nil): Unit = {
-    val next = f"gen_${latestGen(table).map(_.drop(4).toInt + 1).getOrElse(0)}%06d"
+    // numbering over the RAW listing: a crashed writer's partial directory
+    // must not have its number re-issued (its claim tombstone lives on)
+    val next = f"gen_${gens(table).lastOption.map(_.drop(4).toInt + 1).getOrElse(0)}%06d"
+    // captured BEFORE the write: computed after, latestGen would already BE
+    // `next` and the superseded-entry drop below would never fire — the
+    // metastore then leaks one entry per upsert between vacuums
+    val prev = latestGen(table)
     claimGen(table, next)
     if (buckets > 0 && keys.nonEmpty) {
       df.write.mode("overwrite")
@@ -84,8 +127,8 @@ class Store(spark: SparkSession, root: String, buckets: Int = 0) {
         .saveAsTable(catalogName(table, next))
       // the previous generation's catalog entry is now dead weight — drop
       // the metadata only (files stay: snapshot() can still path-read them)
-      latestGen(table).filter(_ != next).foreach { prev =>
-        spark.sql(s"DROP TABLE IF EXISTS ${catalogName(table, prev)}")
+      prev.foreach { p =>
+        spark.sql(s"DROP TABLE IF EXISTS ${catalogName(table, p)}")
       }
     } else df.write.mode("overwrite").parquet(s"$root/$table/$next")
   }
@@ -94,17 +137,13 @@ class Store(spark: SparkSession, root: String, buckets: Int = 0) {
     * Prefers the catalog entry (carries bucket metadata → bucket-aligned
     * joins); falls back to a plain parquet read of the generation path. */
   def snapshot(table: String): Option[DataFrame] =
-    latestGen(table).map { g =>
-      if (buckets > 0 && spark.catalog.tableExists(catalogName(table, g)))
-        spark.table(catalogName(table, g))
-      else spark.read.parquet(s"$root/$table/$g")
-    }
+    latestGen(table).map(readGen(table, _))
 
   /** Retained generation ids of a keyed table, ascending — what
     * [[snapshotAt]] accepts. Depth is bounded by [[vacuum]]'s keep
     * window. */
   def generations(table: String): Seq[Int] =
-    gens(table).map(_.drop(4).toInt)
+    committedGens(table).map(_.drop(4).toInt)
 
   /** TIME TRAVEL: the table's snapshot AS OF a retained generation.
     * Every upsert writes a complete immutable generation, so pinning a
@@ -121,11 +160,11 @@ class Store(spark: SparkSession, root: String, buckets: Int = 0) {
     * bucket-aligned. */
   def snapshotAt(table: String, generation: Int): Option[DataFrame] = {
     val g = f"gen_$generation%06d"
-    if (!gens(table).contains(g)) None
-    else Some(
-      if (buckets > 0 && spark.catalog.tableExists(catalogName(table, g)))
-        spark.table(catalogName(table, g))
-      else spark.read.parquet(s"$root/$table/$g"))
+    // one existence RPC, not a listing of the whole table dir — and the
+    // COMMITTED gate: a crashed writer's partial generation must never be
+    // served as a "complete immutable" snapshot
+    if (generation < 0 || !isCommitted(table, g)) None
+    else Some(readGen(table, g))
   }
 
   /** S6/S7/J6 — upsert a batch into a keyed table with the reference's
@@ -193,7 +232,14 @@ class Store(spark: SparkSession, root: String, buckets: Int = 0) {
     * the previous generation just before an in-flight upsert committed. */
   def vacuum(table: String, keep: Int = 2): Int = {
     require(keep >= 1, "keep must be >= 1")
-    val dropGens = gens(table).dropRight(keep)
+    // the keep window counts COMMITTED generations (a reader can only hold
+    // those); an uncommitted partial is garbage and drops with everything
+    // below the window — EXCEPT the raw-newest, which may be an in-flight
+    // writer's directory (crashed partials stop being raw-newest at the
+    // next upsert and are reclaimed then)
+    val all = gens(table)
+    val keepSet = committedGens(table).takeRight(keep).toSet
+    val dropGens = all.filterNot(keepSet.contains).filterNot(all.lastOption.contains)
     dropGens.foreach { g =>
       spark.sql(s"DROP TABLE IF EXISTS ${catalogName(table, g)}")
       val p = new Path(s"$root/$table/$g")

@@ -269,6 +269,58 @@ class PipelineSpec extends SparkSpec {
     bstore.upsert("p", Seq(("a", 2.0)).toDF("product_id", "price"), Seq("product_id"))
     assert(bstore.snapshotAt("p", 0).get.select("price").as[Double].collect().toSeq == Seq(1.0))
     assert(bstore.snapshotAt("p", 1).get.select("price").as[Double].collect().toSeq == Seq(2.0))
+    // ... and "only for the latest" is enforced, not aspirational: the
+    // superseded entry was DROPPED at upsert time (computed after the
+    // write, the drop never fired and the metastore leaked one entry per
+    // upsert between vacuums)
+    assert(spark.catalog.listTables().where("name LIKE 'graft_p_gen%'")
+      .count() === 1)
+  }
+
+  test("two stores with the same table name and bucket count never share catalog entries") {
+    val rootA = Files.createTempDirectory("graft_iso_a").toString
+    val rootB = Files.createTempDirectory("graft_iso_b").toString
+    val a = new Store(spark, rootA, buckets = 4)
+    val b = new Store(spark, rootB, buckets = 4)
+    a.upsert("products", Seq(("a", 1.0)).toDF("product_id", "price"), Seq("product_id"))
+    b.upsert("products", Seq(("b", 9.0)).toDF("product_id", "price"), Seq("product_id"))
+    // an unscoped catalog name would have let B's saveAsTable re-point A's
+    // entry at B's files — A would then silently serve B's rows
+    assert(a.snapshot("products").get.select("product_id").as[String].collect().toSeq
+      == Seq("a"))
+    assert(b.snapshot("products").get.select("product_id").as[String].collect().toSeq
+      == Seq("b"))
+  }
+
+  test("a crashed writer's partial generation is invisible to readers and reclaimed by vacuum") {
+    val root = Files.createTempDirectory("graft_partial").toString
+    val store = new Store(spark, root)
+    store.upsert("products", Seq(("a", 1.0)).toDF("product_id", "price"), Seq("product_id"))
+    // simulate an upsert that died mid-write: the gen dir exists with data
+    // files but the committer never wrote _SUCCESS, and the claim marker
+    // was never cleaned (claims are tombstones by design)
+    val dir = new org.apache.hadoop.fs.Path(s"$root/products/gen_000001")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(("partial", 666.0)).toDF("product_id", "price")
+      .write.parquet(dir.toString)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"), false))
+    fs.create(new org.apache.hadoop.fs.Path(s"$root/products/.claim_gen_000001"), false).close()
+    // readers never see the truncated snapshot — not as latest, not by pin
+    assert(store.generations("products") == Seq(0))
+    assert(store.snapshot("products").get.select("price").as[Double].collect().toSeq
+      == Seq(1.0))
+    assert(store.snapshotAt("products", 1).isEmpty)
+    // the next upsert numbers PAST the partial (its claim tombstone would
+    // collide) and becomes the new latest
+    store.upsert("products", Seq(("a", 2.0)).toDF("product_id", "price"), Seq("product_id"))
+    assert(store.generations("products") == Seq(0, 2))
+    assert(store.snapshot("products").get.select("price").as[Double].collect().toSeq
+      == Seq(2.0))
+    // vacuum reclaims the superseded partial (no longer the raw-newest, so
+    // it cannot be an in-flight writer's directory)
+    store.vacuum("products", keep = 2)
+    assert(!fs.exists(dir))
+    assert(store.generations("products") == Seq(0, 2))
   }
 
   test("store works against an explicit file: URI (Hadoop FS read path)") {
