@@ -2303,7 +2303,13 @@ object SparkEntry {
         |    FOR j IN range(0, 16)]) AS BIGINT) fp
         |  FROM toks
         |), banded AS (
-        |  SELECT doc_id, fp, unnest(['lo:' || (fp & 255)::VARCHAR, 'hi:' || (fp >> 8)::VARCHAR]) band FROM fp
+        |  -- pigeonhole banding, maxDist + 1 = 4 chunks of 16/4 = 4 bits:
+        |  -- hamming <= 3 pairs differ in at most 3 chunks, so they share
+        |  -- at least one — the candidate set is complete for the verify
+        |  SELECT doc_id, fp, unnest([
+        |    '0:' || ((fp >> 0) & 15)::VARCHAR, '1:' || ((fp >> 4) & 15)::VARCHAR,
+        |    '2:' || ((fp >> 8) & 15)::VARCHAR, '3:' || ((fp >> 12) & 15)::VARCHAR]) band
+        |  FROM fp
         |), pairs AS (
         |  SELECT DISTINCT x.doc_id id_a, y.doc_id id_b, CAST(bit_count(xor(x.fp, y.fp)) AS BIGINT) hamming
         |  FROM banded x JOIN banded y ON x.band = y.band AND x.doc_id < y.doc_id

@@ -357,19 +357,12 @@ object Ann {
     * call. */
   def deleteFromIvf(spark: SparkSession, path: String, ids: DataFrame): Long = {
     val gen = requireGen(spark, path)
-    val ts = ids.toDF("id").distinct().scratchCheckpoint()
-    ts.coalesce(1).write.mode("append").parquet(new Path(gen, "tombstones").toString)
-    val n = ts.count()
-    if (graft.store.Compact.dataFileCount(spark, new Path(gen, "tombstones").toString)
-        >= Dedup.TombstoneCompactFiles)
-      compactIvfOnline(spark, path) // forced purge + clear, new generation
-    n
+    graft.store.Tombstones.delete(spark, gen.toString, ids)(
+      () => compactIvfOnline(spark, path)) // forced purge + clear, new generation
   }
 
-  private def ivfTombstonesOf(spark: SparkSession, gen: Path): Option[DataFrame] = {
-    val p = new Path(gen, "tombstones")
-    if (fsOf(spark, p).exists(p)) Some(spark.read.parquet(p.toString)) else None
-  }
+  private def ivfTombstonesOf(spark: SparkSession, gen: Path): Option[DataFrame] =
+    graft.store.Tombstones.of(spark, gen.toString)
 
   private def requireGen(spark: SparkSession, path: String): Path =
     graft.store.Generations.requireCommitted(spark, path)
@@ -386,11 +379,8 @@ object Ann {
       .select("list", "centroid").orderBy("list").collect()
       .map(_.getSeq[Double](1).toArray)
     val assigned = spark.read.parquet(new Path(gen, "assigned").toString)
-    val live = ivfTombstonesOf(spark, gen) match {
-      case None => assigned
-      case Some(ts) => assigned.join(broadcast(ts),
-        assigned(assigned.columns.head) === ts("id"), "left_anti")
-    }
+    val live = graft.store.Tombstones.minus(assigned,
+      ivfTombstonesOf(spark, gen), assigned.columns.head)
     IvfIndex(live, centroids)
   }
 
@@ -595,8 +585,8 @@ object Ann {
         col(vecCol).as("cv"), Similarity.norm(col(vecCol)).as("cn"))
     val scored = probes.join(corpus, Seq("list"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(
-        Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("cosine", round(Similarity.cosineFromNorms(
+        Similarity.dot(col("qv"), col("cv")), col("qn"), col("cn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -35,7 +35,15 @@ object Dedup {
     * first-wins (D1's order-stable analogue). */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = Window.partitionBy(col("__fp")).orderBy(col(idCol).asc)
-    docs.withColumn("__fp", fingerprint(col(textCol)))
+    // a NULL text has no content to be equal to: fingerprint(NULL) = NULL,
+    // and PARTITION BY groups every NULL into ONE partition — all null-text
+    // documents but one would be silently deleted as "duplicates" of
+    // unrelated rows. Each null-text row gets a per-id sentinel fingerprint
+    // instead (the \u0000 prefix cannot collide with md5 hex), so they all
+    // pass through — and, at scale, they spread across the window's hash
+    // partitioning instead of piling into one all-NULLs task.
+    docs.withColumn("__fp", coalesce(fingerprint(col(textCol)),
+        concat(lit("\u0000null:"), col(idCol).cast("string"))))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__fp", "__rn")
@@ -67,6 +75,11 @@ object Dedup {
   def minhashBandKeys(
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4): DataFrame = {
+    // bands > numHashes would make rows = 0, every band key the constant
+    // md5("") — degenerating the LSH self-join into a full cross join; a
+    // non-dividing bands would silently ignore the trailing hashes
+    require(bands >= 1 && numHashes >= bands && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
     val rows = numHashes / bands
     val sig = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
       .repartition(col("id"))
@@ -125,16 +138,20 @@ object Dedup {
     * whose modulus disagreed with the writer's would silently drop true
     * candidates). In-memory indexes never consult it. */
   final case class MinhashIndex(bands: DataFrame, shingles: DataFrame,
-      bandBuckets: Int = BandBuckets)
+      bandBuckets: Int = BandBuckets,
+      sketch: Option[(Int, Int, Int)] = None)
 
   /** Build the in-memory index relations for a corpus (no persistence —
-    * see [[writeMinhashIndex]] for the production artifact). */
+    * see [[writeMinhashIndex]] for the production artifact). The sketch
+    * parameters ride in the struct so the persisted layout can record
+    * them (see the `_SKETCH` marker) and probes/appends can be checked. */
   def buildMinhashIndex(
       corpus: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4): MinhashIndex =
     MinhashIndex(
       minhashBandKeys(corpus, idCol, textCol, shingleN, numHashes, bands),
-      shingleRows(corpus, idCol, textCol, shingleN))
+      shingleRows(corpus, idCol, textCol, shingleN),
+      sketch = Some((shingleN, numHashes, bands)))
 
   /** DEFAULT number of `__bkt=` partition dirs the PERSISTED bands
     * relation is hashed into. A batch probe's band keys map to a subset of
@@ -165,6 +182,38 @@ object Dedup {
       case n if n.startsWith("_NBKT_") => n.drop("_NBKT_".length).toInt
     }.getOrElse(BandBuckets)
   }
+
+  /** The sketch parameters a generation was written with, from its
+    * `_SKETCH_<shingleN>_<numHashes>_<bands>` marker (None for layouts
+    * written before the marker existed). The same self-describing
+    * discipline as `_NBKT`: band keys are md5s over (shingleN, numHashes,
+    * bands)-determined hash ranges, so a probe or append running with
+    * DIFFERENT parameters produces disjoint keys — zero candidates, every
+    * batch doc declared unique, duplicates silently flooding the corpus.
+    * The layout must carry what it was built with. */
+  private def genSketch(spark: org.apache.spark.sql.SparkSession,
+      gen: String): Option[(Int, Int, Int)] = {
+    val p = new org.apache.hadoop.fs.Path(gen)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).map(_.getPath.getName).collectFirst {
+      case n if n.startsWith("_SKETCH_") =>
+        val Array(sn, nh, nb) = n.drop("_SKETCH_".length).split("_").map(_.toInt)
+        (sn, nh, nb)
+    }
+  }
+
+  /** Fail loudly when a probe/append's sketch parameters disagree with the
+    * layout's recorded ones. A None (in-memory index or legacy layout)
+    * accepts anything — the marker is evidence, not a gate on old data. */
+  private def requireSketch(recorded: Option[(Int, Int, Int)],
+      shingleN: Int, numHashes: Int, bands: Int, what: String): Unit =
+    recorded.foreach { case rec @ (sn, nh, nb) =>
+      require(rec == ((shingleN, numHashes, bands)),
+        s"$what: sketch parameters (shingleN=$shingleN, numHashes=$numHashes, " +
+          s"bands=$bands) disagree with the index layout's recorded " +
+          s"(shingleN=$sn, numHashes=$nh, bands=$nb) — band keys would be " +
+          "disjoint and every batch document silently declared unique")
+    }
 
   /** Persist an index under `path`: a fresh
     * `gen_NNNNNN/{bands,shingles,ids}` generation committed by a
@@ -211,8 +260,13 @@ object Dedup {
       .getOrElse(spark.read.parquet(s"$gen/bands").select("id").distinct())
       .write.mode("overwrite").parquet(s"$gen/ids")
     val genPath = new org.apache.hadoop.fs.Path(gen.toString)
-    genPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .create(new org.apache.hadoop.fs.Path(genPath, s"_NBKT_${idx.bandBuckets}"), false).close()
+    val genFs = genPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    genFs.create(new org.apache.hadoop.fs.Path(genPath, s"_NBKT_${idx.bandBuckets}"), false).close()
+    // the sketch marker (see genSketch) — carried through compaction via
+    // readMinhashIndex's populated struct
+    idx.sketch.foreach { case (sn, nh, nb) =>
+      genFs.create(new org.apache.hadoop.fs.Path(genPath, s"_SKETCH_${sn}_${nh}_$nb"), false).close()
+    }
     graft.store.Generations.commit(spark, gen)
     gen.toString
   }
@@ -227,7 +281,8 @@ object Dedup {
     val gen = graft.store.Generations.requireCommitted(spark, path)
     val (bands, shingles) = minusTombstones(spark, gen.toString,
       spark.read.parquet(s"$gen/bands"), spark.read.parquet(s"$gen/shingles"))
-    MinhashIndex(bands, shingles, genBandBuckets(spark, gen.toString))
+    MinhashIndex(bands, shingles, genBandBuckets(spark, gen.toString),
+      genSketch(spark, gen.toString))
   }
 
   /** DELETION TIER for a persisted index — the takedown path (PII removal,
@@ -268,54 +323,28 @@ object Dedup {
   def deleteFromMinhashIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       ids: DataFrame): Long = {
     val gen = graft.store.Generations.requireCommitted(spark, path)
-    val ts = ids.toDF("id").distinct().scratchCheckpoint()
-    ts.coalesce(1).write.mode("append").parquet(s"$gen/tombstones")
-    val n = ts.count()
-    // the file bound: pull the owed compaction forward instead of any
-    // in-place rewrite (see TombstoneCompactFiles for why)
-    if (graft.store.Compact.dataFileCount(spark, s"$gen/tombstones")
-        >= TombstoneCompactFiles)
-      compactMinhashIndex(spark, path) // forced by live tombstones
-    n
+    graft.store.Tombstones.delete(spark, gen.toString, ids)(
+      () => compactMinhashIndex(spark, path)) // forced by live tombstones
   }
 
-  /** File-count bound on a generation's tombstone relation: each delete
-    * call appends one file, and every reader broadcast-scans the whole
-    * relation per probe. When a call pushes the count to this bound, the
-    * FORCED physical compaction that live tombstones had already
-    * scheduled runs immediately — a reader-atomic generation swap that
-    * purges the tombstoned rows and retires the relation with its
-    * generation. NO in-place rewrite of the relation is ever attempted:
-    * an overwrite opens a crash window that silently undoes prior
-    * takedowns, and deleting data files inside the LIVE generation (even
-    * after appending a merged file) breaks any concurrent or held reader
-    * whose plan captured the old file listing — physical removal rides
-    * the generation swap HERE TOO, same as everywhere else in this store.
-    * Cost: a pathological one-id-per-call takedown loop pays the
-    * (already-owed) O(corpus) rewrite every [[TombstoneCompactFiles]]
-    * calls; real takedown batches are chunky and never hit it. */
-  val TombstoneCompactFiles = 8
+  /** File-count bound on a generation's tombstone relation — see
+    * [[graft.store.Tombstones.CompactFiles]], the shared home of the bound
+    * and its no-in-place-rewrite rationale. */
+  val TombstoneCompactFiles: Int = graft.store.Tombstones.CompactFiles
 
   /** The live generation's tombstone relation, if any deletions are
     * pending compaction. */
   private def tombstonesOf(spark: org.apache.spark.sql.SparkSession,
-      gen: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$gen/tombstones")
-    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
-      Some(spark.read.parquet(p.toString))
-    else None
-  }
+      gen: String): Option[DataFrame] = graft.store.Tombstones.of(spark, gen)
 
   /** Anti-join pending tombstones out of the index relations (no-op —
     * identical frames, unchanged plans — when none are pending). */
   private def minusTombstones(spark: org.apache.spark.sql.SparkSession, gen: String,
-      bands: DataFrame, shingles: DataFrame): (DataFrame, DataFrame) =
-    tombstonesOf(spark, gen) match {
-      case None => (bands, shingles)
-      case Some(ts) =>
-        (bands.join(broadcast(ts), Seq("id"), "left_anti"),
-          shingles.join(broadcast(ts), Seq("id"), "left_anti"))
-    }
+      bands: DataFrame, shingles: DataFrame): (DataFrame, DataFrame) = {
+    val ts = tombstonesOf(spark, gen)
+    (graft.store.Tombstones.minus(bands, ts, "id"),
+      graft.store.Tombstones.minus(shingles, ts, "id"))
+  }
 
   /** The id manifest of the latest committed generation: one narrow row
     * per indexed document id. This is what per-batch replay guards read —
@@ -409,6 +438,8 @@ object Dedup {
       idsFrom: Option[DataFrame] = None, docsHint: Long = -1L): Unit = {
     val spark = batch.sparkSession
     val gen0 = graft.store.Generations.requireCommitted(spark, path)
+    requireSketch(genSketch(spark, gen0.toString), shingleN, numHashes, bands,
+      "appendToMinhashIndex")
     // .distinct() on idsFrom too: callers pass verdict rows (one per batch
     // row by contract), but a batch that violates ids-uniqueness would
     // otherwise write duplicate manifest entries that inflate every future
@@ -468,10 +499,12 @@ object Dedup {
     * size beyond the one linear index scan. */
   def dedupAgainstIndex(
       batch: DataFrame, idx: MinhashIndex, idCol: String, textCol: String,
-      threshold: Double, shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4): DataFrame =
+      threshold: Double, shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4): DataFrame = {
+    requireSketch(idx.sketch, shingleN, numHashes, bands, "dedupAgainstIndex")
     verdictsFromCandidates(batch,
       bandCandidates(batch, idx, idCol, textCol, shingleN, numHashes, bands),
       idx, idCol, textCol, threshold, shingleN)
+  }
 
   /** Candidate (batch id, corpus id) pairs from the banded broadcast probe —
     * [[dedupAgainstIndex]]'s first stage, split out so [[ingestCycle]] can
@@ -541,13 +574,21 @@ object Dedup {
   def ingestCycle(
       batch: DataFrame, path: String, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3, numHashes: Int = 12,
-      bands: Int = 4): (DataFrame, IngestStats) = {
+      bands: Int = 4): (DataFrame, IngestStats) = Scratch.scoped {
+    // the cycle's OWN scope: every internal scratch checkpoint (band keys
+    // inside bandCandidates, the candidate relation, the verify join's
+    // pruned shingles, the heal path's frames) is released when the cycle
+    // returns — a sustained ingest loop accumulates nothing, scoped caller
+    // or not. Only the returned verdicts escape, to the CALLER's scope
+    // (the streaming sinks free them per batch; a bare batch caller
+    // manages them like any checkpoint it is handed).
     val spark = batch.sparkSession
     val idx = readMinhashIndex(spark, path)
+    requireSketch(idx.sketch, shingleN, numHashes, bands, "ingestCycle")
     val cands = bandCandidates(batch, idx, idCol, textCol, shingleN, numHashes, bands)
       .scratchCheckpoint()
-    val verdicts = verdictsFromCandidates(
-      batch, cands, idx, idCol, textCol, threshold, shingleN).scratchCheckpoint()
+    val verdicts = Scratch.checkpointEscaping(verdictsFromCandidates(
+      batch, cands, idx, idCol, textCol, threshold, shingleN))
     val agg = verdicts.agg(
       count(lit(1)).as("n"), count(when(col("is_dup"), 1)).as("d")).head
     val (total, dups) = (agg.getLong(0), agg.getLong(1))
@@ -562,9 +603,6 @@ object Dedup {
       docsHint = total - dups)
     val (bandsFiles, shinglesFiles) = minhashFileCounts(spark, path)
     val candidatePairs = cands.count()
-    // the verdicts checkpoint broke the lineage; cands' blocks are dead
-    // weight from here (a sustained ingest loop must not accumulate them)
-    Bridge.unpersistCheckpoint(cands)
     (verdicts, IngestStats(
       batchRows = total, candidatePairs = candidatePairs, dups = dups,
       appendedRows = total - dups,
@@ -740,15 +778,32 @@ object Dedup {
   /** Vocabulary-size cutoff for the dense bitmap strategy (16 longs/doc). */
   val DenseVocabBits = 1024
 
+  /** Docs cutoff for the dense bitmap strategy: the per-doc bitmap relation
+    * is BROADCAST to the block join's build side — that is what keeps the
+    * all-pairs enumeration entirely map-side (shuffling the block-replicated
+    * probe side instead would materialize ~n·blocks/2 rows) — so it must fit
+    * comfortably in every executor: ~150 B/doc x 2M ≈ 300 MB. The vocabulary
+    * gate alone does not bound rows (a huge low-diversity corpus still
+    * routes dense); past this cutoff the inverted path takes over — possibly
+    * slower on a tiny vocabulary, but it degrades by shuffling instead of
+    * failing on the broadcast ceiling. */
+  val DenseMaxDocs = 2000000L
+
   /** General path: inverted-index self-join on the shingle with the length
     * filter in the join condition, one groupBy counting intersections.
     * Join fan-out is Σ_s df(s)² — near-linear for realistic vocabularies. */
   private def ngramJaccardInverted(sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val inv = sh.join(broadcast(sizes), Seq("id"))
+    // the length filter uses the dense path's RELAXED t: the contract
+    // compares the 6-dp-ROUNDED jaccard, so a boundary pair whose raw J
+    // rounds up across t must survive the join for the exact post-filter
+    // to see it — an unrelaxed filter here made the two routes disagree at
+    // the boundary, breaking their documented result-identity
+    val tr = threshold - 1e-6
     inv.as("x").join(inv.as("y"),
         col("x.s") === col("y.s") && col("x.id") < col("y.id") &&
-        col("x.n") >= col("y.n") * threshold && col("y.n") >= col("x.n") * threshold)
+        col("x.n") >= col("y.n") * tr && col("y.n") >= col("x.n") * tr)
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"),
         col("x.n").as("n_a"), col("y.n").as("n_b"))
       .agg(count(lit(1)).as("inter"))
@@ -792,6 +847,8 @@ object Dedup {
     // per-task compare count stays ~PairBlockRows² and parallelism grows
     // with n instead of being pinned at 16 tasks.
     val nDocs = unblocked.count()
+    if (nDocs > DenseMaxDocs) // see DenseMaxDocs: the bitmap relation must broadcast
+      return ngramJaccardInverted(sh.distinct(), threshold)
     val blocks = math.max(PairBlocks, math.ceil(nDocs.toDouble / PairBlockRows).toInt)
     val vecs = unblocked.withColumn("b", pmod(hash(col("id")), lit(blocks)))
     val spark = vecs.sparkSession
@@ -903,22 +960,38 @@ object Dedup {
   /** SimHash near-dup candidates: the native
     * [[graft.expressions.SimHashExpr]] fingerprint (bit j of the
     * md5-derived token hash votes ±1; sign of the vote sum is bit j) —
-    * one codegen'd call per document, no explode/shuffle — banded on
-    * upper/lower half, hamming-verified ≤ maxDist. Zero-token docs get
-    * fingerprint 0. */
+    * one codegen'd call per document, no explode/shuffle — banded into
+    * `maxDist + 1` contiguous bit chunks, hamming-verified ≤ maxDist.
+    * Zero-token docs get fingerprint 0.
+    *
+    * The chunk count is the pigeonhole bound: two fingerprints within
+    * hamming d can differ in at most d chunks, so with d + 1 chunks they
+    * SHARE at least one — the candidate set is COMPLETE for the verified
+    * distance. (A fixed two-half banding only guarantees completeness for
+    * d ≤ 1; at the old default maxDist = 2 roughly half of all hamming-2
+    * pairs — one flipped bit in each half — were silently never returned.)
+    * Selectivity trades off directly: more chunks means narrower keys and
+    * bigger candidate sets, which is inherent to simhash banding — size
+    * `bits`/`maxDist` accordingly. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       bits: Int = 16, maxDist: Int = 2): DataFrame = {
+    require(maxDist >= 0 && maxDist + 1 <= bits,
+      s"maxDist ($maxDist) needs maxDist + 1 chunks out of $bits bits")
     val fp = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
       .repartition(col("id"))
       .select(col("id"),
         graft.expressions.HashExpressions.simhash64(col("__toks"), bits).as("fp"))
-    // band on upper/lower half: pairs within hamming ≤ bits/2 − 1 share ≥1 identical half.
+    val nb = maxDist + 1
+    val bounds = (0 to nb).map(i => i * bits / nb)
+    val bandCols = (0 until nb).map { b =>
+      val lo = bounds(b); val width = bounds(b + 1) - lo
+      concat(lit(s"$b:"), shiftright(col("fp"), lo)
+        .bitwiseAND(lit((1L << width) - 1)).cast("string"))
+    }
     // localCheckpoint for the same reason as the MinHash bands: both join
     // sides would otherwise re-run the fingerprint scan
     val banded = fp
-      .withColumn("b0", concat(lit("lo:"), (col("fp").bitwiseAND(lit((1L << (bits / 2)) - 1))).cast("string")))
-      .withColumn("b1", concat(lit("hi:"), shiftright(col("fp"), bits / 2).cast("string")))
-      .select(col("id"), col("fp"), explode(array(col("b0"), col("b1"))).as("band"))
+      .select(col("id"), col("fp"), explode(array(bandCols: _*)).as("band"))
       .scratchCheckpoint()
     banded.as("x").join(banded.as("y"), col("x.band") === col("y.band") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
@@ -941,6 +1014,15 @@ object Dedup {
   def embeddingNearDupPairs(
       emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planes: Int = 8, bands: Int = 4): DataFrame = {
+    // the bands read DISJOINT component ranges, so they must fit the vector:
+    // past the end, element_at throws INVALID_ARRAY_INDEX from deep inside
+    // the plan under ANSI mode (on by default in Spark 4) with no hint at
+    // the real problem — fail at the API surface instead. One-row probe.
+    emb.select(size(col(vecCol)).as("d")).limit(1).collect().headOption.foreach { r =>
+      require(bands * planes <= r.getInt(0),
+        s"bands ($bands) x planes ($planes) = ${bands * planes} components, " +
+          s"but the embedding has only ${r.getInt(0)} dimensions")
+    }
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       Similarity.norm(col(vecCol)).as("nrm"))
     val bandCols = (0 until bands).map { b =>
@@ -960,8 +1042,8 @@ object Dedup {
     cand
       .join(base.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("id_b"))
-      .withColumn("cosine", round(
-        Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .withColumn("cosine", round(Similarity.cosineFromNorms(
+        Similarity.dot(col("va"), col("vb")), col("na"), col("nb")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

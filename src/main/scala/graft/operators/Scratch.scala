@@ -59,6 +59,21 @@ private[graft] object Scratch {
     finally stack.pop().foreach(Bridge.unpersistCheckpoint)
   }
 
+  /** `localCheckpoint` registered with the scope UNDER the innermost one —
+    * for a frame created inside a helper's own [[scoped]] block that must
+    * OUTLIVE it and belong to the CALLER's scope (for example
+    * `Dedup.ingestCycle`'s returned verdicts: the cycle's internal scratch
+    * dies with the cycle, the verdicts die with the caller's batch). With
+    * only one scope active the frame is registered nowhere — plain
+    * caller-managed checkpoint semantics, same as [[checkpoint]] outside
+    * any scope. */
+  def checkpointEscaping(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint()
+    val stack = active.get()
+    if (stack.size >= 2) stack(1) += ck
+    ck
+  }
+
   /** `df.scratchCheckpoint()` — [[checkpoint]] as a postfix op, so call
     * sites read like the `localCheckpoint()` they replace. */
   implicit final class Ops(private val df: DataFrame) extends AnyVal {

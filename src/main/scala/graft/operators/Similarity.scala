@@ -37,10 +37,22 @@ object Similarity {
     * inside `cosine` would redo the self-dot once per pair. */
   def norm(x: Column): Column = sqrt(dot(x, x))
 
-  /** Cosine similarity. Assumes equal lengths. Prefer
-    * `dot(a,b)/(normA*normB)` with precomputed norms in pairwise plans. */
+  /** Cosine from a precomputed dot product and norms, ZERO-NORM-SAFE: a
+    * zero vector (a real artifact of failed/padded embedding calls) has no
+    * direction, so its similarity to anything is NULL — never a crash.
+    * Spark 4's default ANSI mode throws DIVIDE_BY_ZERO even for double
+    * division (probe-verified), so one zero-norm row would otherwise kill
+    * every probe/verify job whose plan touches it. NULL ranks LAST under
+    * the desc orderings and fails every `>= threshold` filter — the
+    * intended semantics for a direction-less vector. */
+  def cosineFromNorms(dotAB: Column, na: Column, nb: Column): Column =
+    when(na * nb > 0, dotAB / (na * nb))
+
+  /** Cosine similarity. Assumes equal lengths; NULL for a zero-norm side
+    * (see [[cosineFromNorms]]). Prefer the precomputed-norms form in
+    * pairwise plans. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    cosineFromNorms(dot(a, b), norm(a), norm(b))
 
   /** Sign-LSH bucket id from the signs of the first `planes` components.
     * Deterministic and portable (no random hyperplane matrix to ship);
@@ -68,7 +80,8 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       norm(col(vecCol)).as("cn"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("cosine",
+        round(cosineFromNorms(dot(col("qv"), col("cv")), col("qn"), col("cn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -87,7 +100,8 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       signBucket(col(vecCol), planes).as("bucket"), norm(col(vecCol)).as("cn"))
     val scored = q.join(c, Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("cosine",
+        round(cosineFromNorms(dot(col("qv"), col("cv")), col("qn"), col("cn")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -644,4 +644,69 @@ class OperatorsSpec extends SparkSpec {
       forceInverted = true))
     assert(dense === forced)
   }
+
+  test("exactDedup passes null-text rows through instead of collapsing them to one") {
+    val docs = Seq((1L, "same"), (2L, "same"),
+      (3L, null), (4L, null), (5L, null)).toDF("doc_id", "text")
+    // md5(NULL) = NULL and PARTITION BY groups NULLs together — without the
+    // per-id sentinel, 4 and 5 would be silently deleted as "duplicates" of 3
+    val got = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(got == Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("simhashPairs banding is pigeonhole-complete for the verified distance") {
+    val docs = Tables.documents(spark, sfDir).limit(80)
+    for (maxDist <- Seq(1, 2, 3)) {
+      // ground truth: brute-force hamming over the SAME fingerprints
+      val fp = docs.select(col("doc_id").as("id"),
+        graft.expressions.HashExpressions.simhash64(
+          graft.functions.TextAnalysis.tokens(col("text")), 16).as("fp"))
+      val want = fp.as("x").join(fp.as("y"), col("x.id") < col("y.id"))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+          graft.functions.TextAnalysis.hammingDistance(col("x.fp"), col("y.fp")).as("h"))
+        .filter(col("h") <= maxDist)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val got = Dedup.simhashPairs(docs, "doc_id", "text", bits = 16, maxDist = maxDist)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      // the candidate banding must not LOSE any within-distance pair (the
+      // old two-half banding missed ~half of all hamming-2 pairs), and the
+      // verify filter makes the result exactly the within-distance set
+      assert(got === want, s"maxDist=$maxDist")
+    }
+  }
+
+  test("degenerate LSH/banding parameters fail loudly instead of going quadratic") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    // bands > numHashes: every band key would be the constant md5("")
+    intercept[IllegalArgumentException](
+      Dedup.minhashLshCandidates(docs, "doc_id", "text", numHashes = 12, bands = 24).count())
+    // non-dividing bands silently ignore trailing hashes
+    intercept[IllegalArgumentException](
+      Dedup.minhashLshCandidates(docs, "doc_id", "text", numHashes = 12, bands = 5).count())
+    // bands x planes past the embedding dimension: ANSI element_at would
+    // throw INVALID_ARRAY_INDEX from deep inside the plan
+    val emb = Seq((1L, Array.fill(16)(0.5f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException](
+      Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.5, planes = 8, bands = 4).count())
+  }
+
+  test("zero-norm vectors never match and never crash the cosine family (ANSI div-by-zero)") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.1f)), (2L, Array(0.9f, 0.2f)),
+      (3L, Array(0.0f, 0.0f))) // a failed-embedding artifact
+      .toDF("vec_id", "embedding")
+    // brute force: the zero vector as corpus row must rank below real ones
+    // (NULL cosine), and as a query must return no >= threshold matches —
+    // under ANSI, the unguarded division crashed the whole job instead
+    val topk = graft.operators.Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 2)
+    assert(topk.filter(col("query_id") === 1L && col("rank") === 1)
+      .select("neighbor_id").as[Long].head() === 2L)
+    assert(topk.filter(col("query_id") === 1L && col("neighbor_id") === 3L)
+      .select("cosine").collect().forall(_.isNullAt(0)))
+    val pairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.5, planes = 2, bands = 1)
+    assert(pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet === Set((1L, 2L)))
+  }
 }
