@@ -141,23 +141,36 @@ object Bench {
         s""","canary_sec":${fmt(canary)},"contaminated":$dirty}"""
       (r, env, dirty, canary)
     }
-    val (r1, env1, dirty1, can1) = timedPass(0)
-    val (r2, env2, dirty2, can2) = timedPass(1)
-    // a contaminated pass is EXCLUDED from the min-of-N headline (its
-    // numbers stay in per_run for adjudication); if both are contaminated
-    // the min is reported anyway, flagged — do not read it at face value
-    val use: String => Double =
-      if (dirty1 && !dirty2) r2.apply
-      else if (dirty2 && !dirty1) r1.apply
-      else name => math.min(r1(name), r2(name))
+    // RETRY-UNTIL-CLEAN: a contaminated pass is EXCLUDED from the min-of-N
+    // headline (its numbers stay in per_run for adjudication) — and, new
+    // in r13, it is also RETRIED: three rounds running, the single
+    // driver-facing artifact landed on a co-tenant I/O storm while the
+    // checked-in evidence runs prove clean windows exist on this host
+    // within minutes. Keep running passes until TWO are clean or the
+    // attempt budget is spent (each pass is minutes, so the budget bounds
+    // a storm that outlives the bench at ~2× the clean wall time). Every
+    // pass — clean or not — is recorded in the artifact's arrays.
+    val maxPasses = threshold("max_passes", 4.0).toInt
+    val passes = scala.collection.mutable.ArrayBuffer.empty[(Map[String, Double], String, Boolean, Double)]
+    while (passes.size < maxPasses && passes.count(p => !p._3) < 2) {
+      val p = timedPass(passes.size)
+      passes += p
+      if (p._3 && passes.size < maxPasses)
+        System.err.println(s"[bench] pass ${passes.size} contaminated; retrying " +
+          s"(${passes.count(x => !x._3)}/2 clean, budget $maxPasses)")
+    }
+    val clean = passes.filterNot(_._3)
+    val usable = if (clean.nonEmpty) clean else passes
+    val use: String => Double = name => usable.map(_._1(name)).min
+    val nDirty = passes.count(_._3)
     val note =
-      if (dirty1 && dirty2) "both passes contaminated; min reported, unreliable"
-      else if (dirty1) "pass 1 contaminated, excluded from headline"
-      else if (dirty2) "pass 2 contaminated, excluded from headline"
+      if (clean.isEmpty) s"all ${passes.size} passes contaminated; min reported, unreliable"
+      else if (nDirty > 0) s"$nDirty contaminated pass(es) excluded from headline after retry"
       else "clean"
-    val results = r1.keys.toSeq.sorted.map { name =>
+    val results = passes.head._1.keys.toSeq.sorted.map { name =>
       val sec = use(name)
-      System.err.println(f"[bench] $name%-26s $sec%8.2fs  (r1 ${r1(name)}%.2f r2 ${r2(name)}%.2f)")
+      val all = passes.map(p => f"${p._1(name)}%.2f").mkString(" ")
+      System.err.println(f"[bench] $name%-26s $sec%8.2fs  (passes: $all)")
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
@@ -167,21 +180,26 @@ object Bench {
     // rounds on shifting sandbox hosts (a ×1.4 slower host inflates the
     // canary and the query alike, so the ratio holds still). The raw
     // numbers stay the headline; these are the cross-round signal.
-    val canMin = math.min(can1, can2)
+    val canMin = passes.map(_._4).min
     val qsNorm = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v / canMin) }
       .mkString("{", ",", "}")
     // per-run per-query values go INTO the JSON (not just stderr) so a
     // run-to-run anomaly on one query can be adjudicated from the artifact
-    val runs = Seq(r1, r2).map { r =>
-      r.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    val runs = passes.map { p =>
+      p._1.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
     }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val thresholds = s"""{"load1m_max":${fmt(threshold("load1m_max", 2.25))}""" +
       s""","pass1_wr_max":${fmt(threshold("pass1_wr_max", 1400000.0))}""" +
       s""","pass2_wr_max":${fmt(threshold("pass2_wr_max", 250000.0))}""" +
+      s""","max_passes":$maxPasses""" +
       s""","calibrated_on":"r7 sandbox host (docs/evidence/bench_r7_*.json)"}"""
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"run_totals":[${fmt(r1.values.sum)},${fmt(r2.values.sum)}],"contaminated":[$dirty1,$dirty2],"contamination_note":"$note","canary_sec":[${fmt(can1)},${fmt(can2)}],"canary_iters":$CanaryIters,"queries_per_canary":$qsNorm,"contamination_thresholds":$thresholds,"per_run":$runs,"env":[$env1,$env2]}"""
+    val runTotals = passes.map(p => fmt(p._1.values.sum)).mkString("[", ",", "]")
+    val contamArr = passes.map(_._3).mkString("[", ",", "]")
+    val canaryArr = passes.map(p => fmt(p._4)).mkString("[", ",", "]")
+    val envArr = passes.map(_._2).mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":${passes.size},"run_totals":$runTotals,"contaminated":$contamArr,"contamination_note":"$note","canary_sec":$canaryArr,"canary_iters":$CanaryIters,"queries_per_canary":$qsNorm,"contamination_thresholds":$thresholds,"per_run":$runs,"env":$envArr}"""
     // stop Spark BEFORE emitting the JSON line, then quiesce both streams:
     // sbt reads stdout and stderr on separate threads and interleaves them
     // by arrival, so a JSON line printed while per-query stderr lines are

@@ -29,7 +29,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * md5(i || "|" || shingle) compared lexicographically on lowercase hex —
   * equal to unsigned byte-order on the raw digest, which is what we
   * compare; SimHash votes use the first 4 digest bytes of md5(token) as an
-  * unsigned 32-bit value.
+  * unsigned 32-bit value for fingerprints up to 32 bits (the oracle-pinned
+  * form), and the first 8 digest bytes for wider fingerprints — a 32-bit
+  * token hash cannot vote on 64 fingerprint bits.
   */
 object HashFns {
 
@@ -86,18 +88,28 @@ object HashFns {
     new GenericArrayData(mins.map(m => UTF8String.fromString(toHex(m))): Array[Any])
   }
 
-  /** SimHash fingerprint: bit j of the first-4-byte unsigned value of
-    * md5(token) votes ±1; sign of the sum is bit j. 0 for empty input. */
+  /** SimHash fingerprint: bit j of the md5(token)-derived hash votes ±1;
+    * sign of the sum is bit j. 0 for empty input. The token hash is the
+    * first 4 digest bytes for bits ≤ 32 (unchanged — the q27 oracle pins
+    * this form) and the first 8 for wider fingerprints: bits 32..63 of a
+    * 4-byte hash are constant 0, so every wide fingerprint would share
+    * its top half and the banded self-join would silently degenerate. */
   def simhash(tokens: ArrayData, bits: Int): Long = {
+    require(bits >= 1 && bits <= 64, s"simhash bits must be in 1..64, got $bits")
     val n = tokens.numElements()
     val votes = new Array[Int](bits)
     val md = md5TL.get()
+    val wide = bits > 32
     var j = 0
     while (j < n) {
       md.reset()
       md.update(tokens.getUTF8String(j).getBytes)
       val d = md.digest()
-      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      val h0 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      val h =
+        if (!wide) h0
+        else (h0 << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+          ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
       var i = 0
       while (i < bits) {
         if (((h >> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1

@@ -41,9 +41,15 @@ object Dedup {
     // unrelated rows. Each null-text row gets a per-id sentinel fingerprint
     // instead (the \u0000 prefix cannot collide with md5 hex), so they all
     // pass through — and, at scale, they spread across the window's hash
-    // partitioning instead of piling into one all-NULLs task.
+    // partitioning instead of piling into one all-NULLs task. A row with a
+    // NULL id TOO (contract-violating — it has no identity at all) would
+    // make the per-id sentinel itself NULL, recreating the exact collapse
+    // this fix targets: the last tier keys such rows by a per-row unique
+    // value so each passes through rather than being silently deduped
+    // against unrelated garbage.
     docs.withColumn("__fp", coalesce(fingerprint(col(textCol)),
-        concat(lit("\u0000null:"), col(idCol).cast("string"))))
+        concat(lit("\u0000null:"), col(idCol).cast("string")),
+        concat(lit("\u0000anon:"), monotonically_increasing_id().cast("string"))))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__fp", "__rn")
@@ -197,8 +203,21 @@ object Dedup {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(p).map(_.getPath.getName).collectFirst {
       case n if n.startsWith("_SKETCH_") =>
-        val Array(sn, nh, nb) = n.drop("_SKETCH_".length).split("_").map(_.toInt)
-        (sn, nh, nb)
+        // defensive parse: a malformed or foreign marker must produce a
+        // clear error naming the file, not a MatchError from deep inside a
+        // directory listing — and it must NOT be treated as "legacy, accept
+        // anything" (that would silently disable the parameter gate on a
+        // layout that clearly tried to record its parameters)
+        val parsed = n.drop("_SKETCH_".length).split("_") match {
+          case Array(sn, nh, nb) =>
+            scala.util.Try((sn.toInt, nh.toInt, nb.toInt)).toOption
+          case _ => None
+        }
+        parsed.getOrElse(throw new IllegalArgumentException(
+          s"malformed sketch marker '$n' under $gen — expected " +
+            "_SKETCH_<shingleN>_<numHashes>_<bands>; refusing to guess " +
+            "(probing with wrong parameters silently declares every " +
+            "document unique)"))
     }
   }
 
@@ -827,6 +846,15 @@ object Dedup {
     * participates in whole-stage codegen while a broadcast nested-loop join
     * evaluates its condition interpreted (measured 2× slower end-to-end). */
   private def ngramJaccardDense(sh: DataFrame, vocab: DataFrame, threshold: Double, vocabSize: Int): DataFrame = {
+    // the docs gate runs BEFORE the bitmap relation exists: the old
+    // post-build check paid the full dense aggregation (and leaked its
+    // checkpoint blocks outside any Scratch scope) only to discard the
+    // result on an over-limit corpus. One narrow distinct-count over the
+    // already-checkpointed shingle relation, and the count is needed on
+    // the happy path anyway (it sizes the block grid below).
+    val nDocs = sh.select("id").distinct().count()
+    if (nDocs > DenseMaxDocs) // see DenseMaxDocs: the bitmap relation must broadcast
+      return ngramJaccardInverted(sh.distinct(), threshold)
     val words = (vocabSize + 63) / 64
     val bitAggs = (0 until words).map { w =>
       expr(s"bit_or(if(v div 64 = $w, shiftleft(cast(1 as bigint), cast(v % 64 as int)), 0L))").as(s"w$w")
@@ -846,9 +874,6 @@ object Dedup {
     // the blocking, but blocks bound rows-per-task (≈ n/blocks per side) so
     // per-task compare count stays ~PairBlockRows² and parallelism grows
     // with n instead of being pinned at 16 tasks.
-    val nDocs = unblocked.count()
-    if (nDocs > DenseMaxDocs) // see DenseMaxDocs: the bitmap relation must broadcast
-      return ngramJaccardInverted(sh.distinct(), threshold)
     val blocks = math.max(PairBlocks, math.ceil(nDocs.toDouble / PairBlockRows).toInt)
     val vecs = unblocked.withColumn("b", pmod(hash(col("id")), lit(blocks)))
     val spark = vecs.sparkSession
@@ -972,9 +997,50 @@ object Dedup {
     * pairs — one flipped bit in each half — were silently never returned.)
     * Selectivity trades off directly: more chunks means narrower keys and
     * bigger candidate sets, which is inherent to simhash banding — size
-    * `bits`/`maxDist` accordingly. */
+    * `bits`/`maxDist` accordingly. The default is the full 64-bit
+    * fingerprint: at maxDist = 2 that is 3 chunks of ~21 bits ≈ 2M keys
+    * per band, selective far past 10⁸ documents, where 16 bits (3 chunks
+    * of ~5 bits ≈ 32 keys per band) saturates its keyspace around 10⁴
+    * docs and the "banded" self-join is a cross join in disguise
+    * (SimhashProbe measures both; docs/SCALE.md records the numbers).
+    *
+    * Because saturation depends on the CORPUS (a dup-heavy corpus piles
+    * into few keys at any width), the fan-out is also MEASURED, not
+    * assumed: one aggregate over the checkpointed banding relation counts
+    * the candidate pairs the self-join would emit, and the join only runs
+    * under `maxCandidatePairs` — the same fail-loud discipline as the
+    * Jaccard route's `DenseMaxDocs`, except there is no alternative route
+    * to degrade to, so over the cap the call stops with sizing guidance
+    * instead of running a quiet N² job for days. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      bits: Int = 16, maxDist: Int = 2): DataFrame = {
+      bits: Int = 64, maxDist: Int = 2,
+      maxCandidatePairs: Long = SimhashMaxCandidatePairs): DataFrame = {
+    val banded = simhashBanded(docs, idCol, textCol, bits, maxDist)
+    val st = simhashBandStats(banded)
+    require(st.candidatePairs <= maxCandidatePairs.toDouble,
+      f"simhashPairs: the banded self-join would emit ~${st.candidatePairs}%.3g " +
+        f"candidate pairs (largest band bucket: ${st.maxBucket}%d docs, " +
+        f"${st.distinctBands}%d distinct band keys), over maxCandidatePairs " +
+        s"= $maxCandidatePairs. The band keyspace is saturated for this corpus: " +
+        s"raise bits (currently $bits; 64 is the max and the default), lower " +
+        "maxDist, run exactDedup first if the corpus is duplicate-heavy, or " +
+        "raise maxCandidatePairs if this fan-out is intended")
+    banded.as("x").join(banded.as("y"), col("x.band") === col("y.band") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        hammingDistance(col("x.fp"), col("y.fp")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** The banding relation [[simhashPairs]] self-joins — one row per
+    * (id, fp, band), checkpointed (both join sides would otherwise re-run
+    * the fingerprint scan). `private[graft]` so `tools.SimhashProbe`
+    * measures the REAL banding: the probe carried its own copy of the old
+    * two-half banding for a round after the fix and measured a layout
+    * that no longer existed. */
+  private[graft] def simhashBanded(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int, maxDist: Int): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"bits must be in 1..64, got $bits")
     require(maxDist >= 0 && maxDist + 1 <= bits,
       s"maxDist ($maxDist) needs maxDist + 1 chunks out of $bits bits")
     val fp = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
@@ -985,20 +1051,40 @@ object Dedup {
     val bounds = (0 to nb).map(i => i * bits / nb)
     val bandCols = (0 until nb).map { b =>
       val lo = bounds(b); val width = bounds(b + 1) - lo
+      // (1L << 64) wraps to 1L, so a single full-width chunk (bits = 64,
+      // maxDist = 0) would mask every fingerprint to 0 — one constant band
+      val mask = if (width >= 64) -1L else (1L << width) - 1
       concat(lit(s"$b:"), shiftright(col("fp"), lo)
-        .bitwiseAND(lit((1L << width) - 1)).cast("string"))
+        .bitwiseAND(lit(mask)).cast("string"))
     }
-    // localCheckpoint for the same reason as the MinHash bands: both join
-    // sides would otherwise re-run the fingerprint scan
-    val banded = fp
-      .select(col("id"), col("fp"), explode(array(bandCols: _*)).as("band"))
+    fp.select(col("id"), col("fp"), explode(array(bandCols: _*)).as("band"))
       .scratchCheckpoint()
-    banded.as("x").join(banded.as("y"), col("x.band") === col("y.band") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        hammingDistance(col("x.fp"), col("y.fp")).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxDist)
   }
+
+  /** Candidate fan-out of a banding relation: Σ over band keys of nC2 —
+    * EXACTLY the row count the banded self-join will emit (double: counts
+    * past ~4B docs per key would overflow c², and the gate only needs
+    * magnitude). One cheap aggregate over the already-materialized
+    * banding. */
+  final case class SimhashBandStats(candidatePairs: Double, maxBucket: Long, distinctBands: Long)
+
+  private[graft] def simhashBandStats(banded: DataFrame): SimhashBandStats = {
+    val r = banded.groupBy("band")
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("c").cast("double") * (col("c") - 1) / 2).as("pairs"),
+        max(col("c")).as("maxc"), count(lit(1)).as("keys")).head
+    SimhashBandStats(
+      if (r.isNullAt(0)) 0.0 else r.getDouble(0),
+      if (r.isNullAt(1)) 0L else r.getLong(1),
+      r.getLong(2))
+  }
+
+  /** Fan-out cap for [[simhashPairs]]' banded self-join: 2e9 candidate
+    * pairs ≈ a few hundred GB of narrow shuffle — the edge of what a real
+    * cluster absorbs for one dedup pass. Beyond it the banding is not
+    * doing its job (keyspace saturated or corpus dup-heavy) and running
+    * anyway is a silent N² job; the guard names the fix instead. */
+  val SimhashMaxCandidatePairs = 2000000000L
 
   /** Embedding-cosine near-dup pairs: multi-band sign-LSH candidates, then
     * exact cosine per distinct candidate pair.

@@ -100,10 +100,17 @@ object Hierarchy {
   }
 
   /** H5 — ensure the root name sits at index 1 of every path.
-    * Ref: validate_category_path.py:24-124. */
+    * Ref: validate_category_path.py:24-124.
+    *
+    * The head probe is `get(path, 0)`, not `element_at(path, 1)`:
+    * element_at THROWS INVALID_ARRAY_INDEX_IN_ELEMENT_AT on an empty
+    * array under ANSI mode (on by default in Spark 4), so one
+    * empty-path row — upstream of the resolver this normally follows —
+    * would kill the whole job from deep inside the plan. `get` returns
+    * NULL out of bounds; a NULL/empty path passes through unchanged. */
   def fixPathRoot(df: DataFrame, pathCol: String, rootName: String): DataFrame =
     df.withColumn(pathCol,
-      when(element_at(col(pathCol), 1) =!= rootName,
+      when(get(col(pathCol), lit(0)) =!= rootName,
         concat(array(lit(rootName)), array_remove(col(pathCol), rootName)))
         .otherwise(col(pathCol)))
 
@@ -168,6 +175,12 @@ object Hierarchy {
     }
     var cur = trees
       .select(from_json(col(jsonCol), nodeSchema(maxDepth)).as("node"))
+      // from_json is lenient: malformed tree JSON parses to an all-null
+      // struct (PERMISSIVE mode), which would surface as a phantom
+      // (null, null, null, 1) row in the flattened output. A real node
+      // carries at least one of name/url by the tree contract.
+      .filter(col("node").isNotNull &&
+        (col("node.name").isNotNull || col("node.url").isNotNull))
       .select(lit(null).cast(StringType).as("parent_url"), col("node"), lit(1).as("level"))
     val levels = Seq.newBuilder[DataFrame]
     for (d <- 1 to maxDepth) {

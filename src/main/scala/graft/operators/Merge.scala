@@ -65,7 +65,12 @@ object Merge {
     *
     * Scale: one left join hashed on `key` (broadcast when the detail batch
     * is small — it's the day's crawl delta, listing is the full catalog);
-    * everything else is a per-row projection. */
+    * everything else is a per-row projection.
+    *
+    * Contract: `detail` is UNIQUE per key (it is a per-product dict in the
+    * reference) — a duplicate detail key would multiply the matching
+    * listing rows through the left join, not merge them. Dedup the batch
+    * first ([[latestPerKey]]) if the crawler can emit retries. */
   def detailMerge(
       listing: DataFrame, detail: DataFrame, key: String,
       detailWins: Seq[String], preferDetail: Seq[String] = Nil,
@@ -154,19 +159,35 @@ object Merge {
     *
     * `rightVals` are the right columns to carry; they come back
     * null when no prior right row exists (left outer as-of).
+    *
+    * `tieBreakers`: when several right rows share (key, rightTime), which
+    * one is "the latest" is otherwise up to partition arrival order —
+    * nondeterministic across runs, the same hole [[latestPerKey]] plugs
+    * with its tieBreakers. Pass right-side ordering columns (e.g.
+    * `Seq(col("event_id").desc)`; the FIRST row in tie order wins) and the
+    * right side is reduced to one row per (key, rightTime) before the
+    * union — one extra keyed window over the right side, only when asked.
+    * The default keeps the single-shuffle plan for inputs whose
+    * (key, time) pairs are unique.
     */
   def asofJoin(
       left: DataFrame, right: DataFrame,
       key: String, leftTime: String, rightTime: String,
-      rightVals: Seq[String]): DataFrame = {
+      rightVals: Seq[String], tieBreakers: Seq[Column] = Nil): DataFrame = {
     val leftCols = left.columns.toIndexedSeq
+    val rightD =
+      if (tieBreakers.isEmpty) right
+      else {
+        val tw = Window.partitionBy(col(key), col(rightTime)).orderBy(tieBreakers.toIndexedSeq: _*)
+        right.withColumn("__rn", row_number().over(tw)).filter(col("__rn") === 1).drop("__rn")
+      }
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
       .withColumn("__rv", lit(null).cast(
         org.apache.spark.sql.types.StructType(
           rightVals.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))))
-    val r = right
+    val r = rightD
       .select((col(key) +: rightVals.map(col) :+ col(rightTime)).toIndexedSeq: _*)
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))

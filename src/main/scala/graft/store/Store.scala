@@ -77,6 +77,32 @@ class Store(spark: SparkSession, root: String, buckets: Int = 0) {
   private def catalogName(table: String, gen: String): String =
     s"graft_${table}_${gen}_$rootTag".replaceAll("[^a-zA-Z0-9_]", "_")
 
+  /** Drop a superseded generation's catalog entries. The current
+    * (root-tagged) name always; additionally the PRE-rootTag legacy name
+    * (`graft_<table>_<gen>`) — without this, entries registered before the
+    * tag was introduced are never matched by either writeGen's
+    * superseded-entry drop or vacuum's DROP TABLE and leak in the
+    * metastore forever. The legacy namespace is shared across roots (the
+    * very collision rootTag fixed), so the legacy entry is dropped ONLY
+    * when its recorded location resolves under THIS store's generation
+    * directory — another store's same-named entry must survive. The
+    * location probe (one DESCRIBE) runs only when a legacy entry exists,
+    * i.e. never again once the one-time migration has swept it. */
+  private def dropCatalogEntries(table: String, gen: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${catalogName(table, gen)}")
+    val legacy = s"graft_${table}_$gen".replaceAll("[^a-zA-Z0-9_]", "_")
+    if (spark.catalog.tableExists(legacy)) {
+      val mine = { val p = new Path(s"$root/$table/$gen"); fs(p).makeQualified(p) }
+      val loc = spark.sql(s"DESCRIBE FORMATTED $legacy").collect()
+        .find(_.getString(0).trim == "Location").map(_.getString(1).trim)
+      val owned = loc.exists { l =>
+        val p = new Path(l)
+        fs(p).makeQualified(p) == mine
+      }
+      if (owned) spark.sql(s"DROP TABLE IF EXISTS $legacy")
+    }
+  }
+
   /** One generation's frame: the catalog entry when it exists (carries
     * bucket metadata -> bucket-aligned joins), else a plain parquet read of
     * the same files — the single read expression every snapshot API uses. */
@@ -127,9 +153,7 @@ class Store(spark: SparkSession, root: String, buckets: Int = 0) {
         .saveAsTable(catalogName(table, next))
       // the previous generation's catalog entry is now dead weight — drop
       // the metadata only (files stay: snapshot() can still path-read them)
-      prev.foreach { p =>
-        spark.sql(s"DROP TABLE IF EXISTS ${catalogName(table, p)}")
-      }
+      prev.foreach(dropCatalogEntries(table, _))
     } else df.write.mode("overwrite").parquet(s"$root/$table/$next")
   }
 
@@ -229,7 +253,22 @@ class Store(spark: SparkSession, root: String, buckets: Int = 0) {
     * catalog entry if one is still registered. The newest `keep`
     * generations are never touched, so concurrent readers of the current
     * snapshot are safe; `keep ≥ 2` also protects a reader that resolved
-    * the previous generation just before an in-flight upsert committed. */
+    * the previous generation just before an in-flight upsert committed.
+    *
+    * PINNED-SNAPSHOT RETENTION CONTRACT (the [[snapshotAt]] side of the
+    * index tree's `keep = 2` discipline, stated here because vacuum is
+    * what prices it): a [[snapshotAt]] pin is valid exactly as long as its
+    * generation stays inside the keep window — the pin is a RETENTION
+    * DECISION, priced in retained generations, and the holder of a
+    * long-horizon pin must vacuum with a keep that covers it
+    * (keep ≥ generations-behind-head + 1). Outside the window the failure
+    * is LOUD on both paths, never a silently wrong corpus: a NEW
+    * `snapshotAt(g)` of a dropped generation returns None (the directory
+    * and its commit marker are gone), and a DataFrame HANDLE pinned before
+    * the vacuum fails its next action with the underlying
+    * FileNotFoundException — its plan captured the dropped generation's
+    * file listing, and no surviving generation shares those files
+    * (PipelineSpec pins both behaviors). */
   def vacuum(table: String, keep: Int = 2): Int = {
     require(keep >= 1, "keep must be >= 1")
     // the keep window counts COMMITTED generations (a reader can only hold
@@ -241,7 +280,7 @@ class Store(spark: SparkSession, root: String, buckets: Int = 0) {
     val keepSet = committedGens(table).takeRight(keep).toSet
     val dropGens = all.filterNot(keepSet.contains).filterNot(all.lastOption.contains)
     dropGens.foreach { g =>
-      spark.sql(s"DROP TABLE IF EXISTS ${catalogName(table, g)}")
+      dropCatalogEntries(table, g)
       val p = new Path(s"$root/$table/$g")
       // like archiveHistory's renames: FileSystem.delete reports failure as
       // `false` on some implementations — an unchecked false would return a

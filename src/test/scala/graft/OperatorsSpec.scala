@@ -709,4 +709,132 @@ class OperatorsSpec extends SparkSpec {
       threshold = 0.5, planes = 2, bands = 1)
     assert(pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet === Set((1L, 2L)))
   }
+
+  test("exactDedup: null-id + null-text rows pass through instead of collapsing (contract-violating rows)") {
+    val docs = Seq[(Option[Long], String)](
+      (Some(1L), "same"), (Some(2L), "same"),
+      (None, null), (None, null), (Some(3L), null))
+      .toDF("doc_id", "text")
+    // the per-id sentinel is itself NULL when the id is NULL — without the
+    // per-row last tier, both (null, null) rows would share one NULL
+    // fingerprint partition and one would be silently deleted
+    val got = Dedup.exactDedup(docs, "doc_id", "text")
+    assert(got.count() === 4L) // one "same" survivor + all three null-text rows
+    assert(got.filter(col("doc_id").isNull).count() === 2L)
+  }
+
+  test("simhashPairs at 64 bits: banding complete vs brute force; width-64 mask safe at maxDist 0") {
+    val docs = Tables.documents(spark, sfDir).limit(80)
+    for ((bits, maxDist) <- Seq((64, 0), (64, 2), (48, 1))) {
+      val fp = docs.select(col("doc_id").as("id"),
+        graft.expressions.HashExpressions.simhash64(
+          graft.functions.TextAnalysis.tokens(col("text")), bits).as("fp"))
+      val want = fp.as("x").join(fp.as("y"), col("x.id") < col("y.id"))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+          graft.functions.TextAnalysis.hammingDistance(col("x.fp"), col("y.fp")).as("h"))
+        .filter(col("h") <= maxDist)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      // (bits = 64, maxDist = 0) is ONE full-width chunk: the pre-fix mask
+      // (1L << 64) - 1 wrapped to 0 and every fingerprint landed in a
+      // single constant band — candidates stayed complete, but as a full
+      // cross join; the fix keys the band on the whole fingerprint
+      val got = Dedup.simhashPairs(docs, "doc_id", "text", bits = bits, maxDist = maxDist)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got === want, s"bits=$bits maxDist=$maxDist")
+    }
+  }
+
+  test("simhash wide fingerprints use 8 digest bytes (bits > 32 is not a constant-top-half hash)") {
+    // independent reimplementation: MessageDigest directly, top 8 bytes
+    def ref(tokens: Seq[String], bits: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val votes = new Array[Int](bits)
+      tokens.foreach { t =>
+        val d = md.digest(t.getBytes("UTF-8"))
+        val h0 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        val h = if (bits <= 32) h0
+          else (h0 << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) | ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+        (0 until bits).foreach(i => if (((h >> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1)
+      }
+      (0 until bits).foldLeft(0L)((fp, i) => if (votes(i) > 0) fp | (1L << i) else fp)
+    }
+    val toks = Seq("the", "quick", "brown", "fox", "jumps")
+    for (bits <- Seq(16, 32, 48, 64)) {
+      val got = Seq(Tuple1(toks)).toDF("toks")
+        .select(graft.expressions.HashExpressions.simhash64(col("toks"), bits))
+        .head().getLong(0)
+      assert(got === ref(toks, bits), s"bits=$bits")
+    }
+    // the pre-fix kernel read only 4 digest bytes, so bits 32..63 always
+    // voted -1 and every wide fingerprint's top half was constant 0
+    val wide = Seq(Tuple1(toks)).toDF("toks")
+      .select(graft.expressions.HashExpressions.simhash64(col("toks"), 64))
+      .head().getLong(0)
+    assert((wide >>> 32) !== 0L, "wide fingerprint's top half must carry real votes")
+  }
+
+  test("simhashPairs fan-out guard fails loudly when the band keyspace is saturated") {
+    val docs = Tables.documents(spark, sfDir).limit(80)
+    // 80 docs into 4-bit bands is exactly the saturation shape the guard
+    // exists for at corpus scale — with the cap forced low, the call must
+    // stop with sizing guidance BEFORE running the banded self-join
+    val e = intercept[IllegalArgumentException](
+      Dedup.simhashPairs(docs, "doc_id", "text", bits = 16, maxDist = 3,
+        maxCandidatePairs = 10L).count())
+    assert(e.getMessage.contains("maxCandidatePairs"), e.getMessage)
+    assert(e.getMessage.contains("raise bits"), e.getMessage)
+  }
+
+  test("a malformed _SKETCH_ marker fails with a message naming it, not a MatchError") {
+    val corpus = Seq((1L, "some corpus text for the sketch marker test")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mhidx_badmarker").toString
+    Dedup.writeMinhashIndex(Dedup.buildMinhashIndex(corpus, "doc_id", "text"), dir)
+    val gen = new java.io.File(dir).listFiles().filter(_.getName.startsWith("gen_")).head
+    // replace the real marker with garbage a foreign tool might leave
+    gen.listFiles().filter(_.getName.startsWith("_SKETCH_")).foreach(_.delete())
+    new java.io.File(gen, "_SKETCH_bogus_marker").createNewFile()
+    val e = intercept[IllegalArgumentException](Dedup.readMinhashIndex(spark, dir))
+    assert(e.getMessage.contains("_SKETCH_bogus_marker"), e.getMessage)
+    assert(e.getMessage.contains("refusing to guess"), e.getMessage)
+  }
+
+  test("fixPathRoot: empty/null paths pass through instead of an ANSI element_at crash") {
+    val df = Seq(
+      (1L, Seq("Root", "A")),
+      (2L, Seq("B")),
+      (3L, Seq.empty[String]),
+      (4L, null: Seq[String])).toDF("id", "category_path")
+    // element_at(path, 1) throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT on the
+    // empty array under ANSI — one garbage row killed the whole job
+    val got = Hierarchy.fixPathRoot(df, "category_path", "Root")
+      .orderBy("id").select("category_path").collect()
+    assert(got(0).getSeq[String](0) == Seq("Root", "A"))
+    assert(got(1).getSeq[String](0) == Seq("Root", "B"))
+    assert(got(2).getSeq[String](0) == Seq.empty[String])
+    assert(got(3).isNullAt(0))
+  }
+
+  test("flattenTree: malformed tree JSON is dropped, not emitted as a phantom null row") {
+    val trees = Seq(
+      """{"name":"Root","url":"/r","children":[{"name":"A","url":"/r/a"}]}""",
+      """this is not json at all""").toDF("tree")
+    val got = Hierarchy.flattenTree(trees, "tree", maxDepth = 3)
+    assert(got.count() === 2L) // Root + A, nothing from the garbage row
+    assert(got.filter(col("url").isNull).count() === 0L)
+  }
+
+  test("asofJoin tieBreakers: equal (key, rightTime) rows pick deterministically") {
+    val left = Seq(("k", ts("2024-01-02 00:00:00"), "L")).toDF("k", "t", "tag")
+    val right = Seq(
+      ("k", ts("2024-01-01 00:00:00"), 10.0, 2L),
+      ("k", ts("2024-01-01 00:00:00"), 20.0, 1L)).toDF("k", "t", "price", "seq")
+    // without a tie-breaker the winner is partition arrival order; with
+    // one, the FIRST row in tie order wins — here max seq
+    val got = Merge.asofJoin(left, right, "k", "t", "t", Seq("price"),
+      tieBreakers = Seq(col("seq").desc))
+    assert(got.select("price").as[Double].head() === 10.0)
+    val got2 = Merge.asofJoin(left, right, "k", "t", "t", Seq("price"),
+      tieBreakers = Seq(col("seq").asc))
+    assert(got2.select("price").as[Double].head() === 20.0)
+  }
 }

@@ -391,4 +391,62 @@ class PipelineSpec extends SparkSpec {
     assert(Schemas.product.fieldNames.contains("product_id"))
     assert(Schemas.category.fieldNames.toSet.contains("is_leaf"))
   }
+
+  test("pinned-snapshot retention: inside the keep window reads are exact; outside, failure is loud") {
+    val root = Files.createTempDirectory("graft_pin").toString
+    val store = new Store(spark, root)
+    store.upsert("products", Seq(("a", 1.0)).toDF("product_id", "price"), Seq("product_id"))
+    val pinned = store.snapshotAt("products", 0).get
+    // the pin survives upserts while its generation stays in the keep window
+    store.upsert("products", Seq(("a", 2.0)).toDF("product_id", "price"), Seq("product_id"))
+    store.upsert("products", Seq(("a", 3.0)).toDF("product_id", "price"), Seq("product_id"))
+    assert(pinned.select("price").as[Double].collect().toSeq == Seq(1.0))
+    // a long-horizon pin is a retention decision: keep covers it, all good
+    assert(store.vacuum("products", keep = 3) == 0)
+    assert(pinned.select("price").as[Double].collect().toSeq == Seq(1.0))
+    // outside the window, BOTH failure paths are loud, never silently wrong:
+    store.vacuum("products", keep = 2)
+    // (a) a fresh pin of the dropped generation is None
+    assert(store.snapshotAt("products", 0).isEmpty)
+    // (b) the held handle's plan captured the dropped generation's files —
+    // its next action surfaces the missing files instead of serving any
+    // surviving generation's rows
+    val e = intercept[Throwable](pinned.select("price").as[Double].collect())
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.isInstanceOf[java.io.FileNotFoundException] ||
+      Option(c.getMessage).exists(m => m.contains("FileNotFound") || m.contains("does not exist"))),
+      s"expected a loud missing-files failure, got: $e")
+  }
+
+  test("pre-rootTag legacy catalog entries are swept by vacuum/upsert, but only this root's") {
+    val root = Files.createTempDirectory("graft_legacy").toString
+    val store = new Store(spark, root, buckets = 4)
+    store.upsert("p", Seq(("a", 1.0)).toDF("product_id", "price"), Seq("product_id"))
+    store.upsert("p", Seq(("a", 2.0)).toDF("product_id", "price"), Seq("product_id"))
+    store.upsert("p", Seq(("a", 3.0)).toDF("product_id", "price"), Seq("product_id"))
+    // simulate the pre-upgrade state: untagged entries registered against
+    // this store's generation dirs (what writeGen used to create) ...
+    spark.sql(s"CREATE TABLE graft_p_gen_000000 (product_id STRING, price DOUBLE) " +
+      s"USING parquet LOCATION '$root/p/gen_000000'")
+    // ... and a FOREIGN store's same-named entry (the untagged namespace is
+    // shared across roots — that collision is why rootTag exists)
+    val foreignRoot = Files.createTempDirectory("graft_legacy_foreign").toString
+    Seq(("z", 9.0)).toDF("product_id", "price").write.parquet(s"$foreignRoot/p/gen_000001")
+    spark.sql(s"CREATE TABLE graft_p_gen_000001 (product_id STRING, price DOUBLE) " +
+      s"USING parquet LOCATION '$foreignRoot/p/gen_000001'")
+    store.vacuum("p", keep = 1)
+    // this root's legacy entry is gone with its generation; the foreign
+    // store's entry — whose location is under a DIFFERENT root — survives
+    assert(!spark.catalog.tableExists("graft_p_gen_000000"))
+    assert(spark.catalog.tableExists("graft_p_gen_000001"))
+    spark.sql("DROP TABLE graft_p_gen_000001")
+    // the upsert path sweeps too: a legacy entry for the superseded latest
+    val gens = store.generations("p")
+    val prevGen = f"gen_${gens.last}%06d"
+    spark.sql(s"CREATE TABLE graft_p_$prevGen (product_id STRING, price DOUBLE) " +
+      s"USING parquet LOCATION '$root/p/$prevGen'")
+    store.upsert("p", Seq(("a", 4.0)).toDF("product_id", "price"), Seq("product_id"))
+    assert(!spark.catalog.tableExists(s"graft_p_$prevGen"))
+  }
 }
