@@ -2793,7 +2793,8 @@ object SparkEntry {
     "q52_token_budget" ->
       """WITH t AS (
         |  SELECT doc_id, lang, n_chars,
-        |    len(list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), x -> x != '')) ntok
+        |    -- coalesce matches the engine: a NULL text counts 0 tokens
+        |    coalesce(len(list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), x -> x != '')), 0) ntok
         |  FROM documents
         |), c AS (
         |  SELECT doc_id, lang, n_chars,

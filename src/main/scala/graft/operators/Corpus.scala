@@ -42,7 +42,12 @@ object Corpus {
       textCol: String, budget: Long): DataFrame = {
     val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__ntok", TextAnalysis.tokenCount(col(textCol)).cast("long"))
+    // a NULL text counts 0 tokens, explicitly: window sum SKIPS nulls, so
+    // an uncoalesced count made the running total NULL (row dropped) when
+    // the group's FIRST row had null text but free (row kept) anywhere
+    // else — order-dependent treatment of the same garbage row
+    df.withColumn("__ntok",
+        coalesce(TextAnalysis.tokenCount(col(textCol)).cast("long"), lit(0L)))
       .withColumn("__cum", sum(col("__ntok")).over(w))
       .filter(col("__cum") <= budget)
       .drop("__ntok", "__cum")

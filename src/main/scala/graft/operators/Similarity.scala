@@ -61,10 +61,19 @@ object Similarity {
   def signBucket(v: Column, planes: Int): Column = signBucketAt(v, 0, planes)
 
   /** Sign bucket over components [offset, offset+planes) — the per-band
-    * variant: independent bands read disjoint component ranges. */
+    * variant: independent bands read disjoint component ranges.
+    *
+    * Component access is `get` (NULL out of bounds), not `element_at`
+    * (which THROWS INVALID_ARRAY_INDEX under ANSI): a single truncated
+    * vector — the same failed-embedding-call artifact as the zero-norm
+    * case — would otherwise kill the whole job from inside the bucketing
+    * scan with no hint at the bad row. A missing component votes 0, same
+    * as the DuckDB oracle's out-of-bounds NULL; if the short vector is
+    * then actually PAIRED, the dot kernel still fails loudly with its
+    * named length-mismatch error. */
   def signBucketAt(v: Column, offset: Int, planes: Int): Column =
     (0 until planes).map { i =>
-      when(element_at(v, offset + i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
+      when(get(v, lit(offset + i)) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a + b)
 
   /** Brute-force cosine top-k: for every query row, the k nearest corpus

@@ -837,4 +837,33 @@ class OperatorsSpec extends SparkSpec {
       tieBreakers = Seq(col("seq").asc))
     assert(got2.select("price").as[Double].head() === 20.0)
   }
+
+  test("tokenBudgetPack: a null-text row costs 0 tokens wherever it falls in the group") {
+    import graft.operators.Corpus
+    val df = Seq(
+      (1L, "en", null: String), (2L, "en", "a b c"),
+      (3L, "en", null: String), (4L, "en", "d e f"))
+      .toDF("doc_id", "lang", "text")
+    // budget 6: 0 + 3 + 0 + 3 — all four fit. Pre-fix, the window sum
+    // SKIPPED the leading null (running total NULL -> row dropped) while
+    // keeping mid-group nulls for free: order-dependent garbage handling
+    val got = Corpus.tokenBudgetPack(df, "lang", "doc_id", "text", budget = 6L)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(got == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("lshTopK: a truncated vector cannot crash the bucketing scan (ANSI element_at)") {
+    val emb = Seq(
+      (1L, Array(1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f)),
+      (2L, Array(0.9f, 0.8f, 0.7f, 0.6f, 0.5f, 0.4f, 0.3f, 0.2f)),
+      (3L, Array(-1.0f))) // truncated failed-embedding artifact
+      .toDF("vec_id", "embedding")
+    // pre-fix, element_at(v, i) threw INVALID_ARRAY_INDEX from inside the
+    // bucketing scan for ANY plan touching row 3; with get(), the short
+    // vector buckets on its present components (missing vote 0), lands in
+    // bucket 0, and is simply never paired with the bucket-255 query
+    val got = graft.operators.Similarity.lshTopK(
+      emb.filter(col("vec_id") === 1L), emb, "vec_id", "embedding", k = 2, planes = 8)
+    assert(got.select("neighbor_id").as[Long].collect().toSeq == Seq(2L))
+  }
 }
