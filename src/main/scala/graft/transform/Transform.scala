@@ -61,22 +61,30 @@ object Transform {
           ColumnOps.discountPercent(col("original_price"), col("price")),
           col("discount_percent")))
 
-  /** F1 — validity predicate (transformer.py:401-451). */
+  /** F1 — validity predicate (transformer.py:401-451). TOTAL, never NULL:
+    * an unguarded nullable term (`url.rlike(...)` on a null url was one)
+    * makes the predicate NULL, and a NULL-validity row fails BOTH
+    * `filter(validity)` and `filter(!validity)` — silently dropped from
+    * the products AND the rejects channel, so the §2.8 ledger stopped
+    * adding up (valid + rejects < total). Every nullable column is
+    * explicitly guarded so each row is exactly valid or rejected. */
   def validity: Column =
     col("product_id").isNotNull && col("product_id").rlike("^[0-9]+$") &&
       col("name").isNotNull && length(col("name")) > 0 &&
-      col("url").rlike("^https?://") &&
+      col("url").isNotNull && col("url").rlike("^https?://") &&
       (col("price").isNull || (col("price") >= 0 &&
         (col("original_price").isNull || col("price") <= col("original_price")))) &&
       (col("rating_average").isNull ||
         (col("rating_average") >= 0 && col("rating_average") <= 5)) &&
-      col("sales_count") >= 0
+      (col("sales_count").isNull || col("sales_count") >= 0)
 
   /** First failing-reason label for the rejects channel (§2.8). */
   def rejectReason: Column =
     when(col("product_id").isNull || !col("product_id").rlike("^[0-9]+$"), "bad_product_id")
       .when(col("name").isNull || length(col("name")) === 0, "missing_name")
-      .when(!col("url").rlike("^https?://"), "bad_url")
+      // isNull explicitly: rlike(NULL) is NULL, which silently skipped the
+      // branch and mislabeled null-url rejects "unknown"
+      .when(col("url").isNull || !col("url").rlike("^https?://"), "bad_url")
       .when(col("price") < 0 || col("price") > col("original_price"), "bad_price")
       .when(col("rating_average") < 0 || col("rating_average") > 5, "bad_rating")
       .when(col("sales_count") < 0, "bad_sales_count")

@@ -111,9 +111,15 @@ class AnalyticsSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
     Sources.writeAtomic(products.limit(10), s"$dir/p")
     assert(spark.read.parquet(s"$dir/p").count() === 10)
-    val catJson = """{"url":"/a","name":"A","parent_url":null,"level":1}"""
+    // one good line, one malformed, one keyless: schema-first PERMISSIVE
+    // parses garbage to an all-null row — readCategories must not emit a
+    // phantom null-url category into the tree operators
+    val catJson = """{"url":"/a","name":"A","parent_url":null,"level":1}
+this line is not json
+{"name":"keyless","level":9}"""
     java.nio.file.Files.writeString(java.nio.file.Path.of(dir, "cats.json"), catJson)
     val cats = Sources.readCategories(spark, s"$dir/cats.json")
+    assert(cats.count() === 1)
     assert(cats.filter(col("url") === "/a").count() === 1)
   }
 }

@@ -449,4 +449,15 @@ class PipelineSpec extends SparkSpec {
     store.upsert("p", Seq(("a", 4.0)).toDF("product_id", "price"), Seq("product_id"))
     assert(!spark.catalog.tableExists(s"graft_p_$prevGen"))
   }
+
+  test("rejectReason labels a NULL url bad_url, not unknown (rlike(NULL) skipped the branch)") {
+    val rows = Seq(
+      ("1", "ok name", null: String, 1.0, 2.0, 1.0, 0L),
+      ("2", "ok name", "https://x/y", 1.0, 2.0, 1.0, 0L))
+      .toDF("product_id", "name", "url", "price", "original_price", "rating_average", "sales_count")
+    val got = rows.filter(!Transform.validity)
+      .withColumn("r", Transform.rejectReason)
+      .select("product_id", "r").as[(String, String)].collect().toMap
+    assert(got == Map("1" -> "bad_url"))
+  }
 }
