@@ -52,11 +52,16 @@ object Analytics {
         round(sum(dec(col("rating_average"))).cast(DoubleType) / count("rating_average"), 4).as("avg_rating"),
         round(sum(dec(col("discount_percent"))).cast(DoubleType) / count("discount_percent"), 4).as("avg_discount"))
 
-  /** A7-B — revenue (price × sales) rolled up by category-path levels 1–2. */
+  /** A7-B — revenue (price × sales) rolled up by category-path levels 1–2.
+    * Level access is `get` (NULL out of bounds), not `element_at`: the
+    * transform stage defaults a missing category_path to an EMPTY array,
+    * and element_at throws INVALID_ARRAY_INDEX on it under ANSI — one
+    * uncategorized product would kill the whole rollup. Short/empty paths
+    * group under NULL levels instead. */
   def revenueByCategoryLevels(products: DataFrame): DataFrame =
     products
-      .withColumn("level_1", element_at(col("category_path"), 1))
-      .withColumn("level_2", element_at(col("category_path"), 2))
+      .withColumn("level_1", get(col("category_path"), lit(0)))
+      .withColumn("level_2", get(col("category_path"), lit(1)))
       .groupBy("level_1", "level_2")
       .agg(sum(dec(col("price")) * dec(col("sales_count"))).cast(DoubleType).as("revenue"),
         count(lit(1)).cast(LongType).as("n"))

@@ -153,7 +153,9 @@ object ColumnOps {
   def pathLevel(path: Column, i: Int): Column =
     when(size(path) >= i, element_at(path, i))
   def pathDepth(path: Column): Column = size(path)
-  def pathRoot(path: Column): Column  = element_at(path, 1)
+  // guarded like pathLevel: bare element_at(path, 1) throws
+  // INVALID_ARRAY_INDEX on an empty path under ANSI
+  def pathRoot(path: Column): Column  = pathLevel(path, 1)
   def pathTruncate(path: Column, maxLevels: Int = 5): Column = slice(path, 1, maxLevels)
 
   /** X19 — official-seller derivation from name.

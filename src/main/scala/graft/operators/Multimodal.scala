@@ -56,7 +56,10 @@ object Multimodal {
       .withColumn("mime", lit(mime))
 
   /** Partition-mapped decode: appends width/height/duration_ms/f0..f3.
-    * Decoder opens once per partition. */
+    * Decoder opens once per partition. A NULL asset (a fetch that never
+    * landed) decodes to NULL metadata instead of an NPE from inside the
+    * partition map — one missing blob must not kill a 100 TB decode pass,
+    * and downstream filters/aggregates skip NULLs naturally. */
   def decodeAssets(df: DataFrame, binCol: String, decoder: AssetDecoder = StubDecoder): DataFrame = {
     val inSchema = df.schema
     val outSchema = StructType(inSchema.fields ++ Seq(
@@ -66,12 +69,17 @@ object Multimodal {
       StructField("f0", DoubleType), StructField("f1", DoubleType),
       StructField("f2", DoubleType), StructField("f3", DoubleType)))
     val binIdx = inSchema.fieldIndex(binCol)
+    val nullTail = Seq[Any](null, null, null, null, null, null, null)
     df.mapPartitions { it =>
       decoder.open()
       val out = it.map { row =>
-        val d = decoder.decode(row.getAs[Array[Byte]](binIdx))
-        Row.fromSeq(row.toSeq ++ Seq[Any](d.width, d.height, d.durationMs,
-          d.features(0), d.features(1), d.features(2), d.features(3)))
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        if (bytes == null) Row.fromSeq(row.toSeq ++ nullTail)
+        else {
+          val d = decoder.decode(bytes)
+          Row.fromSeq(row.toSeq ++ Seq[Any](d.width, d.height, d.durationMs,
+            d.features(0), d.features(1), d.features(2), d.features(3)))
+        }
       }
       out // decoder.close() on iterator exhaustion is the caller's concern in this stub
     }(Encoders.row(outSchema))

@@ -50,6 +50,15 @@ class AnalyticsSpec extends SparkSpec {
     assert(pc.select("price_category").distinct().count() === pc.count())
     val rev = Analytics.revenueByCategoryLevels(products)
     assert(rev.agg(sum("n")).head().getLong(0) === products.count())
+    // an uncategorized product (the transform stage defaults category_path
+    // to an EMPTY array) must roll up under NULL levels, not throw
+    // INVALID_ARRAY_INDEX from element_at under ANSI
+    val withEmpty = products.withColumn("category_path",
+      when(col("product_id").cast("long") % 7 === 0, array().cast("array<string>"))
+        .otherwise(col("category_path")))
+    val rev2 = Analytics.revenueByCategoryLevels(withEmpty)
+    assert(rev2.agg(sum("n")).head().getLong(0) === products.count())
+    assert(rev2.filter(col("level_1").isNull).count() >= 1)
     val brands = Analytics.brandPerformance(products, minProducts = 5)
     assert(brands.filter(col("n") < 5).count() === 0)
     val db = Analytics.discountBuckets(products)

@@ -49,4 +49,14 @@ class MultimodalSpec extends SparkSpec {
     assert(plan.contains("ReadSchema") && !plan.split("ReadSchema")(1).split("\n")(0).contains("asset"),
       "binary column must be pruned from ReadSchema:\n" + plan)
   }
+
+  test("decodeAssets: a NULL asset yields NULL metadata, not an NPE inside the partition map") {
+    import spark.implicits._
+    val docs = Seq((1L, "real payload"), (2L, null: String)).toDF("doc_id", "text")
+    val decoded = Multimodal.decodeAssets(
+      Multimodal.asAsset(docs, "text", "text/plain"), "asset")
+    val rows = decoded.orderBy("doc_id").select("doc_id", "width", "f0").collect()
+    assert(!rows(0).isNullAt(1) && !rows(0).isNullAt(2))
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2))
+  }
 }
