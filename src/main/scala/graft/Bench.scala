@@ -20,6 +20,30 @@ object Bench {
       .orElse(sys.env.get("GRAFT_BENCH_" + name.toUpperCase(java.util.Locale.ROOT)))
       .flatMap(_.toDoubleOption).getOrElse(default)
 
+  /** Per-query outlier detection over a run's passes: (passIdx, query,
+    * ratio) for every pass/query time exceeding k× that query's minimum
+    * across the run's passes AND at least `minExcessSec` above it. The env
+    * flags (loadavg, sector writes) adjudicate the WINDOW; a transient I/O
+    * stall that hits exactly one shuffle-heavy query can slip past all of
+    * them (r13: q83 at 79 s inside a "clean" pass vs a 17 s sibling), so
+    * the artifact names such queries itself. The absolute-excess floor
+    * keeps sub-second queries — which jitter ×3 on a GC pause alone — out
+    * of the flag; the min-over-passes headline already absorbs them.
+    * Needs ≥ 2 passes: with one pass every query is its own minimum. */
+  private[graft] def perQueryOutliers(
+      perPass: Seq[Map[String, Double]], k: Double,
+      minExcessSec: Double): Seq[(Int, String, Double)] =
+    if (perPass.size < 2) Nil
+    else {
+      val mins = perPass.head.keys.map(q => q -> perPass.flatMap(_.get(q)).min).toMap
+      for {
+        (p, i) <- perPass.toSeq.zipWithIndex
+        (q, v) <- p.toSeq.sortBy(_._1)
+        m = mins(q)
+        if v > k * m && v - m > minExcessSec
+      } yield (i, q, v / m)
+    }
+
   /** Fixed deterministic CPU canary: a single-threaded LCG+xorshift loop
     * with PINNED iteration count, timed. The sandbox's speed shifts
     * between rounds (r8 measured ×1.36 vs r7) and single-number totals are
@@ -150,7 +174,10 @@ object Bench {
     // attempt budget is spent (each pass is minutes, so the budget bounds
     // a storm that outlives the bench at ~2× the clean wall time). Every
     // pass — clean or not — is recorded in the artifact's arrays.
-    val maxPasses = threshold("max_passes", 4.0).toInt
+    // clamped: the override can only EXTEND the budget — a 0/negative value
+    // would run zero passes (passes.head throws), and 1 would silently turn
+    // the min-of-2-clean headline into a single-pass number with no flag
+    val maxPasses = math.max(2, threshold("max_passes", 4.0).toInt)
     val passes = scala.collection.mutable.ArrayBuffer.empty[(Map[String, Double], String, Boolean, Double)]
     while (passes.size < maxPasses && passes.count(p => !p._3) < 2) {
       val p = timedPass(passes.size)
@@ -163,10 +190,22 @@ object Bench {
     val usable = if (clean.nonEmpty) clean else passes
     val use: String => Double = name => usable.map(_._1(name)).min
     val nDirty = passes.count(_._3)
+    // the per-query outlier sweep runs over ALL passes (clean or not): a
+    // flagged query inside an env-clean pass is exactly the case the env
+    // thresholds cannot see; inside a contaminated pass it just names the
+    // victim. The headline already takes min-over-passes — this is the
+    // artifact describing its own variance, not a correction.
+    val outliers = perQueryOutliers(passes.map(_._1).toSeq,
+      threshold("outlier_k", 3.0), threshold("outlier_min_excess_sec", 5.0))
+    val outlierNote =
+      if (outliers.isEmpty) ""
+      else outliers.map { case (i, q, r) =>
+        f"$q pass${i + 1} ×$r%.1f" }.mkString("; per-query outliers: ", ", ", "")
     val note =
-      if (clean.isEmpty) s"all ${passes.size} passes contaminated; min reported, unreliable"
-      else if (nDirty > 0) s"$nDirty contaminated pass(es) excluded from headline after retry"
-      else "clean"
+      (if (clean.isEmpty) s"all ${passes.size} passes contaminated; min reported, unreliable"
+       else if (nDirty > 0) s"$nDirty contaminated pass(es) excluded; " +
+         s"headline is min over ${clean.size} clean pass(es)"
+       else "clean") + outlierNote
     val results = passes.head._1.keys.toSeq.sorted.map { name =>
       val sec = use(name)
       val all = passes.map(p => f"${p._1(name)}%.2f").mkString(" ")
@@ -194,12 +233,16 @@ object Bench {
       s""","pass1_wr_max":${fmt(threshold("pass1_wr_max", 1400000.0))}""" +
       s""","pass2_wr_max":${fmt(threshold("pass2_wr_max", 250000.0))}""" +
       s""","max_passes":$maxPasses""" +
+      s""","outlier_k":${fmt(threshold("outlier_k", 3.0))}""" +
+      s""","outlier_min_excess_sec":${fmt(threshold("outlier_min_excess_sec", 5.0))}""" +
       s""","calibrated_on":"r7 sandbox host (docs/evidence/bench_r7_*.json)"}"""
     val runTotals = passes.map(p => fmt(p._1.values.sum)).mkString("[", ",", "]")
     val contamArr = passes.map(_._3).mkString("[", ",", "]")
     val canaryArr = passes.map(p => fmt(p._4)).mkString("[", ",", "]")
     val envArr = passes.map(_._2).mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":${passes.size},"run_totals":$runTotals,"contaminated":$contamArr,"contamination_note":"$note","canary_sec":$canaryArr,"canary_iters":$CanaryIters,"queries_per_canary":$qsNorm,"contamination_thresholds":$thresholds,"per_run":$runs,"env":$envArr}"""
+    val outliersJson = outliers.map { case (i, q, r) =>
+      s"""{"pass":${i + 1},"query":"$q","ratio":${fmt(r)}}""" }.mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":${passes.size},"clean_passes":${clean.size},"run_totals":$runTotals,"contaminated":$contamArr,"contamination_note":"$note","query_outliers":$outliersJson,"canary_sec":$canaryArr,"canary_iters":$CanaryIters,"queries_per_canary":$qsNorm,"contamination_thresholds":$thresholds,"per_run":$runs,"env":$envArr}"""
     // stop Spark BEFORE emitting the JSON line, then quiesce both streams:
     // sbt reads stdout and stderr on separate threads and interleaves them
     // by arrival, so a JSON line printed while per-query stderr lines are

@@ -44,14 +44,20 @@ object Dedup {
     // partitioning instead of piling into one all-NULLs task. A row with a
     // NULL id TOO (contract-violating — it has no identity at all) would
     // make the per-id sentinel itself NULL, recreating the exact collapse
-    // this fix targets: the last tier keys such rows by a per-row unique
-    // value so each passes through rather than being silently deduped
-    // against unrelated garbage.
+    // this fix targets: the last tier keys such rows by a hash of the
+    // ENTIRE row and the filter below keeps EVERY anon-tier row, whatever
+    // its window rank — identical anon rows are interchangeable, so "all
+    // kept" needs no per-row unique value. The previous shape keyed them
+    // by monotonically_increasing_id(), a NONDETERMINISTIC expression
+    // feeding this window's shuffle: on a fetch-failure recompute the
+    // regenerated ids can differ between the original and retried partial
+    // stages, dropping or duplicating rows. The row-content hash is stable
+    // across retries.
     docs.withColumn("__fp", coalesce(fingerprint(col(textCol)),
         concat(lit("\u0000null:"), col(idCol).cast("string")),
-        concat(lit("\u0000anon:"), monotonically_increasing_id().cast("string"))))
+        concat(lit("\u0000anon:"), xxhash64(docs.columns.map(col).toIndexedSeq: _*).cast("string"))))
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+      .filter(col("__rn") === 1 || col("__fp").startsWith("\u0000anon:"))
       .drop("__fp", "__rn")
   }
 
@@ -99,15 +105,30 @@ object Dedup {
   }
 
   /** Candidate near-dup pairs via MinHash + LSH banding (self-join form of
-    * [[minhashBandKeys]]). Returns (id_a, id_b) with id_a < id_b, distinct. */
+    * [[minhashBandKeys]]). Returns (id_a, id_b) with id_a < id_b, distinct.
+    *
+    * The degenerate-PARAMETER shapes are rejected by [[minhashBandKeys]]'
+    * require, but saturation is also a property of the CORPUS: identical
+    * documents produce identical signatures, so a duplicate-heavy corpus
+    * piles into few band keys and the self-join emits nC2 per pile no
+    * matter how the sketch is parameterized. The fan-out is therefore
+    * MEASURED over the checkpointed banding before the join runs — same
+    * fail-loud discipline as [[simhashPairs]] — and EAGER the same way
+    * (construction runs the sketch scan + the stats aggregate). */
   def minhashLshCandidates(
       docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4): DataFrame = {
+      shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4,
+      maxCandidatePairs: Long = DefaultMaxCandidatePairs): DataFrame = {
     // localCheckpoint: without it the self-join computes the full signature
     // pass once PER SIDE (no shuffle ⇒ no exchange reuse); the banded
     // relation is tiny (bands × docs rows of (key, id))
     val withBands = minhashBandKeys(docs, idCol, textCol, shingleN, numHashes, bands)
       .scratchCheckpoint()
+    requireBandedJoinFanout(bandFanoutStats(withBands, "bandkey"), maxCandidatePairs,
+      "minhashLshCandidates",
+      "run exactDedup first (identical documents share every band key), or " +
+        s"raise numHashes/bands rows per band (currently ${numHashes / bands} " +
+        "— more rows per band = more selective keys, at some recall cost)")
     val a = withBands.select(col("bandkey"), col("id").as("id_a"))
     val b = withBands.select(col("bandkey"), col("id").as("id_b"))
     a.join(b, Seq("bandkey"))
@@ -121,11 +142,13 @@ object Dedup {
     * by re-materializing per-doc arrays. */
   def minhashDedupPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4): DataFrame = {
+      threshold: Double, shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4,
+      maxCandidatePairs: Long = DefaultMaxCandidatePairs): DataFrame = {
     // the verify join reads the exploded shingle relation three times
     // (sizes, id_a side, id_b side) — materialize it once
     val sh = shingleRows(docs, idCol, textCol, shingleN).scratchCheckpoint()
-    val cands = minhashLshCandidates(docs, idCol, textCol, shingleN, numHashes, bands)
+    val cands = minhashLshCandidates(docs, idCol, textCol, shingleN, numHashes, bands,
+      maxCandidatePairs)
     verifyJaccard(cands, sh, threshold)
   }
 
@@ -518,10 +541,12 @@ object Dedup {
     * size beyond the one linear index scan. */
   def dedupAgainstIndex(
       batch: DataFrame, idx: MinhashIndex, idCol: String, textCol: String,
-      threshold: Double, shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4): DataFrame = {
+      threshold: Double, shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4,
+      maxCandidatePairs: Long = DefaultMaxCandidatePairs): DataFrame = {
     requireSketch(idx.sketch, shingleN, numHashes, bands, "dedupAgainstIndex")
     verdictsFromCandidates(batch,
-      bandCandidates(batch, idx, idCol, textCol, shingleN, numHashes, bands),
+      bandCandidates(batch, idx, idCol, textCol, shingleN, numHashes, bands,
+        maxCandidatePairs),
       idx, idCol, textCol, threshold, shingleN)
   }
 
@@ -536,10 +561,21 @@ object Dedup {
     * so the scan partition-prunes to the batch's buckets instead of
     * reading the whole bands relation per batch. Any bandkey equal across
     * the join hashes to the same bucket, so the filter can never drop a
-    * true candidate. In-memory indexes (no `__bkt`) skip the prune. */
+    * true candidate. In-memory indexes (no `__bkt`) skip the prune.
+    *
+    * The batch side bounds one join input, but a HOT index band key (a
+    * duplicate-heavy corpus slice that was never exact-deduped, or one
+    * boilerplate band shared corpus-wide) still multiplies every batch
+    * document that shares it: fan-out is Σ_key |batch_k|·|index_k|,
+    * corpus-dependent, so it is MEASURED before the join — one extra
+    * aggregate over the same pruned index scan the join reads (probe cost
+    * only; the append tiers are untouched) — and the probe refuses past
+    * `maxCandidatePairs` with sizing guidance instead of running a silent
+    * hot-bucket N² job inside an ingest loop. */
   private def bandCandidates(
       batch: DataFrame, idx: MinhashIndex, idCol: String, textCol: String,
-      shingleN: Int, numHashes: Int, bands: Int): DataFrame = {
+      shingleN: Int, numHashes: Int, bands: Int,
+      maxCandidatePairs: Long = DefaultMaxCandidatePairs): DataFrame = {
     val bBands = minhashBandKeys(batch, idCol, textCol, shingleN, numHashes, bands)
       .scratchCheckpoint()
     val idxBands =
@@ -551,6 +587,11 @@ object Dedup {
           .distinct().collect().map(_.getInt(0)).toSeq
         idx.bands.filter(col("__bkt").isin(bkts: _*)).drop("__bkt")
       }
+    requireBandedJoinFanout(joinFanoutStats(bBands, idxBands, "bandkey"), maxCandidatePairs,
+      "dedupAgainstIndex",
+      "exactDedup the corpus before indexing and the batch before probing " +
+        "(identical documents share every band key), compact the index, or " +
+        "raise numHashes/bands rows per band at the next rebuild")
     broadcast(bBands.as("x")).join(idxBands.as("y"), Seq("bandkey"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
   }
@@ -593,7 +634,8 @@ object Dedup {
   def ingestCycle(
       batch: DataFrame, path: String, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3, numHashes: Int = 12,
-      bands: Int = 4): (DataFrame, IngestStats) = Scratch.scoped {
+      bands: Int = 4,
+      maxCandidatePairs: Long = DefaultMaxCandidatePairs): (DataFrame, IngestStats) = Scratch.scoped {
     // the cycle's OWN scope: every internal scratch checkpoint (band keys
     // inside bandCandidates, the candidate relation, the verify join's
     // pruned shingles, the heal path's frames) is released when the cycle
@@ -604,7 +646,8 @@ object Dedup {
     val spark = batch.sparkSession
     val idx = readMinhashIndex(spark, path)
     requireSketch(idx.sketch, shingleN, numHashes, bands, "ingestCycle")
-    val cands = bandCandidates(batch, idx, idCol, textCol, shingleN, numHashes, bands)
+    val cands = bandCandidates(batch, idx, idCol, textCol, shingleN, numHashes, bands,
+        maxCandidatePairs)
       .scratchCheckpoint()
     val verdicts = Scratch.checkpointEscaping(verdictsFromCandidates(
       batch, cands, idx, idCol, textCol, threshold, shingleN))
@@ -698,10 +741,11 @@ object Dedup {
     * the one-shot form for corpora not worth persisting an index for. */
   def dedupAgainstCorpus(
       batch: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
-      threshold: Double, shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4): DataFrame =
+      threshold: Double, shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4,
+      maxCandidatePairs: Long = DefaultMaxCandidatePairs): DataFrame =
     dedupAgainstIndex(batch,
       buildMinhashIndex(corpus, idCol, textCol, shingleN, numHashes, bands),
-      idCol, textCol, threshold, shingleN, numHashes, bands)
+      idCol, textCol, threshold, shingleN, numHashes, bands, maxCandidatePairs)
 
   /** Join candidate (id_a,id_b) pairs against the exploded shingle relation,
     * count intersections, attach set sizes, filter on 6-dp-rounded Jaccard.
@@ -1011,20 +1055,22 @@ object Dedup {
     * under `maxCandidatePairs` — the same fail-loud discipline as the
     * Jaccard route's `DenseMaxDocs`, except there is no alternative route
     * to degrade to, so over the cap the call stops with sizing guidance
-    * instead of running a quiet N² job for days. */
+    * instead of running a quiet N² job for days.
+    *
+    * EAGER: constructing the returned DataFrame (before any action on it)
+    * already runs two Spark jobs — the fingerprint+banding scan (the
+    * checkpoint) and the guard's stats aggregate. Callers composing plans
+    * speculatively pay both up front; that is the cost of refusing the N²
+    * join before it exists rather than after. All guarded banded joins in
+    * this file ([[minhashLshCandidates]], [[embeddingNearDupPairs]],
+    * [[dedupAgainstIndex]]) share this contract. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       bits: Int = 64, maxDist: Int = 2,
       maxCandidatePairs: Long = SimhashMaxCandidatePairs): DataFrame = {
     val banded = simhashBanded(docs, idCol, textCol, bits, maxDist)
-    val st = simhashBandStats(banded)
-    require(st.candidatePairs <= maxCandidatePairs.toDouble,
-      f"simhashPairs: the banded self-join would emit ~${st.candidatePairs}%.3g " +
-        f"candidate pairs (largest band bucket: ${st.maxBucket}%d docs, " +
-        f"${st.distinctBands}%d distinct band keys), over maxCandidatePairs " +
-        s"= $maxCandidatePairs. The band keyspace is saturated for this corpus: " +
-        s"raise bits (currently $bits; 64 is the max and the default), lower " +
-        "maxDist, run exactDedup first if the corpus is duplicate-heavy, or " +
-        "raise maxCandidatePairs if this fan-out is intended")
+    requireBandedJoinFanout(simhashBandStats(banded), maxCandidatePairs, "simhashPairs",
+      s"raise bits (currently $bits; 64 is the max and the default), lower " +
+        "maxDist, run exactDedup first if the corpus is duplicate-heavy")
     banded.as("x").join(banded.as("y"), col("x.band") === col("y.band") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         hammingDistance(col("x.fp"), col("y.fp")).as("hamming"))
@@ -1066,25 +1112,74 @@ object Dedup {
     * past ~4B docs per key would overflow c², and the gate only needs
     * magnitude). One cheap aggregate over the already-materialized
     * banding. */
-  final case class SimhashBandStats(candidatePairs: Double, maxBucket: Long, distinctBands: Long)
+  final case class BandFanoutStats(candidatePairs: Double, maxBucket: Long, distinctBands: Long)
 
-  private[graft] def simhashBandStats(banded: DataFrame): SimhashBandStats = {
-    val r = banded.groupBy("band")
+  /** Candidate fan-out of a banded SELF-join keyed on `keyCol`: Σ over keys
+    * of nC2 — exactly the row count the self-join will emit. One cheap
+    * aggregate over the (already-materialized) banding relation. Generic
+    * across the simhash / MinHash-LSH / sign-LSH routes: saturation depends
+    * on the CORPUS (a duplicate-heavy corpus piles into few keys at ANY
+    * parameterization), so every banded self-join measures before joining. */
+  private[graft] def bandFanoutStats(banded: DataFrame, keyCol: String = "band"): BandFanoutStats = {
+    val r = banded.groupBy(keyCol)
       .agg(count(lit(1)).as("c"))
       .agg(sum(col("c").cast("double") * (col("c") - 1) / 2).as("pairs"),
         max(col("c")).as("maxc"), count(lit(1)).as("keys")).head
-    SimhashBandStats(
+    BandFanoutStats(
       if (r.isNullAt(0)) 0.0 else r.getDouble(0),
       if (r.isNullAt(1)) 0L else r.getLong(1),
       r.getLong(2))
   }
 
-  /** Fan-out cap for [[simhashPairs]]' banded self-join: 2e9 candidate
-    * pairs ≈ a few hundred GB of narrow shuffle — the edge of what a real
-    * cluster absorbs for one dedup pass. Beyond it the banding is not
-    * doing its job (keyspace saturated or corpus dup-heavy) and running
-    * anyway is a silent N² job; the guard names the fix instead. */
-  val SimhashMaxCandidatePairs = 2000000000L
+  /** [[bandFanoutStats]] on the simhash banding's `band` column — kept under
+    * its historical name so [[graft.tools.SimhashProbe]] and docs/SCALE.md
+    * keep pointing at the exact code the simhash guard runs. */
+  private[graft] def simhashBandStats(banded: DataFrame): BandFanoutStats =
+    bandFanoutStats(banded, "band")
+
+  /** Candidate fan-out of a TWO-SIDED band join (probe relation × index
+    * relation on `keyCol`): Σ over keys of |left_k|·|right_k| — exactly the
+    * pre-distinct row count the join will emit. `maxBucket` is the hottest
+    * key's pair count (not a doc count — a 1×10⁶ key and a 10³×10³ key are
+    * the same hazard). Costs one aggregate scan per side; the left side is
+    * expected to be the small, already-checkpointed probe relation. */
+  private[graft] def joinFanoutStats(
+      left: DataFrame, right: DataFrame, keyCol: String): BandFanoutStats = {
+    val lc = left.groupBy(keyCol).agg(count(lit(1)).as("__lc"))
+    val rc = right.groupBy(keyCol).agg(count(lit(1)).as("__rc"))
+    val r = lc.join(rc, keyCol)
+      .select((col("__lc").cast("double") * col("__rc")).as("p"))
+      .agg(sum(col("p")).as("pairs"), max(col("p")).as("maxp"), count(lit(1)).as("keys")).head
+    BandFanoutStats(
+      if (r.isNullAt(0)) 0.0 else r.getDouble(0),
+      if (r.isNullAt(1)) 0L else r.getDouble(1).toLong,
+      r.getLong(2))
+  }
+
+  /** Shared guard body: every banded candidate join measures its exact
+    * fan-out first and refuses to run past the cap with route-specific
+    * sizing guidance — the alternative is a silent N² job for days. */
+  private[operators] def requireBandedJoinFanout(
+      st: BandFanoutStats, maxCandidatePairs: Long, what: String, guidance: String): Unit =
+    require(st.candidatePairs <= maxCandidatePairs.toDouble,
+      f"$what: the banded join would emit ~${st.candidatePairs}%.3g " +
+        f"candidate pairs (hottest band key: ${st.maxBucket}%d, " +
+        f"${st.distinctBands}%d distinct band keys), over maxCandidatePairs " +
+        s"= $maxCandidatePairs. The band keyspace is saturated for this " +
+        s"corpus: $guidance, or raise maxCandidatePairs if this fan-out is " +
+        "intended")
+
+  /** Fan-out cap shared by every banded candidate join (simhash, MinHash
+    * LSH, sign-LSH, persisted-index probe): 2e9 candidate pairs ≈ a few
+    * hundred GB of narrow shuffle — the edge of what a real cluster absorbs
+    * for one dedup pass. Beyond it the banding is not doing its job
+    * (keyspace saturated or corpus dup-heavy) and running anyway is a
+    * silent N² job; the guard names the fix instead. */
+  val DefaultMaxCandidatePairs = 2000000000L
+
+  /** Historical name for [[DefaultMaxCandidatePairs]] (the cap predates the
+    * guard's generalization to the sibling banded joins). */
+  val SimhashMaxCandidatePairs: Long = DefaultMaxCandidatePairs
 
   /** Embedding-cosine near-dup pairs: multi-band sign-LSH candidates, then
     * exact cosine per distinct candidate pair.
@@ -1096,28 +1191,25 @@ object Dedup {
     * bounded while the OR preserves recall for high-cosine pairs. Candidates
     * are distinct'd on narrow (id_a, id_b) BEFORE the vectors are joined
     * back, so each pair pays exactly one dot product and the banded relation
-    * that self-joins carries no vector payload. */
+    * that self-joins carries no vector payload.
+    *
+    * Like every banded self-join here the bucket fan-out is MEASURED over
+    * the checkpointed banding before the join runs (a corpus of identical
+    * or co-directional vectors piles into one bucket per band at any
+    * `planes`), and construction is EAGER the same way as [[simhashPairs]]
+    * — the bucketing scan and the guard aggregate run before any action. */
   def embeddingNearDupPairs(
       emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int = 8, bands: Int = 4): DataFrame = {
-    // the bands read DISJOINT component ranges, so they must fit the vector:
-    // past the end, element_at throws INVALID_ARRAY_INDEX from deep inside
-    // the plan under ANSI mode (on by default in Spark 4) with no hint at
-    // the real problem — fail at the API surface instead. One-row probe.
-    emb.select(size(col(vecCol)).as("d")).limit(1).collect().headOption.foreach { r =>
-      require(bands * planes <= r.getInt(0),
-        s"bands ($bands) x planes ($planes) = ${bands * planes} components, " +
-          s"but the embedding has only ${r.getInt(0)} dimensions")
-    }
+      threshold: Double, planes: Int = 8, bands: Int = 4,
+      maxCandidatePairs: Long = DefaultMaxCandidatePairs): DataFrame = {
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       Similarity.norm(col(vecCol)).as("nrm"))
-    val bandCols = (0 until bands).map { b =>
-      concat(lit(s"$b:"), Similarity.signBucketAt(col("v"), b * planes, planes).cast("string"))
-    }
-    // narrow (id, band) relation; localCheckpoint so the self-join's two
-    // sides don't each re-scan the corpus
-    val banded = base.select(col("id"), explode(array(bandCols: _*)).as("band"))
-      .scratchCheckpoint()
+    val banded = embeddingBanded(emb, idCol, vecCol, planes, bands)
+    requireBandedJoinFanout(bandFanoutStats(banded, "band"), maxCandidatePairs,
+      "embeddingNearDupPairs",
+      s"raise planes (currently $planes — each extra plane roughly halves " +
+        "bucket occupancy), or drop exact-duplicate vectors first (identical " +
+        "vectors share every bucket)")
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
@@ -1132,5 +1224,29 @@ object Dedup {
         Similarity.dot(col("va"), col("vb")), col("na"), col("nb")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** The sign-LSH banding relation [[embeddingNearDupPairs]] self-joins —
+    * one (id, band) row per document per band, checkpointed (both join
+    * sides would otherwise re-scan the corpus). `private[graft]` so
+    * `tools.FanoutProbe` measures the REAL bucket layout, the same lesson
+    * as [[simhashBanded]]: a probe carrying its own copy of a banding goes
+    * stale the day the banding changes. */
+  private[graft] def embeddingBanded(emb: DataFrame, idCol: String, vecCol: String,
+      planes: Int, bands: Int): DataFrame = {
+    // the bands read DISJOINT component ranges, so they must fit the vector:
+    // past the end, element_at throws INVALID_ARRAY_INDEX from deep inside
+    // the plan under ANSI mode (on by default in Spark 4) with no hint at
+    // the real problem — fail at the API surface instead. One-row probe.
+    emb.select(size(col(vecCol)).as("d")).limit(1).collect().headOption.foreach { r =>
+      require(bands * planes <= r.getInt(0),
+        s"bands ($bands) x planes ($planes) = ${bands * planes} components, " +
+          s"but the embedding has only ${r.getInt(0)} dimensions")
+    }
+    val bandCols = (0 until bands).map { b =>
+      concat(lit(s"$b:"), Similarity.signBucketAt(col(vecCol), b * planes, planes).cast("string"))
+    }
+    emb.select(col(idCol).as("id"), explode(array(bandCols: _*)).as("band"))
+      .scratchCheckpoint()
   }
 }

@@ -70,11 +70,32 @@ object Merge {
     * Contract: `detail` is UNIQUE per key (it is a per-product dict in the
     * reference) — a duplicate detail key would multiply the matching
     * listing rows through the left join, not merge them. Dedup the batch
-    * first ([[latestPerKey]]) if the crawler can emit retries. */
+    * first ([[latestPerKey]]) if the crawler can emit retries. At scale a
+    * doc-only contract eventually gets violated, so `strictUniqueKeys`
+    * makes it ENFORCED: one extra aggregate over the detail batch (the
+    * day's delta, not the catalog — eager at construction) that fails
+    * NAMING the duplicated keys instead of silently multiplying listing
+    * rows. Opt-in because the legit path shouldn't pay for the audit on
+    * every run once the upstream dedups. */
   def detailMerge(
       listing: DataFrame, detail: DataFrame, key: String,
       detailWins: Seq[String], preferDetail: Seq[String] = Nil,
-      requireCol: Option[String] = None): DataFrame = {
+      requireCol: Option[String] = None,
+      strictUniqueKeys: Boolean = false): DataFrame = {
+    if (strictUniqueKeys) {
+      val dups = detail.groupBy(col(key)).agg(count(lit(1)).as("__c"))
+        .filter(col("__c") > 1)
+        .orderBy(col("__c").desc, col(key))
+        .limit(6).collect()
+      require(dups.isEmpty,
+        s"detailMerge: detail batch has duplicate '$key' values — each would " +
+          "multiply its matching listing rows through the left join, not merge " +
+          "them. Duplicated keys (top by count): " +
+          dups.take(5).map(r => s"${r.get(0)}×${r.getLong(1)}").mkString(", ") +
+          (if (dups.length > 5) ", …" else "") +
+          ". Dedup the batch first (Merge.latestPerKey) — a retrying crawler " +
+          "emits the same product more than once")
+    }
     import org.apache.spark.sql.types._
     def truthy(c: Column, dt: DataType): Column = dt match {
       case StringType          => c.isNotNull && c =!= ""

@@ -100,14 +100,29 @@ object Similarity {
 
   /** LSH-bucketed ANN top-k: probe only the query's sign bucket. Trades
     * recall for a corpus-partition-local search; at 100 TB the corpus is
-    * hash-partitioned by bucket so each probe touches one partition set. */
+    * hash-partitioned by bucket so each probe touches one partition set.
+    *
+    * Like the banded dedup joins ([[Dedup.simhashPairs]] et al.) the bucket
+    * fan-out is corpus-dependent — identical or co-directional vectors pile
+    * into one bucket at any `planes`, and a large query set piles the OTHER
+    * side too (Σ_b |q_b|·|c_b| pairs) — so it is MEASURED before the join
+    * (one narrow histogram pass per side; EAGER at construction) and the
+    * call refuses past `maxCandidatePairs` with sizing guidance instead of
+    * quietly scoring a near-cross-join. */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int, planes: Int = 8): DataFrame = {
+      idCol: String, vecCol: String, k: Int, planes: Int = 8,
+      maxCandidatePairs: Long = Dedup.DefaultMaxCandidatePairs): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       signBucket(col(vecCol), planes).as("bucket"), norm(col(vecCol)).as("qn")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       signBucket(col(vecCol), planes).as("bucket"), norm(col(vecCol)).as("cn"))
+    Dedup.requireBandedJoinFanout(
+      Dedup.joinFanoutStats(q.select("bucket"), c.select("bucket"), "bucket"),
+      maxCandidatePairs, "lshTopK",
+      s"raise planes (currently $planes — each extra plane roughly halves " +
+        "bucket occupancy), split the query set, or use the IVF index " +
+        "(Ann.ivfTopK) for corpus-scale query sets")
     val scored = q.join(c, Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         round(cosineFromNorms(dot(col("qv"), col("cv")), col("qn"), col("cn")), 6))

@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure-logic specs for Bench.main's artifact aggregation — no Spark
+  * session. The bench binary itself only runs under the driver, so the
+  * pieces that decide what the artifact SAYS are pinned here. */
+class BenchLogicSpec extends AnyFunSuite {
+
+  test("perQueryOutliers flags the r13 q83 shape: one query stalls inside an env-clean pass") {
+    // pass 1 clean-looking, pass 2 has q83 at 79.2s vs a 17.3s sibling —
+    // the exact case the env thresholds missed in BENCH_r13.json
+    val p1 = Map("q83" -> 17.3, "q84" -> 12.0, "q01" -> 0.4)
+    val p2 = Map("q83" -> 79.2, "q84" -> 12.5, "q01" -> 0.5)
+    val got = Bench.perQueryOutliers(Seq(p1, p2), k = 3.0, minExcessSec = 5.0)
+    assert(got.map(t => (t._1, t._2)) === Seq((1, "q83")))
+    assert(math.abs(got.head._3 - 79.2 / 17.3) < 1e-9)
+  }
+
+  test("perQueryOutliers ignores sub-threshold jitter and single-pass runs") {
+    // a 0.2s query tripling on a GC pause is noise, not a stall: the
+    // absolute-excess floor keeps it out even though the ratio is over k
+    val p1 = Map("q01" -> 0.2, "q02" -> 10.0)
+    val p2 = Map("q01" -> 0.9, "q02" -> 24.0) // q02 ×2.4 — under k
+    assert(Bench.perQueryOutliers(Seq(p1, p2), 3.0, 5.0).isEmpty)
+    // one pass: every query is its own minimum — nothing to compare against
+    assert(Bench.perQueryOutliers(Seq(p2), 3.0, 5.0).isEmpty)
+    assert(Bench.perQueryOutliers(Nil, 3.0, 5.0).isEmpty)
+  }
+
+  test("perQueryOutliers can flag more than one pass and orders by pass then query") {
+    val p1 = Map("qa" -> 50.0, "qb" -> 10.0)
+    val p2 = Map("qa" -> 10.0, "qb" -> 40.0)
+    val p3 = Map("qa" -> 11.0, "qb" -> 41.0)
+    val got = Bench.perQueryOutliers(Seq(p1, p2, p3), 3.0, 5.0)
+    assert(got.map(t => (t._1, t._2)) === Seq((0, "qa"), (1, "qb"), (2, "qb")))
+  }
+}

@@ -35,6 +35,30 @@ class OperatorsSpec extends SparkSpec {
       (4L, "D", "BrandD", 44.0, Some(0L))))
   }
 
+  test("detailMerge strictUniqueKeys: a retrying-crawler duplicate batch fails naming the keys") {
+    val listing = Seq((1L, "A", Option("BrandA")), (2L, "B", Option("BrandB")))
+      .toDF("product_id", "name", "brand")
+    // the retry shape: the crawler re-emitted product 1 twice and product 2 once
+    val detail = Seq((1L, Option("X1")), (1L, Option("X2")), (1L, Option("X3")),
+      (2L, Option("Y")), (2L, Option("Y2")))
+      .toDF("product_id", "brand")
+    val e = intercept[IllegalArgumentException](
+      Merge.detailMerge(listing, detail, "product_id", detailWins = Seq("brand"),
+        strictUniqueKeys = true))
+    assert(e.getMessage.contains("duplicate 'product_id'"), e.getMessage)
+    assert(e.getMessage.contains("1×3"), e.getMessage) // hottest key first, named
+    assert(e.getMessage.contains("2×2"), e.getMessage)
+    assert(e.getMessage.contains("latestPerKey"), e.getMessage)
+    // the default path is unchanged: same batch silently multiplies (documented
+    // contract), and a unique batch passes strict mode with identical output
+    val unique = Seq((1L, Option("X1")), (2L, Option("Y"))).toDF("product_id", "brand")
+    val strictOut = Merge.detailMerge(listing, unique, "product_id",
+      detailWins = Seq("brand"), strictUniqueKeys = true).orderBy("product_id").collect().toSeq
+    val defaultOut = Merge.detailMerge(listing, unique, "product_id",
+      detailWins = Seq("brand")).orderBy("product_id").collect().toSeq
+    assert(strictOut === defaultOut)
+  }
+
   test("detailMerge: empty arrays/maps are not truthy, non-empty win (P4 images/specs)") {
     val listing = Seq(
       (1L, "b1", Seq("old.jpg"), Map("k" -> "v")),
@@ -783,6 +807,81 @@ class OperatorsSpec extends SparkSpec {
         maxCandidatePairs = 10L).count())
     assert(e.getMessage.contains("maxCandidatePairs"), e.getMessage)
     assert(e.getMessage.contains("raise bits"), e.getMessage)
+  }
+
+  // ---- the r14 guard generalization: every sibling banded join measures its
+  // fan-out and refuses a dup-heavy pileup the parameter checks can't see.
+  // 60 identical documents/vectors is the corpus-induced saturation shape:
+  // every row lands in the same band key(s), so the "banded" join is a
+  // cross join in disguise whatever the sketch parameters are.
+
+  test("minhashLshCandidates fan-out guard trips on a duplicate-heavy corpus") {
+    val docs = (1L to 60L).map(i => (i, "identical boilerplate text repeated verbatim"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      Dedup.minhashLshCandidates(docs, "doc_id", "text", maxCandidatePairs = 100L).count())
+    assert(e.getMessage.contains("minhashLshCandidates"), e.getMessage)
+    assert(e.getMessage.contains("maxCandidatePairs"), e.getMessage)
+    assert(e.getMessage.contains("exactDedup"), e.getMessage)
+    // after exactDedup — the guidance the guard names — the same corpus passes
+    val deduped = Dedup.exactDedup(docs, "doc_id", "text")
+    assert(Dedup.minhashLshCandidates(deduped, "doc_id", "text",
+      maxCandidatePairs = 100L).count() === 0L)
+  }
+
+  test("embeddingNearDupPairs fan-out guard trips when identical vectors share every bucket") {
+    val emb = (1L to 60L).map(i => (i, Seq(1.0f, 2.0f, 3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", threshold = 0.9,
+        planes = 2, bands = 1, maxCandidatePairs = 100L).count())
+    assert(e.getMessage.contains("embeddingNearDupPairs"), e.getMessage)
+    assert(e.getMessage.contains("raise planes"), e.getMessage)
+  }
+
+  test("lshTopK fan-out guard trips when query and corpus pile into one bucket") {
+    val emb = (1L to 60L).map(i => (i, Seq(1.0f, 2.0f, 3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Similarity.lshTopK(emb, emb, "vec_id", "embedding", k = 3,
+        planes = 2, maxCandidatePairs = 100L).count())
+    assert(e.getMessage.contains("lshTopK"), e.getMessage)
+    assert(e.getMessage.contains("raise planes"), e.getMessage)
+    // a small query set against the same corpus is the intended shape — passes
+    assert(graft.operators.Similarity.lshTopK(emb.filter(col("vec_id") === 1L), emb,
+      "vec_id", "embedding", k = 3, planes = 2, maxCandidatePairs = 100L).count() === 3L)
+  }
+
+  test("dedupAgainstIndex fan-out guard trips on a hot index band key") {
+    val corpus = (1L to 60L).map(i => (i, "identical boilerplate text repeated verbatim"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.buildMinhashIndex(corpus, "doc_id", "text")
+    val batch = (1001L to 1050L).map(i => (i, "identical boilerplate text repeated verbatim"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      Dedup.dedupAgainstIndex(batch, idx, "doc_id", "text", threshold = 0.7,
+        maxCandidatePairs = 100L).count())
+    assert(e.getMessage.contains("dedupAgainstIndex"), e.getMessage)
+    assert(e.getMessage.contains("maxCandidatePairs"), e.getMessage)
+    assert(e.getMessage.contains("compact the index"), e.getMessage)
+    // the guarded default still serves the legitimate shape verbatim
+    val verdicts = Dedup.dedupAgainstIndex(batch.limit(2), idx, "doc_id", "text",
+      threshold = 0.7)
+    assert(verdicts.filter(col("is_dup")).count() === 2L)
+  }
+
+  test("exactDedup anon-tier key is deterministic (stable across recomputes of the same input)") {
+    // the anon tier keys contract-violating (null id, null text) rows by a
+    // hash of the entire row, not monotonically_increasing_id — two
+    // evaluations of the same input must produce the same surviving rows
+    val docs = Seq[(Option[Long], Option[String], String)](
+      (None, None, "a"), (None, None, "a"), (None, None, "b"), (Some(1L), Some("x"), "c"))
+      .toDF("doc_id", "text", "payload")
+    val out = Dedup.exactDedup(docs, "doc_id", "text")
+    assert(out.count() === 4L) // all anon rows pass through, plus the real row
+    val a = out.collect().map(_.toString).sorted.toSeq
+    val b = Dedup.exactDedup(docs, "doc_id", "text").collect().map(_.toString).sorted.toSeq
+    assert(a === b)
   }
 
   test("a malformed _SKETCH_ marker fails with a message naming it, not a MatchError") {

@@ -196,6 +196,44 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("exactDedup equals the sequential model on garbage-mixed corpora") {
+    import spark.implicits._
+    // the three-tier fingerprint contract fuzzed end to end: clean rows
+    // dedup on normalized text (min id wins, null id sorts first), null-text
+    // rows dedup on the per-id sentinel (same id + no text = the same
+    // document crawled twice), anon rows (no id, no text) ALL pass through.
+    // Generator mixes all three tiers plus case/whitespace variants that
+    // normalize equal.
+    val row = Gen.zip(
+      Gen.option(Gen.choose(1L, 20L)),
+      Gen.frequency(
+        5 -> Gen.oneOf("a b", "A  b", " a b ", "c", "C", "d e f", "").map(Option(_)),
+        2 -> Gen.const(None: Option[String])))
+    val corpora = Gen.listOfN(40, row)
+    check("exactDedup sequential model", Prop.forAll(corpora) { rows =>
+      rows.isEmpty || {
+        val df = rows.map { case (id, t) => (id, t.orNull) }.toDF("doc_id", "text")
+        val got = Dedup.exactDedup(df, "doc_id", "text")
+          .as[(Option[Long], Option[String])].collect().toSeq
+          .map { case (id, t) => (id, t) }
+        def norm(s: String) = s.trim.toLowerCase.split("\\s+").mkString(" ")
+        val optOrd = Ordering.Option(Ordering.Long)
+        // tier 1: per normalized text, min id wins (None < Some: nulls-first asc)
+        val keptClean = rows.collect { case (id, Some(t)) => (id, t) }
+          .groupBy { case (_, t) => norm(t) }
+          .values.map(g => g.minBy(_._1)(optOrd)).toSeq
+          .map { case (id, t) => (id, Option(t)) }
+        // tier 2: null-text rows with an id — one survivor per id
+        val keptNullText = rows.collect { case (Some(id), None) => id }
+          .distinct.map(id => (Option(id), None: Option[String]))
+        // tier 3: anon rows all pass through
+        val keptAnon = rows.collect { case (None, None) => (None: Option[Long], None: Option[String]) }
+        val want = keptClean ++ keptNullText ++ keptAnon
+        got.map(_.toString).sorted == want.map(_.toString).sorted
+      }
+    })
+  }
+
   test("upsertMerge is idempotent and exactDedup keeps the minimum id per fingerprint") {
     import spark.implicits._
     val old = Seq(("1", "a", 10.0), ("2", "b", 20.0)).toDF("product_id", "name", "price")
