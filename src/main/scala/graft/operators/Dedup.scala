@@ -567,11 +567,13 @@ object Dedup {
     * duplicate-heavy corpus slice that was never exact-deduped, or one
     * boilerplate band shared corpus-wide) still multiplies every batch
     * document that shares it: fan-out is Σ_key |batch_k|·|index_k|,
-    * corpus-dependent, so it is MEASURED before the join — one extra
-    * aggregate over the same pruned index scan the join reads (probe cost
-    * only; the append tiers are untouched) — and the probe refuses past
-    * `maxCandidatePairs` with sizing guidance instead of running a silent
-    * hot-bucket N² job inside an ingest loop. */
+    * corpus-dependent, so it is MEASURED before the join and the probe
+    * refuses past `maxCandidatePairs` with sizing guidance instead of
+    * running a silent hot-bucket N² job inside an ingest loop. The
+    * measurement is tiered ([[guardJoinFanout]]): two column-pruned
+    * counts bound the fan-out for free, and only a probe whose
+    * |batch bands|·|index bands| product could exceed the cap pays the
+    * exact histogram pass (probe cost only; append tiers untouched). */
   private def bandCandidates(
       batch: DataFrame, idx: MinhashIndex, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int, bands: Int,
@@ -579,7 +581,15 @@ object Dedup {
     val bBands = minhashBandKeys(batch, idCol, textCol, shingleN, numHashes, bands)
       .scratchCheckpoint()
     val idxBands =
-      if (!idx.bands.columns.contains("__bkt")) idx.bands
+      if (!idx.bands.columns.contains("__bkt"))
+        // an IN-MEMORY index ([[dedupAgainstCorpus]]' one-shot small-corpus
+        // route, by contract): its bands relation is a lazy sketch
+        // projection, so the guard's count and the candidate join would
+        // each re-sketch the corpus — checkpoint it once. The persisted
+        // layout (the 100 TB path) stays scan-based: its count is a
+        // pruned parquet job, and checkpointing a corpus-scale relation
+        // is exactly what the bucketed on-disk layout exists to avoid.
+        idx.bands.scratchCheckpoint()
       else {
         // the prune's modulus is the INDEX's recorded count, so it always
         // matches the layout being scanned, whatever count it was written at
@@ -587,7 +597,7 @@ object Dedup {
           .distinct().collect().map(_.getInt(0)).toSeq
         idx.bands.filter(col("__bkt").isin(bkts: _*)).drop("__bkt")
       }
-    requireBandedJoinFanout(joinFanoutStats(bBands, idxBands, "bandkey"), maxCandidatePairs,
+    guardJoinFanout(bBands, idxBands, "bandkey", maxCandidatePairs,
       "dedupAgainstIndex",
       "exactDedup the corpus before indexing and the batch before probing " +
         "(identical documents share every band key), compact the index, or " +
@@ -1154,6 +1164,23 @@ object Dedup {
       if (r.isNullAt(0)) 0.0 else r.getDouble(0),
       if (r.isNullAt(1)) 0L else r.getDouble(1).toLong,
       r.getLong(2))
+  }
+
+  /** Two-sided guard with a free pre-check: |left|·|right| bounds the
+    * worst-case key fan-out from above (every row on one key), so when
+    * that product already clears the cap the exact histogram pass — an
+    * extra scan of each side — is skipped entirely. Ingest-batch probes
+    * and small query sets pay two column-pruned counts and nothing else
+    * (measured: the unconditional histogram added ~0.6 s to every
+    * sub-second lshTopK/probe call at bench scale); the exact aggregate
+    * runs only where the bound cannot rule out saturation — corpus-scale
+    * joins, where its one extra scan amortizes against the join itself. */
+  private[graft] def guardJoinFanout(left: DataFrame, right: DataFrame, keyCol: String,
+      maxCandidatePairs: Long, what: String, guidance: String): Unit = {
+    val bound = left.count().toDouble * right.count().toDouble
+    if (bound > maxCandidatePairs.toDouble)
+      requireBandedJoinFanout(joinFanoutStats(left, right, keyCol),
+        maxCandidatePairs, what, guidance)
   }
 
   /** Shared guard body: every banded candidate join measures its exact

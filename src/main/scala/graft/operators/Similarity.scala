@@ -106,9 +106,11 @@ object Similarity {
     * fan-out is corpus-dependent — identical or co-directional vectors pile
     * into one bucket at any `planes`, and a large query set piles the OTHER
     * side too (Σ_b |q_b|·|c_b| pairs) — so it is MEASURED before the join
-    * (one narrow histogram pass per side; EAGER at construction) and the
-    * call refuses past `maxCandidatePairs` with sizing guidance instead of
-    * quietly scoring a near-cross-join. */
+    * (EAGER at construction) and the call refuses past `maxCandidatePairs`
+    * with sizing guidance instead of quietly scoring a near-cross-join.
+    * Tiered ([[Dedup.guardJoinFanout]]): a small query set whose
+    * |queries|·|corpus| product cannot reach the cap pays two column-pruned
+    * counts and no histogram pass. */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int, planes: Int = 8,
@@ -117,8 +119,7 @@ object Similarity {
       signBucket(col(vecCol), planes).as("bucket"), norm(col(vecCol)).as("qn")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       signBucket(col(vecCol), planes).as("bucket"), norm(col(vecCol)).as("cn"))
-    Dedup.requireBandedJoinFanout(
-      Dedup.joinFanoutStats(q.select("bucket"), c.select("bucket"), "bucket"),
+    Dedup.guardJoinFanout(q.select("bucket"), c.select("bucket"), "bucket",
       maxCandidatePairs, "lshTopK",
       s"raise planes (currently $planes — each extra plane roughly halves " +
         "bucket occupancy), split the query set, or use the IVF index " +
