@@ -35,7 +35,12 @@ object Bench {
       minExcessSec: Double): Seq[(Int, String, Double)] =
     if (perPass.size < 2) Nil
     else {
-      val mins = perPass.head.keys.map(q => q -> perPass.flatMap(_.get(q)).min).toMap
+      // mins over the UNION of all passes' keys: a query present only in a
+      // later pass (a pass-1 crash path, or a mid-run query-set change)
+      // would otherwise throw on mins(q) — the rest of this file defends
+      // missing keys with flatMap(_.get(q)); keep that symmetric here
+      val mins = perPass.flatMap(_.keys).distinct
+        .map(q => q -> perPass.flatMap(_.get(q)).min).toMap
       for {
         (p, i) <- perPass.toSeq.zipWithIndex
         (q, v) <- p.toSeq.sortBy(_._1)
@@ -74,6 +79,41 @@ object Bench {
   private def canarySec(): Double = {
     canaryRep() // warmup: JIT-compile the loop
     math.min(canaryRep(), canaryRep())
+  }
+
+  /** Fixed-size I/O canary: write a pinned ~70 MB parquet table (2M rows,
+    * an incompressible md5 payload), read it back through one shuffle
+    * aggregate, report the seconds. Same rationale as the CPU canary but
+    * for the dimension three rounds of drift adjudication could not see:
+    * co-tenant I/O churn taxes parquet scan + shuffle work while the
+    * CPU canary (and often loadavg) measure clean — r12–r14's "host"
+    * verdicts all rested on per-query A/Bs plus a CPU-only unit. The
+    * workload is pinned (row count, partitioning, payload) and runs
+    * OUTSIDE every measured window — after the pass's closing env
+    * snapshot — so its own ~140k written sectors never contaminate the
+    * pass's write-delta flags. One rep per pass: unlike the JIT-sensitive
+    * CPU loop there is no warmup cliff, and the per-pass sample IS the
+    * signal (a storm that hits pass 2 should show in pass 2's number). */
+  private def ioCanarySec(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_io_canary")
+    try {
+      val t = dir.resolve("t").toString
+      val t0 = System.nanoTime()
+      spark.range(0L, 2000000L, 1L, 8)
+        .select(col("id"), pmod(col("id"), lit(9973L)).as("k"),
+          md5(col("id").cast("string")).as("payload"))
+        .write.mode("overwrite").parquet(t)
+      val n = spark.read.parquet(t).groupBy("k").agg(count(lit(1)).as("c")).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (n != 9973L) System.err.println(s"[bench] io canary unexpected key count: $n")
+      sec
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val paths = java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+      paths.foreach(p =>
+        try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () })
+    }
   }
 
   /** One machine-environment snapshot: the 3 loadavg fields plus total
@@ -139,7 +179,7 @@ object Bench {
             "must not cross bench queries (use persistedIvfCached)")
         name -> sec
       }
-    def timedPass(passIdx: Int): (Map[String, Double], String, Boolean, Double) = {
+    def timedPass(passIdx: Int): (Map[String, Double], String, Boolean, Double, Double) = {
       val canary = canarySec()
       val (load0, rd0, wr0) = envSnapshot()
       val r = pass().toMap
@@ -160,10 +200,14 @@ object Bench {
         if (passIdx == 0) load1m > threshold("load1m_max", 2.25) ||
           wrDelta > threshold("pass1_wr_max", 1400000.0)
         else wrDelta > threshold("pass2_wr_max", 250000.0)
+      // the I/O canary runs AFTER the closing snapshot: its writes land
+      // between measured windows, not inside this pass's wrDelta
+      val ioCanary = ioCanarySec(spark)
       val env = s"""{"loadavg_before":"$load0","loadavg_after":"$load1"""" +
         s""","sectors_read_delta":${rd1 - rd0},"sectors_written_delta":$wrDelta""" +
-        s""","canary_sec":${fmt(canary)},"contaminated":$dirty}"""
-      (r, env, dirty, canary)
+        s""","canary_sec":${fmt(canary)},"io_canary_sec":${fmt(ioCanary)}""" +
+        s""","contaminated":$dirty}"""
+      (r, env, dirty, canary, ioCanary)
     }
     // RETRY-UNTIL-CLEAN: a contaminated pass is EXCLUDED from the min-of-N
     // headline (its numbers stay in per_run for adjudication) — and, new
@@ -178,7 +222,7 @@ object Bench {
     // would run zero passes (passes.head throws), and 1 would silently turn
     // the min-of-2-clean headline into a single-pass number with no flag
     val maxPasses = math.max(2, threshold("max_passes", 4.0).toInt)
-    val passes = scala.collection.mutable.ArrayBuffer.empty[(Map[String, Double], String, Boolean, Double)]
+    val passes = scala.collection.mutable.ArrayBuffer.empty[(Map[String, Double], String, Boolean, Double, Double)]
     while (passes.size < maxPasses && passes.count(p => !p._3) < 2) {
       val p = timedPass(passes.size)
       passes += p
@@ -239,10 +283,11 @@ object Bench {
     val runTotals = passes.map(p => fmt(p._1.values.sum)).mkString("[", ",", "]")
     val contamArr = passes.map(_._3).mkString("[", ",", "]")
     val canaryArr = passes.map(p => fmt(p._4)).mkString("[", ",", "]")
+    val ioCanaryArr = passes.map(p => fmt(p._5)).mkString("[", ",", "]")
     val envArr = passes.map(_._2).mkString("[", ",", "]")
     val outliersJson = outliers.map { case (i, q, r) =>
       s"""{"pass":${i + 1},"query":"$q","ratio":${fmt(r)}}""" }.mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":${passes.size},"clean_passes":${clean.size},"run_totals":$runTotals,"contaminated":$contamArr,"contamination_note":"$note","query_outliers":$outliersJson,"canary_sec":$canaryArr,"canary_iters":$CanaryIters,"queries_per_canary":$qsNorm,"contamination_thresholds":$thresholds,"per_run":$runs,"env":$envArr}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":${passes.size},"clean_passes":${clean.size},"run_totals":$runTotals,"contaminated":$contamArr,"contamination_note":"$note","query_outliers":$outliersJson,"canary_sec":$canaryArr,"io_canary_sec":$ioCanaryArr,"canary_iters":$CanaryIters,"queries_per_canary":$qsNorm,"contamination_thresholds":$thresholds,"per_run":$runs,"env":$envArr}"""
     // stop Spark BEFORE emitting the JSON line, then quiesce both streams:
     // sbt reads stdout and stderr on separate threads and interleaves them
     // by arrival, so a JSON line printed while per-query stderr lines are

@@ -41,24 +41,36 @@ object Dedup {
     // unrelated rows. Each null-text row gets a per-id sentinel fingerprint
     // instead (the \u0000 prefix cannot collide with md5 hex), so they all
     // pass through — and, at scale, they spread across the window's hash
-    // partitioning instead of piling into one all-NULLs task. A row with a
-    // NULL id TOO (contract-violating — it has no identity at all) would
-    // make the per-id sentinel itself NULL, recreating the exact collapse
-    // this fix targets: the last tier keys such rows by a hash of the
-    // ENTIRE row and the filter below keeps EVERY anon-tier row, whatever
-    // its window rank — identical anon rows are interchangeable, so "all
-    // kept" needs no per-row unique value. The previous shape keyed them
-    // by monotonically_increasing_id(), a NONDETERMINISTIC expression
-    // feeding this window's shuffle: on a fetch-failure recompute the
-    // regenerated ids can differ between the original and retried partial
-    // stages, dropping or duplicating rows. The row-content hash is stable
-    // across retries.
-    docs.withColumn("__fp", coalesce(fingerprint(col(textCol)),
-        concat(lit("\u0000null:"), col(idCol).cast("string")),
-        concat(lit("\u0000anon:"), xxhash64(docs.columns.map(col).toIndexedSeq: _*).cast("string"))))
+    // partitioning instead of piling into one all-NULLs task.
+    //
+    // ANON rows — NULL id AND NULL text, contract-violating garbage with no
+    // identity at all — are ALL kept, and they never enter the window
+    // shuffle: they are filtered out before it and unioned back from a
+    // second branch. Any key a row's own content can produce co-locates
+    // identical rows (that is what a shuffle key does), so N identical anon
+    // rows under ANY deterministic keying collapse into one window task —
+    // the exact skew pileup the sentinel design avoids — while a
+    // nondeterministic spreader (the pre-r14 monotonically_increasing_id,
+    // or rand()) can emit different keys on a fetch-failure recompute of
+    // the window's shuffle, dropping or duplicating rows between the
+    // original and retried partial stages. Keeping anon rows out of the
+    // shuffle entirely is the only shape that is deterministic AND
+    // skew-free. It also needs no whole-row hash, so frames carrying
+    // MapType payload columns — which Spark 4's hash expressions reject at
+    // analysis time (DATATYPE_MISMATCH.HASH_MAP_TYPE), and which the r14
+    // xxhash64 anon tier therefore crashed on even when no anon row
+    // existed — dedup fine. The anon branch's IS NULL predicates push down
+    // to the scan, and on a realistic corpus (id mostly non-null) parquet
+    // null-count stats prune every row group: the "second scan" reads
+    // footers, not data.
+    val anonPred = col(idCol).isNull && col(textCol).isNull
+    val keyed = docs.filter(!anonPred)
+      .withColumn("__fp", coalesce(fingerprint(col(textCol)),
+        concat(lit("\u0000null:"), col(idCol).cast("string"))))
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 || col("__fp").startsWith("\u0000anon:"))
+      .filter(col("__rn") === 1)
       .drop("__fp", "__rn")
+    keyed.unionByName(docs.filter(anonPred))
   }
 
   /** One row per (id, shingle), DISTINCT per doc: the working relation for
@@ -71,7 +83,7 @@ object Dedup {
     * otherwise tokenize on one core); at real scale the input has thousands
     * of splits and the shuffle of raw (id, text) rows is still one linear
     * narrow pass. Downstream groupBys on `id` reuse the partitioning. */
-  private def shingleRows(docs: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
+  private[graft] def shingleRows(docs: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
     docs.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
       .repartition(col("id"))
       .select(col("id"), explode(rawNgrams(col("__toks"), shingleN)).as("s"))
@@ -113,8 +125,10 @@ object Dedup {
     * piles into few band keys and the self-join emits nC2 per pile no
     * matter how the sketch is parameterized. The fan-out is therefore
     * MEASURED over the checkpointed banding before the join runs — same
-    * fail-loud discipline as [[simhashPairs]] — and EAGER the same way
-    * (construction runs the sketch scan + the stats aggregate). */
+    * fail-loud discipline as [[simhashPairs]], tiered via
+    * [[guardSelfJoinFanout]] (free C(N,2) bound first, the per-key
+    * histogram only where the bound cannot rule saturation out) — and
+    * EAGER the same way (construction runs the sketch scan + the guard). */
   def minhashLshCandidates(
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4,
@@ -124,7 +138,7 @@ object Dedup {
     // relation is tiny (bands × docs rows of (key, id))
     val withBands = minhashBandKeys(docs, idCol, textCol, shingleN, numHashes, bands)
       .scratchCheckpoint()
-    requireBandedJoinFanout(bandFanoutStats(withBands, "bandkey"), maxCandidatePairs,
+    guardSelfJoinFanout(withBands, "bandkey", maxCandidatePairs,
       "minhashLshCandidates",
       "run exactDedup first (identical documents share every band key), or " +
         s"raise numHashes/bands rows per band (currently ${numHashes / bands} " +
@@ -814,7 +828,8 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, threshold: Double,
-      denseVocabBits: Int = DenseVocabBits, forceInverted: Boolean = false): DataFrame = {
+      denseVocabBits: Int = DenseVocabBits, forceInverted: Boolean = false,
+      maxCandidatePairs: Long = DefaultMaxCandidatePairs): DataFrame = {
     // ONE corpus scan materializes the exploded shingle relation — RAW
     // (id, shingle) rows, duplicates included: the dense path's bit_or is
     // idempotent and derives set sizes from the bitmap popcount, so only
@@ -824,7 +839,8 @@ object Dedup {
       .repartition(col("id"))
       .select(col("id"), explode(rawNgrams(col("__toks"), shingleN)).as("s"))
       .scratchCheckpoint()
-    if (forceInverted) return ngramJaccardInverted(sh.distinct(), threshold)
+    if (forceInverted)
+      return ngramJaccardInverted(sh.distinct(), threshold, maxCandidatePairs)
     // Size probe AND dense vocab in one pass: distinct().limit(bits + 1)
     // stops the limit at denseVocabBits + 1 rows, so a big vocabulary
     // collects at most bits+1 strings (route decision), a small one
@@ -844,8 +860,8 @@ object Dedup {
       val spark = sh.sparkSession
       import spark.implicits._
       val vocab = probe.sorted.zipWithIndex.toSeq.toDF("s", "v")
-      ngramJaccardDense(sh, vocab, threshold, probe.length)
-    } else ngramJaccardInverted(sh.distinct(), threshold)
+      ngramJaccardDense(sh, vocab, threshold, probe.length, maxCandidatePairs)
+    } else ngramJaccardInverted(sh.distinct(), threshold, maxCandidatePairs)
   }
 
   /** Vocabulary-size cutoff for the dense bitmap strategy (16 longs/doc). */
@@ -864,8 +880,25 @@ object Dedup {
 
   /** General path: inverted-index self-join on the shingle with the length
     * filter in the join condition, one groupBy counting intersections.
-    * Join fan-out is Σ_s df(s)² — near-linear for realistic vocabularies. */
-  private def ngramJaccardInverted(sh: DataFrame, threshold: Double): DataFrame = {
+    * Join fan-out is Σ_s df(s)² — near-linear for realistic vocabularies,
+    * but CORPUS-dependent exactly like a band key's: a boilerplate shingle
+    * present in every similar-length document makes one shingle key emit
+    * nC2 rows (the length filter cannot save same-length piles), so this
+    * keyed candidate join MEASURES its fan-out like every banded sibling —
+    * Σ nC2 over shingle keys is the join's pre-length-filter emit count,
+    * an upper bound, which is all the guard needs. The distinct shingle
+    * relation is checkpointed first so the guard's aggregate (and the two
+    * join sides) read materialized blocks instead of re-running the
+    * distinct's shuffle per consumer; tiered via [[guardSelfJoinFanout]]
+    * so small corpora pay a count, not the histogram. */
+  private def ngramJaccardInverted(sh0: DataFrame, threshold: Double,
+      maxCandidatePairs: Long): DataFrame = {
+    val sh = sh0.scratchCheckpoint()
+    guardSelfJoinFanout(sh, "s", maxCandidatePairs, "ngramJaccardPairs(inverted)",
+      "raise shingleN (bigger n ⇒ rarer shingles; forceInverted does not " +
+        "change the fan-out), drop boilerplate documents first, or run " +
+        "exactDedup — a shingle shared by every same-length document emits " +
+        "nC2 rows from one key")
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val inv = sh.join(broadcast(sizes), Seq("id"))
     // the length filter uses the dense path's RELAXED t: the contract
@@ -899,7 +932,8 @@ object Dedup {
     * unordered block pair is enumerated once — because BroadcastHashJoin
     * participates in whole-stage codegen while a broadcast nested-loop join
     * evaluates its condition interpreted (measured 2× slower end-to-end). */
-  private def ngramJaccardDense(sh: DataFrame, vocab: DataFrame, threshold: Double, vocabSize: Int): DataFrame = {
+  private def ngramJaccardDense(sh: DataFrame, vocab: DataFrame, threshold: Double,
+      vocabSize: Int, maxCandidatePairs: Long): DataFrame = {
     // the docs gate runs BEFORE the bitmap relation exists: the old
     // post-build check paid the full dense aggregation (and leaked its
     // checkpoint blocks outside any Scratch scope) only to discard the
@@ -908,7 +942,7 @@ object Dedup {
     // the happy path anyway (it sizes the block grid below).
     val nDocs = sh.select("id").distinct().count()
     if (nDocs > DenseMaxDocs) // see DenseMaxDocs: the bitmap relation must broadcast
-      return ngramJaccardInverted(sh.distinct(), threshold)
+      return ngramJaccardInverted(sh.distinct(), threshold, maxCandidatePairs)
     val words = (vocabSize + 63) / 64
     val bitAggs = (0 until words).map { w =>
       expr(s"bit_or(if(v div 64 = $w, shiftleft(cast(1 as bigint), cast(v % 64 as int)), 0L))").as(s"w$w")
@@ -1069,7 +1103,9 @@ object Dedup {
     *
     * EAGER: constructing the returned DataFrame (before any action on it)
     * already runs two Spark jobs — the fingerprint+banding scan (the
-    * checkpoint) and the guard's stats aggregate. Callers composing plans
+    * checkpoint) and the guard (a near-free count over the checkpointed
+    * banding; the per-key stats aggregate only where the C(N,2) bound
+    * cannot rule saturation out). Callers composing plans
     * speculatively pay both up front; that is the cost of refusing the N²
     * join before it exists rather than after. All guarded banded joins in
     * this file ([[minhashLshCandidates]], [[embeddingNearDupPairs]],
@@ -1078,7 +1114,7 @@ object Dedup {
       bits: Int = 64, maxDist: Int = 2,
       maxCandidatePairs: Long = SimhashMaxCandidatePairs): DataFrame = {
     val banded = simhashBanded(docs, idCol, textCol, bits, maxDist)
-    requireBandedJoinFanout(simhashBandStats(banded), maxCandidatePairs, "simhashPairs",
+    guardSelfJoinFanout(banded, "band", maxCandidatePairs, "simhashPairs",
       s"raise bits (currently $bits; 64 is the max and the default), lower " +
         "maxDist, run exactDedup first if the corpus is duplicate-heavy")
     banded.as("x").join(banded.as("y"), col("x.band") === col("y.band") && col("x.id") < col("y.id"))
@@ -1183,6 +1219,24 @@ object Dedup {
         maxCandidatePairs, what, guidance)
   }
 
+  /** SELF-join guard with the same free pre-check as [[guardJoinFanout]]:
+    * a banding of N rows emits at most C(N,2) pairs (every row on one
+    * key), so when N(N−1)/2 already clears the cap the per-key histogram
+    * — a real extra shuffle job per call, which the r14 bench A/B measured
+    * at 0.3–1.2 canary-units on the small-corpus queries — is skipped. The
+    * count is near-free: every caller checkpoints the banding first, and
+    * the bound is ≥ the exact Σ nC2, so skipping never skips a trip (the
+    * exact histogram still runs, and still refuses, wherever the bound
+    * cannot rule saturation out — exactly the corpus-scale joins where its
+    * one aggregate amortizes against the join itself). */
+  private[graft] def guardSelfJoinFanout(banded: DataFrame, keyCol: String,
+      maxCandidatePairs: Long, what: String, guidance: String): Unit = {
+    val n = banded.count().toDouble
+    if (n * (n - 1) / 2 > maxCandidatePairs.toDouble)
+      requireBandedJoinFanout(bandFanoutStats(banded, keyCol),
+        maxCandidatePairs, what, guidance)
+  }
+
   /** Shared guard body: every banded candidate join measures its exact
     * fan-out first and refuses to run past the cap with route-specific
     * sizing guidance — the alternative is a silent N² job for days. */
@@ -1232,7 +1286,7 @@ object Dedup {
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       Similarity.norm(col(vecCol)).as("nrm"))
     val banded = embeddingBanded(emb, idCol, vecCol, planes, bands)
-    requireBandedJoinFanout(bandFanoutStats(banded, "band"), maxCandidatePairs,
+    guardSelfJoinFanout(banded, "band", maxCandidatePairs,
       "embeddingNearDupPairs",
       s"raise planes (currently $planes — each extra plane roughly halves " +
         "bucket occupancy), or drop exact-duplicate vectors first (identical " +

@@ -83,7 +83,12 @@ object Merge {
       requireCol: Option[String] = None,
       strictUniqueKeys: Boolean = false): DataFrame = {
     if (strictUniqueKeys) {
-      val dups = detail.groupBy(col(key)).agg(count(lit(1)).as("__c"))
+      // NULL detail keys are excluded: they never match the left equi-join
+      // (NULL = NULL is not true), so duplicate NULL keys cannot multiply
+      // listing rows — the hazard this audit guards — and aborting on them
+      // would fail merges the hazard does not affect.
+      val dups = detail.filter(col(key).isNotNull)
+        .groupBy(col(key)).agg(count(lit(1)).as("__c"))
         .filter(col("__c") > 1)
         .orderBy(col("__c").desc, col(key))
         .limit(6).collect()

@@ -4,9 +4,10 @@ import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Scratch}
 import graft.operators.Scratch.Ops
 
-/** Dev probe: measure the candidate fan-out of every guarded banded join —
+/** Dev probe: measure the candidate fan-out of every guarded candidate join —
   * MinHash LSH self-join, sign-LSH embedding self-join, lshTopK's
-  * query×corpus bucket join, and the persisted-index probe join — over the
+  * query×corpus bucket join, the persisted-index probe join, and the n-gram
+  * Jaccard inverted self-join (KEYED on the shingle, not banded) — over the
   * operators' OWN banding relations (`minhashBandKeys`, `embeddingBanded`,
   * `bandFanoutStats`/`joinFanoutStats` — the exact code each guard runs; a
   * probe carrying its own copy of a banding measures a dead layout the day
@@ -98,6 +99,20 @@ object FanoutProbe {
         hotIdx.bands, "bandkey"))
     }
 
+    // ---- Route 5: n-gram Jaccard inverted self-join (KEYED on the shingle,
+    // not banded — the fan-out is Σ_s df(s)², and a boilerplate shingle
+    // shared by every similar-length document makes one key emit nC2 rows
+    // the length filter cannot drop). Measured over the operator's own
+    // distinct shingle relation, the exact relation the guard aggregates.
+    val withFooter = docs0.select(col("doc_id"),
+      concat(col("text"), lit(" all rights reserved contact us terms of service"))
+        .as("text")).localCheckpoint()
+    for ((name, d) <- Seq(("sf0.1-5k", docs0), ("boilerplate-footer-5k", withFooter)))
+      Scratch.scoped {
+        report("jaccardInverted", name, Dedup.bandFanoutStats(
+          Dedup.shingleRows(d, "doc_id", "text", 3).scratchCheckpoint(), "s"))
+      }
+
     // ---- The guards tripping at their DEFAULT caps on realistic shapes ----
     def expectTrip(name: String)(body: => Long): Unit =
       try { val n = body; println(s"GUARD $name: NOT TRIPPED (rows=$n)") }
@@ -119,6 +134,18 @@ object FanoutProbe {
       val identicalVec2M5 = replicate(emb0, "vec_id", 500, perturb = false)
       expectTrip("signLsh identical-2.6M @ default cap")(
         Dedup.embeddingNearDupPairs(identicalVec2M5, "vec_id", "embedding", 0.95).count())
+    }
+    // 1M unique docs sharing a 7-token boilerplate tail: each pure-boilerplate
+    // trigram has df = 1e6 ⇒ Σ nC2 ≈ 5·C(1e6,2) ≈ 2.5e12 ≫ the 2e9 default —
+    // the inverted route refuses with guidance instead of emitting the rows
+    Scratch.scoped {
+      val boiler1M = spark.range(1000000L).select(col("id").as("doc_id"),
+        concat(lit("doc"), col("id").cast("string"),
+          lit(" all rights reserved terms of service apply")).as("text"))
+        .localCheckpoint()
+      expectTrip("jaccardInverted boilerplate-1M @ default cap")(
+        Dedup.ngramJaccardPairs(boiler1M, "doc_id", "text", shingleN = 3,
+          threshold = 0.8, forceInverted = true).count())
     }
     spark.stop()
   }

@@ -28,6 +28,18 @@ class BenchLogicSpec extends AnyFunSuite {
     assert(Bench.perQueryOutliers(Nil, 3.0, 5.0).isEmpty)
   }
 
+  test("perQueryOutliers tolerates a query missing from pass 1 (mins over the key union)") {
+    // a pass-1 crash path (or a mid-run query-set change) can leave a
+    // query out of the first pass's map; mins built from pass 1's keys
+    // alone threw NoSuchElementException on the later pass's entry
+    val p1 = Map("qa" -> 1.0)
+    val p2 = Map("qa" -> 1.1, "qb" -> 10.0)
+    val p3 = Map("qa" -> 1.0, "qb" -> 60.0)
+    val got = Bench.perQueryOutliers(Seq(p1, p2, p3), 3.0, 5.0)
+    assert(got.map(t => (t._1, t._2)) === Seq((2, "qb")))
+    assert(math.abs(got.head._3 - 6.0) < 1e-9)
+  }
+
   test("perQueryOutliers can flag more than one pass and orders by pass then query") {
     val p1 = Map("qa" -> 50.0, "qb" -> 10.0)
     val p2 = Map("qa" -> 10.0, "qb" -> 40.0)

@@ -965,4 +965,69 @@ class OperatorsSpec extends SparkSpec {
       emb.filter(col("vec_id") === 1L), emb, "vec_id", "embedding", k = 2, planes = 8)
     assert(got.select("neighbor_id").as[Long].collect().toSeq == Seq(2L))
   }
+
+  test("ngramJaccard inverted-route fan-out guard trips on a boilerplate-shingle corpus") {
+    // every document shares every shingle, so one shingle key emits nC2
+    // join rows and the length filter cannot help (all docs the same
+    // length) — the KEYED-join sibling of the banded saturation shape.
+    // forceInverted pins the hazardous route (the dense path absorbs tiny
+    // vocabularies without the self-join).
+    val docs = (1L to 60L).map(i => (i, "identical boilerplate text repeated verbatim"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", shingleN = 3, threshold = 0.8,
+        forceInverted = true, maxCandidatePairs = 100L).count())
+    assert(e.getMessage.contains("ngramJaccardPairs(inverted)"), e.getMessage)
+    assert(e.getMessage.contains("maxCandidatePairs"), e.getMessage)
+    assert(e.getMessage.contains("shingleN"), e.getMessage)
+    assert(e.getMessage.contains("exactDedup"), e.getMessage)
+    // the guidance works: after exactDedup the same route on the same
+    // corpus passes under the same cap
+    val deduped = Dedup.exactDedup(docs, "doc_id", "text")
+    assert(Dedup.ngramJaccardPairs(deduped, "doc_id", "text", shingleN = 3,
+      threshold = 0.8, forceInverted = true, maxCandidatePairs = 100L).count() === 0L)
+  }
+
+  test("exactDedup handles MapType payload columns and keeps identical anon rows") {
+    // Spark 4 hash expressions reject MapType at ANALYSIS time
+    // (DATATYPE_MISMATCH.HASH_MAP_TYPE): the r14 whole-row xxhash64 anon
+    // tier crashed every exactDedup over a frame carrying a map column —
+    // e.g. product specs maps, which Curation passes through — even when
+    // no anon row existed. The split/union shape hashes nothing.
+    val docs = Seq(
+      (Option(1L), Option("same text"), Map("k" -> "v1")),
+      (Option(2L), Option("same  TEXT"), Map("k" -> "v2")), // normalizes equal to doc 1
+      (Option(3L), None: Option[String], Map("k" -> "v3")), // null text: per-id sentinel
+      (None: Option[Long], None: Option[String], Map("k" -> "anon")), // anon: kept
+      (None: Option[Long], None: Option[String], Map("k" -> "anon"))) // identical anon: ALSO kept
+      .toDF("doc_id", "text", "specs")
+    val got = Dedup.exactDedup(docs, "doc_id", "text")
+    assert(got.count() === 4L)
+    assert(got.filter(col("doc_id") === 1L).count() === 1L) // min id wins
+    assert(got.filter(col("doc_id") === 2L).count() === 0L)
+    assert(got.filter(col("doc_id").isNull).count() === 2L)
+    assert(got.columns.toSeq === docs.columns.toSeq)
+  }
+
+  test("detailMerge strictUniqueKeys: duplicate NULL detail keys are not a violation") {
+    // NULL keys never match the left equi-join, so they cannot multiply
+    // listing rows — the audit must not abort a merge the hazard does not
+    // affect (a crawler batch with several failed-extraction NULL-id rows)
+    val listing = Seq((Option(1L), "A", Option("BrandA")))
+      .toDF("product_id", "name", "brand")
+    val detail = Seq(
+      (None: Option[Long], Option("X1")),
+      (None: Option[Long], Option("X2")),
+      (Option(1L), Option("B1")))
+      .toDF("product_id", "brand")
+    val got = Merge.detailMerge(listing, detail, "product_id",
+      detailWins = Seq("brand"), strictUniqueKeys = true).collect().toSeq
+    assert(got.size === 1 && got.head.getString(2) === "B1")
+    // a duplicated NON-null key still trips with the NULL rows present
+    val bad = detail.unionByName(Seq((Option(1L), Option("B2"))).toDF("product_id", "brand"))
+    val e = intercept[IllegalArgumentException](
+      Merge.detailMerge(listing, bad, "product_id", detailWins = Seq("brand"),
+        strictUniqueKeys = true))
+    assert(e.getMessage.contains("1\u00d72"), e.getMessage + " -- expected 1\\u00d72 hint")
+  }
 }
