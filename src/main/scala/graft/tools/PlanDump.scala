@@ -8,7 +8,7 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (a.nonEmpty) a.toSeq
       else Seq("q01_pricing_summary", "q05_enrich_join", "q07_latest_per_key",
-        "q08_asof_join", "q25_minhash_pairs", "q26_ngram_jaccard",
+        "q08_asof_join", "q24_exact_dedup", "q25_minhash_pairs", "q26_ngram_jaccard",
         "q27_simhash_pairs", "q31_hierarchy_paths", "q39_star_fact",
         "q46_detail_merge", "q47_category_counts", "q28_embed_neardup",
         "q58_tree_flatten", "q62_mixture_sample", "q63_top_tokens",
