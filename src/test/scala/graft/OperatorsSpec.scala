@@ -871,8 +871,8 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("exactDedup anon-tier key is deterministic (stable across recomputes of the same input)") {
-    // the anon tier keys contract-violating (null id, null text) rows by a
-    // hash of the entire row, not monotonically_increasing_id — two
+    // contract-violating (null id, null text) rows bypass the window
+    // shuffle entirely (r15: filter/union, no per-row key at all) — two
     // evaluations of the same input must produce the same surviving rows
     val docs = Seq[(Option[Long], Option[String], String)](
       (None, None, "a"), (None, None, "a"), (None, None, "b"), (Some(1L), Some("x"), "c"))
@@ -964,6 +964,46 @@ class OperatorsSpec extends SparkSpec {
     val got = graft.operators.Similarity.lshTopK(
       emb.filter(col("vec_id") === 1L), emb, "vec_id", "embedding", k = 2, planes = 8)
     assert(got.select("neighbor_id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("guardSelfJoinFanout tier: an under-bound corpus pays the count, not the histogram") {
+    // the r14 bench A/B priced the unconditional per-key histogram at
+    // 0.3-1.2 canary-units per call; the r15 tier's contract is that a
+    // banding whose C(N,2) bound already clears the cap runs NO groupBy
+    // over the key column. Observable from the executed plans captured
+    // during CONSTRUCTION (the guard is eager; the candidate join has not
+    // run yet): the histogram is the only construction-phase plan that
+    // hash-partitions on the band key.
+    def plansDuring(body: => Unit): Vector[String] = {
+      val plans = scala.collection.mutable.ArrayBuffer[String]()
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+          plans.synchronized { plans += qe.executedPlan.toString }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      try { body; org.apache.spark.sql.graftx.Bridge.drainListenerBus(spark) }
+      finally spark.listenerManager.unregister(listener)
+      plans.synchronized { plans.toVector }
+    }
+    val docs = (1L to 200L).map(i => (i, s"document number $i about topic ${i % 7} entirely unique tail $i"))
+      .toDF("doc_id", "text").localCheckpoint()
+    // 200 docs x 4 bands = 800 banded rows, C(800,2) ~ 3.2e5 <= the default
+    // 2e9 cap: the free bound proves safety, the histogram must NOT run
+    val skipped = plansDuring(Dedup.minhashLshCandidates(docs, "doc_id", "text"))
+    assert(skipped.nonEmpty, "construction must run the guard's count")
+    assert(!skipped.exists(_.contains("hashpartitioning(bandkey")),
+      "under the bound, no construction-phase plan may aggregate on the band key:\n" +
+        skipped.find(_.contains("hashpartitioning(bandkey")).getOrElse("").take(1500))
+    // cap below the bound but above the exact fan-out: the histogram MUST
+    // run (the tier cannot prove safety from the count alone) and the call
+    // still passes - distinct docs share almost no band keys
+    val exact = plansDuring(
+      Dedup.minhashLshCandidates(docs, "doc_id", "text", maxCandidatePairs = 100000L))
+    assert(exact.exists(_.contains("hashpartitioning(bandkey")),
+      "past the bound, the exact per-key histogram must run before the join")
   }
 
   test("ngramJaccard inverted-route fan-out guard trips on a boilerplate-shingle corpus") {
