@@ -20,6 +20,29 @@ object Bench {
       .orElse(sys.env.get("GRAFT_BENCH_" + name.toUpperCase(java.util.Locale.ROOT)))
       .flatMap(_.toDoubleOption).getOrElse(default)
 
+  /** One measured pass plus everything needed to adjudicate its window:
+    * per-query seconds, the env-snapshot JSON fragment, the combined
+    * contamination verdict (env flags OR the io-canary gate), both canary
+    * readings, the io gate's own flag, and the canary's post-sync sector
+    * delta. */
+  private[graft] final case class Pass(
+      q: Map[String, Double], env: String, dirty: Boolean,
+      canary: Double, ioCanary: Double, ioFlagged: Boolean, ioWrDelta: Long)
+
+  /** Headline min for one query, missing-key-safe: min over the usable
+    * (clean) passes that measured it; a query present ONLY in excluded
+    * passes (a clean-pass crash path, or a mid-run query-set change) falls
+    * back to the min over every pass that has it rather than throwing —
+    * the headline must survive exactly the pass-crash scenario
+    * [[perQueryOutliers]]' key-union defends (r15 advice: the old direct
+    * Map.apply here threw in that case). */
+  private[graft] def headlineMin(
+      usable: Seq[Map[String, Double]], all: Seq[Map[String, Double]],
+      name: String): Double = {
+    val vs = usable.flatMap(_.get(name))
+    (if (vs.nonEmpty) vs else all.flatMap(_.get(name))).min
+  }
+
   /** Per-query outlier detection over a run's passes: (passIdx, query,
     * ratio) for every pass/query time exceeding k× that query's minimum
     * across the run's passes AND at least `minExcessSec` above it. The env
@@ -93,27 +116,50 @@ object Bench {
     * snapshot — so its own ~140k written sectors never contaminate the
     * pass's write-delta flags. One rep per pass: unlike the JIT-sensitive
     * CPU loop there is no warmup cliff, and the per-pass sample IS the
-    * signal (a storm that hits pass 2 should show in pass 2's number). */
-  private def ioCanarySec(spark: SparkSession): Double = {
+    * signal (a storm that hits pass 2 should show in pass 2's number).
+    *
+    * Isolation against the page cache (r15 advice): the canary writes
+    * under the REPO's `target/` — explicitly disk-backed — never
+    * `java.io.tmpdir`, which on some hosts is tmpfs and would bypass
+    * block devices entirely (override: `-Dgraft.bench.io_canary_dir=` /
+    * `GRAFT_BENCH_IO_CANARY_DIR`). After cleanup a best-effort `sync`
+    * flushes the canary's deferred writeback BEFORE the next pass's
+    * opening diskstats snapshot (the canary's ~140k dirty sectors would
+    * otherwise land inside that pass's wrDelta window, whose pass-2
+    * threshold is only 250k), and the canary's own post-sync sector
+    * delta is returned for the artifact so a reading can be adjudicated
+    * against what it actually pushed to disk. */
+  private def ioCanarySec(spark: SparkSession): (Double, Long) = {
     import org.apache.spark.sql.functions._
-    val dir = java.nio.file.Files.createTempDirectory("graft_io_canary")
-    try {
-      val t = dir.resolve("t").toString
-      val t0 = System.nanoTime()
-      spark.range(0L, 2000000L, 1L, 8)
-        .select(col("id"), pmod(col("id"), lit(9973L)).as("k"),
-          md5(col("id").cast("string")).as("payload"))
-        .write.mode("overwrite").parquet(t)
-      val n = spark.read.parquet(t).groupBy("k").agg(count(lit(1)).as("c")).count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      if (n != 9973L) System.err.println(s"[bench] io canary unexpected key count: $n")
-      sec
-    } finally {
-      import scala.jdk.CollectionConverters._
-      val paths = java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-      paths.foreach(p =>
-        try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () })
-    }
+    val base = java.nio.file.Paths.get(sys.props.get("graft.bench.io_canary_dir")
+      .orElse(sys.env.get("GRAFT_BENCH_IO_CANARY_DIR"))
+      .getOrElse("target/io_canary"))
+    java.nio.file.Files.createDirectories(base)
+    val dir = java.nio.file.Files.createTempDirectory(base, "rep")
+    val (_, _, wr0) = envSnapshot()
+    val sec =
+      try {
+        val t = dir.resolve("t").toString
+        val t0 = System.nanoTime()
+        spark.range(0L, 2000000L, 1L, 8)
+          .select(col("id"), pmod(col("id"), lit(9973L)).as("k"),
+            md5(col("id").cast("string")).as("payload"))
+          .write.mode("overwrite").parquet(t)
+        val n = spark.read.parquet(t).groupBy("k").agg(count(lit(1)).as("c")).count()
+        val s = (System.nanoTime() - t0) / 1e9
+        if (n != 9973L) System.err.println(s"[bench] io canary unexpected key count: $n")
+        s
+      } finally {
+        scala.util.Using(java.nio.file.Files.walk(dir)) { stream =>
+          import scala.jdk.CollectionConverters._
+          stream.iterator().asScala.toSeq.reverse.foreach(p =>
+            try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () })
+        }
+        try new ProcessBuilder("sync").start().waitFor()
+        catch { case _: Throwable => () }
+      }
+    val (_, _, wr1) = envSnapshot()
+    (sec, wr1 - wr0)
   }
 
   /** One machine-environment snapshot: the 3 loadavg fields plus total
@@ -179,7 +225,7 @@ object Bench {
             "must not cross bench queries (use persistedIvfCached)")
         name -> sec
       }
-    def timedPass(passIdx: Int): (Map[String, Double], String, Boolean, Double, Double) = {
+    def timedPass(passIdx: Int): Pass = {
       val canary = canarySec()
       val (load0, rd0, wr0) = envSnapshot()
       val r = pass().toMap
@@ -196,18 +242,31 @@ object Bench {
       // I/O storm — is the only usable signal.
       val load1m = load0.split("\\s+").headOption.flatMap(_.toDoubleOption).getOrElse(0.0)
       val wrDelta = wr1 - wr0
-      val dirty =
+      val envDirty =
         if (passIdx == 0) load1m > threshold("load1m_max", 2.25) ||
           wrDelta > threshold("pass1_wr_max", 1400000.0)
         else wrDelta > threshold("pass2_wr_max", 250000.0)
       // the I/O canary runs AFTER the closing snapshot: its writes land
-      // between measured windows, not inside this pass's wrDelta
-      val ioCanary = ioCanarySec(spark)
+      // between measured windows, not inside this pass's wrDelta. Since
+      // r16 it is also a GATE, not just adjudication data: r15's nine
+      // runs showed io_canary_sec — not loadavg, not wrDelta, not the CPU
+      // canary — is the variable that tracks the totals (io 0.99–1.14 s
+      // ⇒ 196–211u; io 1.18–1.28 s ⇒ 220–251u on identical code, CPU
+      // canary flat at 0.85–0.91). A reading above io_canary_max flags
+      // the pass the same way the env thresholds do — excluded from the
+      // headline, retried — with the proviso that the canary samples the
+      // window right AFTER the pass, so it is a storm-persistence proxy,
+      // not an in-window measurement; the 1.3 s default is the boundary
+      // the r15 artifacts drew between their fast and slow windows.
+      val (ioCanary, ioWr) = ioCanarySec(spark)
+      val ioFlagged = ioCanary > threshold("io_canary_max", 1.3)
+      val dirty = envDirty || ioFlagged
       val env = s"""{"loadavg_before":"$load0","loadavg_after":"$load1"""" +
         s""","sectors_read_delta":${rd1 - rd0},"sectors_written_delta":$wrDelta""" +
         s""","canary_sec":${fmt(canary)},"io_canary_sec":${fmt(ioCanary)}""" +
+        s""","io_canary_wr_delta":$ioWr,"io_flagged":$ioFlagged""" +
         s""","contaminated":$dirty}"""
-      (r, env, dirty, canary, ioCanary)
+      Pass(r, env, dirty, canary, ioCanary, ioFlagged, ioWr)
     }
     // RETRY-UNTIL-CLEAN: a contaminated pass is EXCLUDED from the min-of-N
     // headline (its numbers stay in per_run for adjudication) — and, new
@@ -222,24 +281,26 @@ object Bench {
     // would run zero passes (passes.head throws), and 1 would silently turn
     // the min-of-2-clean headline into a single-pass number with no flag
     val maxPasses = math.max(2, threshold("max_passes", 4.0).toInt)
-    val passes = scala.collection.mutable.ArrayBuffer.empty[(Map[String, Double], String, Boolean, Double, Double)]
-    while (passes.size < maxPasses && passes.count(p => !p._3) < 2) {
+    val passes = scala.collection.mutable.ArrayBuffer.empty[Pass]
+    while (passes.size < maxPasses && passes.count(p => !p.dirty) < 2) {
       val p = timedPass(passes.size)
       passes += p
-      if (p._3 && passes.size < maxPasses)
-        System.err.println(s"[bench] pass ${passes.size} contaminated; retrying " +
-          s"(${passes.count(x => !x._3)}/2 clean, budget $maxPasses)")
+      if (p.dirty && passes.size < maxPasses)
+        System.err.println(s"[bench] pass ${passes.size} contaminated" +
+          (if (p.ioFlagged) s" (io canary ${fmt(p.ioCanary)}s over gate)" else "") +
+          s"; retrying (${passes.count(x => !x.dirty)}/2 clean, budget $maxPasses)")
     }
-    val clean = passes.filterNot(_._3)
+    val clean = passes.filterNot(_.dirty)
     val usable = if (clean.nonEmpty) clean else passes
-    val use: String => Double = name => usable.map(_._1(name)).min
-    val nDirty = passes.count(_._3)
+    val use: String => Double =
+      headlineMin(usable.map(_.q).toSeq, passes.map(_.q).toSeq, _)
+    val nDirty = passes.count(_.dirty)
     // the per-query outlier sweep runs over ALL passes (clean or not): a
     // flagged query inside an env-clean pass is exactly the case the env
     // thresholds cannot see; inside a contaminated pass it just names the
     // victim. The headline already takes min-over-passes — this is the
     // artifact describing its own variance, not a correction.
-    val outliers = perQueryOutliers(passes.map(_._1).toSeq,
+    val outliers = perQueryOutliers(passes.map(_.q).toSeq,
       threshold("outlier_k", 3.0), threshold("outlier_min_excess_sec", 5.0))
     val outlierNote =
       if (outliers.isEmpty) ""
@@ -250,12 +311,12 @@ object Bench {
        else if (nDirty > 0) s"$nDirty contaminated pass(es) excluded; " +
          s"headline is min over ${clean.size} clean pass(es)"
        else "clean") + outlierNote
-    val results = passes.head._1.keys.toSeq.sorted.map { name =>
+    val results = passes.flatMap(_.q.keys).distinct.sorted.map { name =>
       val sec = use(name)
-      val all = passes.map(p => f"${p._1(name)}%.2f").mkString(" ")
+      val all = passes.map(_.q.get(name).map(v => f"$v%.2f").getOrElse("-")).mkString(" ")
       System.err.println(f"[bench] $name%-26s $sec%8.2fs  (passes: $all)")
       name -> sec
-    }
+    }.toSeq
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // host-normalized per-query times: seconds divided by the best canary
@@ -263,13 +324,13 @@ object Bench {
     // rounds on shifting sandbox hosts (a ×1.4 slower host inflates the
     // canary and the query alike, so the ratio holds still). The raw
     // numbers stay the headline; these are the cross-round signal.
-    val canMin = passes.map(_._4).min
+    val canMin = passes.map(_.canary).min
     val qsNorm = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v / canMin) }
       .mkString("{", ",", "}")
     // per-run per-query values go INTO the JSON (not just stderr) so a
     // run-to-run anomaly on one query can be adjudicated from the artifact
     val runs = passes.map { p =>
-      p._1.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      p.q.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
     }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
@@ -279,15 +340,18 @@ object Bench {
       s""","max_passes":$maxPasses""" +
       s""","outlier_k":${fmt(threshold("outlier_k", 3.0))}""" +
       s""","outlier_min_excess_sec":${fmt(threshold("outlier_min_excess_sec", 5.0))}""" +
-      s""","calibrated_on":"r7 sandbox host (docs/evidence/bench_r7_*.json)"}"""
-    val runTotals = passes.map(p => fmt(p._1.values.sum)).mkString("[", ",", "]")
-    val contamArr = passes.map(_._3).mkString("[", ",", "]")
-    val canaryArr = passes.map(p => fmt(p._4)).mkString("[", ",", "]")
-    val ioCanaryArr = passes.map(p => fmt(p._5)).mkString("[", ",", "]")
-    val envArr = passes.map(_._2).mkString("[", ",", "]")
+      s""","io_canary_max":${fmt(threshold("io_canary_max", 1.3))}""" +
+      s""","calibrated_on":"r7 sandbox host (docs/evidence/bench_r7_*.json); io gate r15 (docs/BENCH_NOTES_r15.md)"}"""
+    val runTotals = passes.map(p => fmt(p.q.values.sum)).mkString("[", ",", "]")
+    val contamArr = passes.map(_.dirty).mkString("[", ",", "]")
+    val canaryArr = passes.map(p => fmt(p.canary)).mkString("[", ",", "]")
+    val ioCanaryArr = passes.map(p => fmt(p.ioCanary)).mkString("[", ",", "]")
+    val ioFlaggedArr = passes.map(_.ioFlagged).mkString("[", ",", "]")
+    val ioWrArr = passes.map(_.ioWrDelta).mkString("[", ",", "]")
+    val envArr = passes.map(_.env).mkString("[", ",", "]")
     val outliersJson = outliers.map { case (i, q, r) =>
       s"""{"pass":${i + 1},"query":"$q","ratio":${fmt(r)}}""" }.mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":${passes.size},"clean_passes":${clean.size},"run_totals":$runTotals,"contaminated":$contamArr,"contamination_note":"$note","query_outliers":$outliersJson,"canary_sec":$canaryArr,"io_canary_sec":$ioCanaryArr,"canary_iters":$CanaryIters,"queries_per_canary":$qsNorm,"contamination_thresholds":$thresholds,"per_run":$runs,"env":$envArr}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":${passes.size},"clean_passes":${clean.size},"run_totals":$runTotals,"contaminated":$contamArr,"contamination_note":"$note","query_outliers":$outliersJson,"canary_sec":$canaryArr,"io_canary_sec":$ioCanaryArr,"io_flagged":$ioFlaggedArr,"io_canary_wr_delta":$ioWrArr,"canary_iters":$CanaryIters,"queries_per_canary":$qsNorm,"contamination_thresholds":$thresholds,"per_run":$runs,"env":$envArr}"""
     // stop Spark BEFORE emitting the JSON line, then quiesce both streams:
     // sbt reads stdout and stderr on separate threads and interleaves them
     // by arrival, so a JSON line printed while per-query stderr lines are

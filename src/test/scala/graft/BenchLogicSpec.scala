@@ -47,4 +47,26 @@ class BenchLogicSpec extends AnyFunSuite {
     val got = Bench.perQueryOutliers(Seq(p1, p2, p3), 3.0, 5.0)
     assert(got.map(t => (t._1, t._2)) === Seq((0, "qa"), (1, "qb"), (2, "qb")))
   }
+
+  test("headlineMin takes the min over clean passes and ignores dirty values") {
+    val clean = Seq(Map("qa" -> 2.0, "qb" -> 5.0), Map("qa" -> 1.5, "qb" -> 6.0))
+    val all = Map("qa" -> 0.1, "qb" -> 0.1) +: clean // dirty pass had faster times
+    assert(Bench.headlineMin(clean, all, "qa") === 1.5)
+    assert(Bench.headlineMin(clean, all, "qb") === 5.0)
+  }
+
+  test("headlineMin survives a query missing from a clean pass (the pass-1-crash shape)") {
+    // the r15-advice scenario: pass 1 crashes mid-run so its map lacks a
+    // query; the headline used direct Map.apply over pass-1 keys and threw
+    val clean = Seq(Map("qa" -> 2.0), Map("qa" -> 2.1, "qb" -> 7.0))
+    assert(Bench.headlineMin(clean, clean, "qb") === 7.0)
+  }
+
+  test("headlineMin falls back to dirty passes for a query only they measured") {
+    // present in NO clean pass (clean-pass crash path): fall back to the
+    // contaminated passes rather than min on an empty list
+    val clean = Seq(Map("qa" -> 2.0))
+    val all = clean :+ Map("qa" -> 2.5, "qb" -> 9.0)
+    assert(Bench.headlineMin(clean, all, "qb") === 9.0)
+  }
 }
