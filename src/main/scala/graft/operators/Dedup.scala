@@ -31,9 +31,53 @@ import graft.operators.Scratch.Ops
   */
 object Dedup {
 
+  /** True when two independent executions of `plan` can produce DIFFERENT
+    * row sets — the shape that makes a complementary-filter split unsound:
+    * a row can land in both branches or neither, duplicating or dropping
+    * it in normal operation (no task retry needed). Flags any
+    * nondeterministic expression (rand(), uuid(), ...) plus the operators
+    * whose row SELECTION is execution-dependent even with deterministic
+    * expressions: Sample (seeded per plan but partition-layout-sensitive),
+    * un-ordered Limit/Offset/Tail (arbitrary rows win), and Deduplicate
+    * (dropDuplicates keeps an arbitrary row's NON-key columns). Joins,
+    * aggregates, unions, sorts, and windows over deterministic expressions
+    * re-produce the same row set and are NOT flagged — re-executing them
+    * is a cost question, not a correctness one (see [[exactDedup]]). */
+  private[graft] def rowSetUnstable(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    plan.exists {
+      case _: Sample | _: GlobalLimit | _: LocalLimit | _: Offset | _: Tail |
+          _: Deduplicate => true
+      case n => !n.expressions.forall(_.deterministic)
+    }
+  }
+
   /** Exact dedup on normalized-text fingerprint, keep min(id) — deterministic
-    * first-wins (D1's order-stable analogue). */
-  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * first-wins (D1's order-stable analogue).
+    *
+    * The keyed/anon split below evaluates `docs` TWICE through
+    * complementary filters. A [[rowSetUnstable]] input — sample(), a
+    * rand() column, an un-ordered limit — could route a row into both
+    * branches or neither across the two evaluations, so such inputs are
+    * localCheckpointed ONCE here: both branches then read materialized
+    * blocks, one upstream execution, frozen routing. DETERMINISTIC inputs
+    * are split as-is, including derived ones (Curation hands this a
+    * semi-joined frame): both evaluations produce the same row set, and
+    * the double execution is bounded — shuffle-bearing lineage reuses its
+    * exchanges (map sides run once; both branches re-read the same
+    * shuffle files), and tools/LineageProbe measured freeze-first LOSING
+    * to the double evaluation on exactly the Curation shape (2M-row
+    * heavy-projection + semi-join: split 6.5 s vs freeze-first 8.3 s,
+    * floor 2.9 s — materializing the full corpus costs more than
+    * re-running the post-shuffle work; docs/SCALE.md r16). On a
+    * source-shaped input each branch is one scan and the anon branch's
+    * IS NULL predicates prune to parquet footers (see the anon-tier
+    * comment below). */
+  def exactDedup(docs0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docs =
+      if (rowSetUnstable(docs0.queryExecution.analyzed)) docs0.scratchCheckpoint()
+      else docs0
     val w = Window.partitionBy(col("__fp")).orderBy(col(idCol).asc)
     // a NULL text has no content to be equal to: fingerprint(NULL) = NULL,
     // and PARTITION BY groups every NULL into ONE partition — all null-text

@@ -1,0 +1,88 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis.fingerprint
+import graft.operators.Dedup
+
+/** Dev probe: the cost of exactDedup's split/union on a DERIVED input —
+  * the r15 verdict's "What's missing #3". The keyed/anon branches
+  * evaluate the input through complementary filters, so a non-source
+  * input (Curation hands exactDedup a semi-joined frame) re-ran its
+  * whole upstream lineage once per branch until r16's
+  * checkpoint-before-split. This measures all three shapes on the same
+  * expensive derived lineage (a shuffle join under a heavy synthetic
+  * projection, ~ScaleProbe's document generator):
+  *
+  *   - `source-shaped (floor)`: exactDedup on the materialized corpus —
+  *     also the q24/bench shape (parquet scan input).
+  *   - `derived, split (shipped)`: the double evaluation exactDedup
+  *     ships for DETERMINISTIC derived inputs — exchange reuse runs the
+  *     lineage's map sides once; both branches re-read shuffle files.
+  *   - `derived, freeze-first (rejected)`: localCheckpoint the derived
+  *     frame before the split — pays the lineage once plus a full-corpus
+  *     materialization. MEASURED SLOWER than the split at probe scale,
+  *     which is why exactDedup only freezes row-set-UNSTABLE inputs
+  *     (correctness), never deterministic ones (cost).
+  *
+  * Results recorded in docs/SCALE.md ("exactDedup derived-input
+  * lineage, measured"). */
+object LineageProbe {
+  def main(a: Array[String]): Unit = {
+    val spark = graft.GraftSession.create("local[32]", 32)
+    spark.sparkContext.setLogLevel("ERROR")
+    val n = sys.env.getOrElse("LINEAGE_N", "2000000").toLong
+
+    // expensive deterministic lineage: heavy md5 token synthesis, then a
+    // shuffle join (the Curation gate's left_semi shape) — NOT source-shaped
+    def derived(): DataFrame = {
+      val len = (lit(20) + pmod(col("id"), lit(40))).cast("int")
+      val docs = spark.range(n).select(
+        col("id").as("doc_id"),
+        array_join(transform(sequence(lit(1), len),
+          j => md5(concat(col("id").cast("string"), lit("-"), j.cast("string")))
+            .substr(lit(1), lit(6))), " ").as("text"))
+      val keep = spark.range(n).filter(col("id") % 10 =!= 9)
+        .select(col("id").as("doc_id"))
+      docs.join(keep, Seq("doc_id"), "left_semi")
+    }
+
+    // the split body replicated inline (identical to what exactDedup does
+    // for deterministic inputs) so the A/B legs differ ONLY in the freeze
+    def plainSplit(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+      val w = Window.partitionBy(col("__fp")).orderBy(col(idCol).asc)
+      val anonPred = col(idCol).isNull && col(textCol).isNull
+      val keyed = docs.filter(!anonPred)
+        .withColumn("__fp", coalesce(fingerprint(col(textCol)),
+          concat(lit("\u0000null:"), col(idCol).cast("string"))))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__fp", "__rn")
+      keyed.unionByName(docs.filter(anonPred))
+    }
+
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val c = f
+      println(f"[lineage] $label%-28s ${(System.nanoTime() - t0) / 1e9}%7.2fs  (rows=$c)")
+    }
+
+    println(s"[lineage] n=$n derived = heavy-md5 projection + left_semi join")
+    // warmup: codegen + shuffle infra on a small slice
+    plainSplit(derived().filter(col("doc_id") < 10000), "doc_id", "text").count()
+    time("lineage alone (1x, count)")(derived().count())
+    val materialized = derived().localCheckpoint()
+    materialized.count()
+    time("source-shaped (floor)")(
+      Dedup.exactDedup(materialized, "doc_id", "text").count())
+    time("derived, split (shipped)")(
+      Dedup.exactDedup(derived(), "doc_id", "text").count())
+    time("derived, split (inline twin)")(
+      plainSplit(derived(), "doc_id", "text").count())
+    time("derived, freeze-first (rejected)")(
+      Dedup.exactDedup(derived().localCheckpoint(), "doc_id", "text").count())
+    spark.stop()
+  }
+}

@@ -884,6 +884,60 @@ class OperatorsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("exactDedup freezes row-set-unstable inputs before the split, never deterministic ones (r16)") {
+    import org.apache.spark.sql.execution.LogicalRDD
+    def checkpointed(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.exists { case _: LogicalRDD => true; case _ => false }
+    // rowSetUnstable: the freeze predicate, pinned directly
+    def unstable(df: org.apache.spark.sql.DataFrame): Boolean =
+      Dedup.rowSetUnstable(df.queryExecution.analyzed)
+    val base = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    // deterministic shapes — source, derived, aggregated — all split as-is
+    assert(!unstable(base)) // LocalRelation leaf
+    assert(!unstable(base.filter(col("doc_id") > 0).select("doc_id", "text")))
+    assert(!unstable(base.groupBy("text").agg(min("doc_id").as("doc_id"))))
+    assert(!unstable(base.join(base.select("doc_id"), Seq("doc_id"), "left_semi")))
+    assert(!unstable(base.orderBy("doc_id")))
+    // row-set-unstable shapes — two executions can pick different rows
+    assert(unstable(base.sample(0.5)))
+    assert(unstable(base.withColumn("r", rand())))
+    assert(unstable(base.limit(1)))
+    assert(unstable(base.dropDuplicates("text")))
+    val dir = java.nio.file.Files.createTempDirectory("exdedup_src").toString
+    base.write.mode("overwrite").parquet(dir)
+    val src = spark.read.parquet(dir)
+    assert(!unstable(src.filter(col("doc_id") > 0)))
+    // a source-shaped input splits WITHOUT a checkpoint: the anon branch's
+    // IS NULL predicates must stay pushable to the parquet scan
+    assert(!checkpointed(Dedup.exactDedup(src, "doc_id", "text")))
+    // a deterministic DERIVED input (Curation's semi-joined frame) also
+    // splits without one: freeze-first measured slower than the double
+    // evaluation (tools/LineageProbe, docs/SCALE.md r16)
+    val derived = base.join(base.select("doc_id"), Seq("doc_id"), "left_semi")
+    assert(!checkpointed(Dedup.exactDedup(derived, "doc_id", "text")))
+    // a nondeterministic input IS frozen once — correctness, not cost
+    assert(checkpointed(Dedup.exactDedup(
+      base.withColumn("doc_id", when(rand() < 0.5, col("doc_id"))), "doc_id", "text")))
+  }
+
+  test("exactDedup is exact-once on a NONDETERMINISTIC input (routing frozen by the checkpoint)") {
+    // id/text nullability decided by rand(): without the checkpoint the
+    // keyed and anon branches evaluate the plan independently, and a row
+    // can land in both branches or neither (r15 advice scenario — no task
+    // retry needed). All payloads unique ⇒ every row must survive exactly
+    // once, whatever the routing rolled.
+    val n = 200L
+    val docs = spark.range(n)
+      .select(
+        when(rand() < 0.5, col("id")).as("doc_id"),
+        when(rand() < 0.5, concat(lit("t"), col("id"))).as("text"),
+        col("id").as("payload"))
+    val out = Dedup.exactDedup(docs, "doc_id", "text")
+    assert(out.count() === n)
+    // and the surviving payload set is exactly the input's, not a multiset
+    assert(out.select("payload").distinct().count() === n)
+  }
+
   test("a malformed _SKETCH_ marker fails with a message naming it, not a MatchError") {
     val corpus = Seq((1L, "some corpus text for the sketch marker test")).toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("mhidx_badmarker").toString
