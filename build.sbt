@@ -28,3 +28,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// forked JVMs do not inherit sbt's own -D flags: pass every graft.*
+// system property through so the documented conventions
+// (`sbt -Dgraft.test.writeGolden=1 "testOnly ..."`, `-Dgraft.bench.*=`)
+// reach the test/run JVM (env-var overrides always propagated; this
+// makes the sysprop spelling work too)
+javaOptions ++= sys.props.toSeq.collect {
+  case (k, v) if k.startsWith("graft.") => s"-D$k=$v"
+}

@@ -21,13 +21,17 @@ object Bench {
       .flatMap(_.toDoubleOption).getOrElse(default)
 
   /** One measured pass plus everything needed to adjudicate its window:
-    * per-query seconds, the env-snapshot JSON fragment, the combined
-    * contamination verdict (env flags OR the io-canary gate), both canary
-    * readings, the io gate's own flag, and the canary's post-sync sector
-    * delta. */
+    * per-query seconds, both env snapshots and their deltas, the
+    * env-threshold verdict, and both canary readings (CPU + io, with the
+    * io canary's own post-sync sector delta). The io-canary FLAG and the
+    * combined dirty verdict are NOT stored here: the io gate is
+    * self-calibrating against the run's own readings (see [[ioFlags]]),
+    * so a pass's flag can change as later passes arrive — flags are
+    * re-derived from the full reading list at every decision point. */
   private[graft] final case class Pass(
-      q: Map[String, Double], env: String, dirty: Boolean,
-      canary: Double, ioCanary: Double, ioFlagged: Boolean, ioWrDelta: Long)
+      q: Map[String, Double], load0: String, load1: String,
+      rdDelta: Long, wrDelta: Long, envDirty: Boolean,
+      canary: Double, ioCanary: Double, ioWrDelta: Long)
 
   /** Headline min for one query, missing-key-safe: min over the usable
     * (clean) passes that measured it; a query present ONLY in excluded
@@ -42,6 +46,19 @@ object Bench {
     val vs = usable.flatMap(_.get(name))
     (if (vs.nonEmpty) vs else all.flatMap(_.get(name))).min
   }
+
+  /** The queries whose [[headlineMin]] would take the dirty-pass fallback
+    * branch: present in NO usable (clean) pass but measured by at least
+    * one excluded pass. Named in the artifact (`dirty_fallback_queries`)
+    * so an adjudicator reading the headline can tell clean-window minima
+    * from dirty-pass fallbacks (r16 advice: the fallback was silent
+    * per-query — right behavior, invisible provenance). Empty whenever
+    * usable == all passes (the all-contaminated run: the pass-level
+    * `all_passes_contaminated` flag carries that verdict instead). */
+  private[graft] def dirtyFallbackQueries(
+      usable: Seq[Map[String, Double]], all: Seq[Map[String, Double]]): Seq[String] =
+    all.flatMap(_.keys).distinct.sorted
+      .filterNot(q => usable.exists(_.contains(q)))
 
   /** Per-query outlier detection over a run's passes: (passIdx, query,
     * ratio) for every pass/query time exceeding k× that query's minimum
@@ -71,6 +88,43 @@ object Bench {
         if v > k * m && v - m > minExcessSec
       } yield (i, q, v / m)
     }
+
+  private[graft] def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.size
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
+  /** Self-calibrating io-canary adjudication (r16 verdict): one flag per
+    * reading, true when the reading exceeds EITHER bound:
+    *
+    *  - `absMax` — the absolute ceiling, calibrated on the r15 sandbox
+    *    host where 1.3 s was the boundary its artifacts drew between fast
+    *    and slow windows. Host-absolute by construction: on a faster-disk
+    *    host it never fires.
+    *  - `relMax` × the median of the run's OWN readings at or under the
+    *    absolute ceiling (all readings when none are — a slower host
+    *    where the ceiling itself misfires must not divide by an empty
+    *    pool). This is the CPU canary's normalization trick applied to
+    *    the gate: the run carries its own unit of "this host's clean io
+    *    second", so a storm pass on a host whose clean readings sit at
+    *    0.5 s is flagged at 0.7 s instead of sailing under a ceiling
+    *    calibrated for a slower disk.
+    *
+    * The reference median moves as passes arrive, so flags are re-derived
+    * over the full reading list at every decision point — a single
+    * reading is never relatively flagged (it IS the median), which is
+    * also why the retry loop keeps the absolute ceiling: pass 1 alone has
+    * no baseline. */
+  private[graft] def ioFlags(
+      readings: Seq[Double], absMax: Double, relMax: Double): Seq[Boolean] = {
+    if (readings.isEmpty) Nil
+    else {
+      val pool = readings.filter(_ <= absMax)
+      val ref = median(if (pool.nonEmpty) pool else readings)
+      readings.map(r => r > absMax || r > relMax * ref)
+    }
+  }
 
   /** Fixed deterministic CPU canary: a single-threaded LCG+xorshift loop
     * with PINNED iteration count, timed. The sandbox's speed shifts
@@ -102,89 +156,6 @@ object Bench {
   private def canarySec(): Double = {
     canaryRep() // warmup: JIT-compile the loop
     math.min(canaryRep(), canaryRep())
-  }
-
-  /** Fixed-size I/O canary: write a pinned ~70 MB parquet table (2M rows,
-    * an incompressible md5 payload), read it back through one shuffle
-    * aggregate, report the seconds. Same rationale as the CPU canary but
-    * for the dimension three rounds of drift adjudication could not see:
-    * co-tenant I/O churn taxes parquet scan + shuffle work while the
-    * CPU canary (and often loadavg) measure clean — r12–r14's "host"
-    * verdicts all rested on per-query A/Bs plus a CPU-only unit. The
-    * workload is pinned (row count, partitioning, payload) and runs
-    * OUTSIDE every measured window — after the pass's closing env
-    * snapshot — so its own ~140k written sectors never contaminate the
-    * pass's write-delta flags. One rep per pass: unlike the JIT-sensitive
-    * CPU loop there is no warmup cliff, and the per-pass sample IS the
-    * signal (a storm that hits pass 2 should show in pass 2's number).
-    *
-    * Isolation against the page cache (r15 advice): the canary writes
-    * under the REPO's `target/` — explicitly disk-backed — never
-    * `java.io.tmpdir`, which on some hosts is tmpfs and would bypass
-    * block devices entirely (override: `-Dgraft.bench.io_canary_dir=` /
-    * `GRAFT_BENCH_IO_CANARY_DIR`). After cleanup a best-effort `sync`
-    * flushes the canary's deferred writeback BEFORE the next pass's
-    * opening diskstats snapshot (the canary's ~140k dirty sectors would
-    * otherwise land inside that pass's wrDelta window, whose pass-2
-    * threshold is only 250k), and the canary's own post-sync sector
-    * delta is returned for the artifact so a reading can be adjudicated
-    * against what it actually pushed to disk. */
-  private def ioCanarySec(spark: SparkSession): (Double, Long) = {
-    import org.apache.spark.sql.functions._
-    val base = java.nio.file.Paths.get(sys.props.get("graft.bench.io_canary_dir")
-      .orElse(sys.env.get("GRAFT_BENCH_IO_CANARY_DIR"))
-      .getOrElse("target/io_canary"))
-    java.nio.file.Files.createDirectories(base)
-    val dir = java.nio.file.Files.createTempDirectory(base, "rep")
-    val (_, _, wr0) = envSnapshot()
-    val sec =
-      try {
-        val t = dir.resolve("t").toString
-        val t0 = System.nanoTime()
-        spark.range(0L, 2000000L, 1L, 8)
-          .select(col("id"), pmod(col("id"), lit(9973L)).as("k"),
-            md5(col("id").cast("string")).as("payload"))
-          .write.mode("overwrite").parquet(t)
-        val n = spark.read.parquet(t).groupBy("k").agg(count(lit(1)).as("c")).count()
-        val s = (System.nanoTime() - t0) / 1e9
-        if (n != 9973L) System.err.println(s"[bench] io canary unexpected key count: $n")
-        s
-      } finally {
-        scala.util.Using(java.nio.file.Files.walk(dir)) { stream =>
-          import scala.jdk.CollectionConverters._
-          stream.iterator().asScala.toSeq.reverse.foreach(p =>
-            try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () })
-        }
-        try new ProcessBuilder("sync").start().waitFor()
-        catch { case _: Throwable => () }
-      }
-    val (_, _, wr1) = envSnapshot()
-    (sec, wr1 - wr0)
-  }
-
-  /** One machine-environment snapshot: the 3 loadavg fields plus total
-    * sectors read/written summed over physical block devices (loop/ram
-    * excluded). Deltas across a pass make an environmentally contaminated
-    * window — a co-tenant I/O storm inflating scan-heavy queries while
-    * CPU-bound ones measure clean — adjudicable from the bench artifact
-    * alone, with no re-run (this was needed in rounds 3, 4 and 5). */
-  private def envSnapshot(): (String, Long, Long) = {
-    def slurp(p: String): String =
-      try new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
-      catch { case _: Throwable => "" }
-    val load = slurp("/proc/loadavg").trim.split("\\s+").take(3).mkString(" ")
-    var rd = 0L; var wr = 0L
-    slurp("/proc/diskstats").split("\n").foreach { line =>
-      val t = line.trim.split("\\s+")
-      // fields: major minor name reads .. sectors_read(6) .. sectors_written(10)
-      // partitions double-count their parent device, but the sum is taken
-      // identically before and after, so the DELTA stays a proportional
-      // I/O-pressure signal — good enough to adjudicate a window
-      if (t.length > 10 && !t(2).startsWith("loop") && !t(2).startsWith("ram")) {
-        rd += t(5).toLong; wr += t(9).toLong
-      }
-    }
-    (load, rd, wr)
   }
 
   def main(args: Array[String]): Unit = {
@@ -227,9 +198,9 @@ object Bench {
       }
     def timedPass(passIdx: Int): Pass = {
       val canary = canarySec()
-      val (load0, rd0, wr0) = envSnapshot()
+      val (load0, rd0, wr0) = IoCanary.envSnapshot()
       val r = pass().toMap
-      val (load1, rd1, wr1) = envSnapshot()
+      val (load1, rd1, wr1) = IoCanary.envSnapshot()
       // SELF-ADJUDICATION: was this pass's window environmentally clean?
       // Calibrated from the six checked-in r7 sf0.1 runs
       // (docs/evidence/bench_r7_*.json): clean pass-1 1-min loadavg_before
@@ -252,22 +223,28 @@ object Bench {
       // runs showed io_canary_sec — not loadavg, not wrDelta, not the CPU
       // canary — is the variable that tracks the totals (io 0.99–1.14 s
       // ⇒ 196–211u; io 1.18–1.28 s ⇒ 220–251u on identical code, CPU
-      // canary flat at 0.85–0.91). A reading above io_canary_max flags
-      // the pass the same way the env thresholds do — excluded from the
-      // headline, retried — with the proviso that the canary samples the
-      // window right AFTER the pass, so it is a storm-persistence proxy,
-      // not an in-window measurement; the 1.3 s default is the boundary
-      // the r15 artifacts drew between their fast and slow windows.
-      val (ioCanary, ioWr) = ioCanarySec(spark)
-      val ioFlagged = ioCanary > threshold("io_canary_max", 1.3)
-      val dirty = envDirty || ioFlagged
-      val env = s"""{"loadavg_before":"$load0","loadavg_after":"$load1"""" +
-        s""","sectors_read_delta":${rd1 - rd0},"sectors_written_delta":$wrDelta""" +
-        s""","canary_sec":${fmt(canary)},"io_canary_sec":${fmt(ioCanary)}""" +
-        s""","io_canary_wr_delta":$ioWr,"io_flagged":$ioFlagged""" +
-        s""","contaminated":$dirty}"""
-      Pass(r, env, dirty, canary, ioCanary, ioFlagged, ioWr)
+      // canary flat at 0.85–0.91). A reading over either [[ioFlags]]
+      // bound flags the pass the same way the env thresholds do —
+      // excluded from the headline, retried — with the proviso that the
+      // canary samples the window right AFTER the pass, so it is a
+      // storm-persistence proxy, not an in-window measurement.
+      val (ioCanary, ioWr) = IoCanary.sample(spark)
+      Pass(r, load0, load1, rd1 - rd0, wrDelta, envDirty, canary, ioCanary, ioWr)
     }
+    // LEADING io sample (r16 verdict): the per-pass canary samples the
+    // window right AFTER each pass, so a storm that arrives and dies
+    // WITHIN pass 1 — runs 11/12 of the r16 campaign show storms doing
+    // exactly that — could leave pass 1 unflagged with no reading on its
+    // leading edge. One reading here, before pass 1's CPU canary and
+    // opening env snapshot (its writes are synced before that snapshot,
+    // outside every measured window), closes the only unsampled edge.
+    // Adjudication data only — it joins the artifact, not the gate.
+    val (ioLead, ioLeadWr) = IoCanary.sample(spark)
+    val ioAbs = threshold("io_canary_max", 1.3)
+    val ioRel = threshold("io_canary_rel", 1.25)
+    def dirtyFlags(ps: Seq[Pass]): Seq[Boolean] =
+      ps.zip(ioFlags(ps.map(_.ioCanary), ioAbs, ioRel))
+        .map { case (p, f) => p.envDirty || f }
     // RETRY-UNTIL-CLEAN: a contaminated pass is EXCLUDED from the min-of-N
     // headline (its numbers stay in per_run for adjudication) — and, new
     // in r13, it is also RETRIED: three rounds running, the single
@@ -276,25 +253,39 @@ object Bench {
     // within minutes. Keep running passes until TWO are clean or the
     // attempt budget is spent (each pass is minutes, so the budget bounds
     // a storm that outlives the bench at ~2× the clean wall time). Every
-    // pass — clean or not — is recorded in the artifact's arrays.
+    // pass — clean or not — is recorded in the artifact's arrays. The
+    // clean count is re-adjudicated over ALL passes each iteration: the
+    // relative io bound's reference median moves as readings arrive, so
+    // an early pass can be re-flagged by later evidence (and vice versa).
     // clamped: the override can only EXTEND the budget — a 0/negative value
     // would run zero passes (passes.head throws), and 1 would silently turn
     // the min-of-2-clean headline into a single-pass number with no flag
     val maxPasses = math.max(2, threshold("max_passes", 4.0).toInt)
     val passes = scala.collection.mutable.ArrayBuffer.empty[Pass]
-    while (passes.size < maxPasses && passes.count(p => !p.dirty) < 2) {
+    while (passes.size < maxPasses &&
+        dirtyFlags(passes.toSeq).count(d => !d) < 2) {
       val p = timedPass(passes.size)
       passes += p
-      if (p.dirty && passes.size < maxPasses)
+      val flagsNow = dirtyFlags(passes.toSeq)
+      if (flagsNow.last && passes.size < maxPasses)
         System.err.println(s"[bench] pass ${passes.size} contaminated" +
-          (if (p.ioFlagged) s" (io canary ${fmt(p.ioCanary)}s over gate)" else "") +
-          s"; retrying (${passes.count(x => !x.dirty)}/2 clean, budget $maxPasses)")
+          (if (!p.envDirty) s" (io canary ${fmt(p.ioCanary)}s over gate)" else "") +
+          s"; retrying (${flagsNow.count(d => !d)}/2 clean, budget $maxPasses)")
     }
-    val clean = passes.filterNot(_.dirty)
-    val usable = if (clean.nonEmpty) clean else passes
+    // final adjudication: same function, full evidence
+    val ioFlagsFinal = ioFlags(passes.map(_.ioCanary).toSeq, ioAbs, ioRel)
+    val dirty = passes.toSeq.zip(ioFlagsFinal).map { case (p, f) => p.envDirty || f }
+    val clean = passes.toSeq.zip(dirty).collect { case (p, false) => p }
+    val usable = if (clean.nonEmpty) clean else passes.toSeq
     val use: String => Double =
-      headlineMin(usable.map(_.q).toSeq, passes.map(_.q).toSeq, _)
-    val nDirty = passes.count(_.dirty)
+      headlineMin(usable.map(_.q), passes.map(_.q).toSeq, _)
+    val nDirty = dirty.count(identity)
+    // LOUD all-contaminated verdict (r16 verdict): when the retry budget
+    // exhausts with zero clean passes the headline silently became dirty
+    // minima — exactly on the host where the gate matters most. The
+    // boolean makes that state machine-checkable, not a note-string grep.
+    val allContaminated = clean.isEmpty
+    val fallbackQs = dirtyFallbackQueries(usable.map(_.q), passes.map(_.q).toSeq)
     // the per-query outlier sweep runs over ALL passes (clean or not): a
     // flagged query inside an env-clean pass is exactly the case the env
     // thresholds cannot see; inside a contaminated pass it just names the
@@ -306,11 +297,14 @@ object Bench {
       if (outliers.isEmpty) ""
       else outliers.map { case (i, q, r) =>
         f"$q pass${i + 1} ×$r%.1f" }.mkString("; per-query outliers: ", ", ", "")
+    val fallbackNote =
+      if (fallbackQs.isEmpty) ""
+      else fallbackQs.mkString("; dirty-fallback queries (min from excluded passes only): ", ", ", "")
     val note =
-      (if (clean.isEmpty) s"all ${passes.size} passes contaminated; min reported, unreliable"
+      (if (allContaminated) s"all ${passes.size} passes contaminated; min reported, unreliable"
        else if (nDirty > 0) s"$nDirty contaminated pass(es) excluded; " +
          s"headline is min over ${clean.size} clean pass(es)"
-       else "clean") + outlierNote
+       else "clean") + fallbackNote + outlierNote
     val results = passes.flatMap(_.q.keys).distinct.sorted.map { name =>
       val sec = use(name)
       val all = passes.map(_.q.get(name).map(v => f"$v%.2f").getOrElse("-")).mkString(" ")
@@ -340,18 +334,27 @@ object Bench {
       s""","max_passes":$maxPasses""" +
       s""","outlier_k":${fmt(threshold("outlier_k", 3.0))}""" +
       s""","outlier_min_excess_sec":${fmt(threshold("outlier_min_excess_sec", 5.0))}""" +
-      s""","io_canary_max":${fmt(threshold("io_canary_max", 1.3))}""" +
-      s""","calibrated_on":"r7 sandbox host (docs/evidence/bench_r7_*.json); io gate r15 (docs/BENCH_NOTES_r15.md)"}"""
+      s""","io_canary_max":${fmt(ioAbs)}""" +
+      s""","io_canary_rel":${fmt(ioRel)}""" +
+      s""","calibrated_on":"r7 sandbox host (docs/evidence/bench_r7_*.json); io gate r15 (docs/BENCH_NOTES_r15.md); relative io bound r17 (docs/BENCH_NOTES_r17.md)"}"""
     val runTotals = passes.map(p => fmt(p.q.values.sum)).mkString("[", ",", "]")
-    val contamArr = passes.map(_.dirty).mkString("[", ",", "]")
+    val contamArr = dirty.mkString("[", ",", "]")
     val canaryArr = passes.map(p => fmt(p.canary)).mkString("[", ",", "]")
     val ioCanaryArr = passes.map(p => fmt(p.ioCanary)).mkString("[", ",", "]")
-    val ioFlaggedArr = passes.map(_.ioFlagged).mkString("[", ",", "]")
+    val ioFlaggedArr = ioFlagsFinal.mkString("[", ",", "]")
     val ioWrArr = passes.map(_.ioWrDelta).mkString("[", ",", "]")
-    val envArr = passes.map(_.env).mkString("[", ",", "]")
+    val envArr = passes.toSeq.zip(ioFlagsFinal).zip(dirty).map {
+      case ((p, ioF), d) =>
+        s"""{"loadavg_before":"${p.load0}","loadavg_after":"${p.load1}"""" +
+          s""","sectors_read_delta":${p.rdDelta},"sectors_written_delta":${p.wrDelta}""" +
+          s""","canary_sec":${fmt(p.canary)},"io_canary_sec":${fmt(p.ioCanary)}""" +
+          s""","io_canary_wr_delta":${p.ioWrDelta},"io_flagged":$ioF""" +
+          s""","contaminated":$d}"""
+    }.mkString("[", ",", "]")
     val outliersJson = outliers.map { case (i, q, r) =>
       s"""{"pass":${i + 1},"query":"$q","ratio":${fmt(r)}}""" }.mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":${passes.size},"clean_passes":${clean.size},"run_totals":$runTotals,"contaminated":$contamArr,"contamination_note":"$note","query_outliers":$outliersJson,"canary_sec":$canaryArr,"io_canary_sec":$ioCanaryArr,"io_flagged":$ioFlaggedArr,"io_canary_wr_delta":$ioWrArr,"canary_iters":$CanaryIters,"queries_per_canary":$qsNorm,"contamination_thresholds":$thresholds,"per_run":$runs,"env":$envArr}"""
+    val fallbackJson = fallbackQs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":${passes.size},"clean_passes":${clean.size},"all_passes_contaminated":$allContaminated,"dirty_fallback_queries":$fallbackJson,"run_totals":$runTotals,"contaminated":$contamArr,"contamination_note":"$note","query_outliers":$outliersJson,"canary_sec":$canaryArr,"io_canary_sec":$ioCanaryArr,"io_flagged":$ioFlaggedArr,"io_canary_wr_delta":$ioWrArr,"io_canary_leading_sec":${fmt(ioLead)},"io_canary_leading_wr_delta":$ioLeadWr,"canary_iters":$CanaryIters,"queries_per_canary":$qsNorm,"contamination_thresholds":$thresholds,"per_run":$runs,"env":$envArr}"""
     // stop Spark BEFORE emitting the JSON line, then quiesce both streams:
     // sbt reads stdout and stderr on separate threads and interleaves them
     // by arrival, so a JSON line printed while per-query stderr lines are

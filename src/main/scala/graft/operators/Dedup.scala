@@ -42,15 +42,25 @@ object Dedup {
     * (dropDuplicates keeps an arbitrary row's NON-key columns). Joins,
     * aggregates, unions, sorts, and windows over deterministic expressions
     * re-produce the same row set and are NOT flagged — re-executing them
-    * is a cost question, not a correctness one (see [[exactDedup]]). */
+    * is a cost question, not a correctness one (see [[exactDedup]]).
+    *
+    * Subquery plans are scanned too (r16 advice): `plan.exists` does not
+    * traverse SubqueryExpression plans, so instability hidden inside an
+    * IN/EXISTS/scalar subquery — `WHERE id IN (SELECT ... TABLESAMPLE)`,
+    * reachable via the SQL surface — would otherwise escape the freeze
+    * and split through complementary filters with unstable routing,
+    * exactly the duplicate/drop hazard the freeze exists to prevent.
+    * `subqueriesAll` already recurses into nested subqueries. */
   private[graft] def rowSetUnstable(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical._
-    plan.exists {
+    def unstableNode(n: LogicalPlan): Boolean = n match {
       case _: Sample | _: GlobalLimit | _: LocalLimit | _: Offset | _: Tail |
           _: Deduplicate => true
-      case n => !n.expressions.forall(_.deterministic)
+      case _ => !n.expressions.forall(_.deterministic)
     }
+    plan.exists(unstableNode) ||
+      plan.subqueriesAll.exists(_.exists(unstableNode))
   }
 
   /** Exact dedup on normalized-text fingerprint, keep min(id) — deterministic
@@ -73,7 +83,24 @@ object Dedup {
     * re-running the post-shuffle work; docs/SCALE.md r16). On a
     * source-shaped input each branch is one scan and the anon branch's
     * IS NULL predicates prune to parquet footers (see the anon-tier
-    * comment below). */
+    * comment below).
+    *
+    * SCRATCH-LIFETIME CONTRACT (r16 advice): when the freeze fires, the
+    * frozen corpus registers with the innermost [[Scratch.scoped]] block
+    * active on the calling thread, and the RETURNED FRAME is lazy over
+    * those blocks — a caller that wraps this call in its own scoped block
+    * must MATERIALIZE the result (count/checkpoint/write) before that
+    * block exits, or the frozen blocks are unpersisted under a live plan
+    * (localCheckpoint lineage is truncated: consumption then fails loudly
+    * with a lost-block error, never silently mis-routes). Registering
+    * with the caller's CALLER instead ([[Scratch.checkpointEscaping]])
+    * was considered and rejected: the dominant scoped caller is the
+    * continuous-curation stream, whose per-batch scope both consumes the
+    * result and must free the freeze — escaping would leak one frozen
+    * corpus per micro-batch for the stream's lifetime. Outside any scope
+    * the freeze behaves like a plain localCheckpoint: it lives until the
+    * session's ContextCleaner reaps it (acceptable for the one-shot CLI
+    * shapes that call this bare; long-lived sessions should scope). */
   def exactDedup(docs0: DataFrame, idCol: String, textCol: String): DataFrame = {
     val docs =
       if (rowSetUnstable(docs0.queryExecution.analyzed)) docs0.scratchCheckpoint()

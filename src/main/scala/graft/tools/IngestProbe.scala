@@ -36,6 +36,12 @@ object IngestProbe {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
 
+    // window instrumentation (r16 verdict): one io-canary reading before
+    // leg 1 and one per corpus-size leg so a leg's window is adjudicable
+    // from its own output — see ScaleProbe's note. Outside the timers.
+    val (ioLead, _) = graft.IoCanary.sample(spark)
+    println(f"[ingestprobe] io_canary_leading=$ioLead%.2fs")
+
     for (n <- Seq(80000L, 320000L)) {
       val dir = java.nio.file.Files.createTempDirectory(s"graft_ingestprobe").toString
       val docs = corpus(n, 0); docs.count()
@@ -90,8 +96,10 @@ object IngestProbe {
       val (_, tHit) = time(Dedup.appendToMinhashIndex(
         hitBatch, dir, "doc_id", "text", docsHint = 3L))
       org.apache.spark.sql.graftx.Bridge.unpersistCheckpoint(hitBatch)
+      val (ioLeg, _) = graft.IoCanary.sample(spark)
       println(f"[ingestprobe] n=$n%7d append_free=$tFree%6.2fs  " +
-        f"append_disjoint=$tDisjoint%6.2fs  append_hit(heal)=$tHit%6.2fs")
+        f"append_disjoint=$tDisjoint%6.2fs  append_hit(heal)=$tHit%6.2fs  " +
+        f"io_canary=$ioLeg%.2fs")
       org.apache.spark.sql.graftx.Bridge.unpersistCheckpoint(docs)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       System.gc()

@@ -63,13 +63,20 @@ object LineageProbe {
       keyed.unionByName(docs.filter(anonPred))
     }
 
+    // window instrumentation (r16 verdict): one io-canary reading per
+    // timed leg (taken AFTER the timer, outside the measured window) so a
+    // leg's window is adjudicable from its own line — see ScaleProbe.
     def time(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val c = f
-      println(f"[lineage] $label%-28s ${(System.nanoTime() - t0) / 1e9}%7.2fs  (rows=$c)")
+      val sec = (System.nanoTime() - t0) / 1e9
+      val (ioLeg, _) = graft.IoCanary.sample(spark)
+      println(f"[lineage] $label%-28s $sec%7.2fs  (rows=$c)  io_canary=$ioLeg%.2fs")
     }
 
     println(s"[lineage] n=$n derived = heavy-md5 projection + left_semi join")
+    val (ioLead, _) = graft.IoCanary.sample(spark)
+    println(f"[lineage] io_canary_leading=$ioLead%.2fs")
     // warmup: codegen + shuffle infra on a small slice
     plainSplit(derived().filter(col("doc_id") < 10000), "doc_id", "text").count()
     time("lineage alone (1x, count)")(derived().count())

@@ -41,6 +41,15 @@ object ScaleProbe {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
 
+    // window instrumentation (r16 verdict): one io-canary reading before
+    // the first leg and one after each leg's timers, printed with the leg
+    // — the r16 320k-leg scare (112 s vs a same-window 54 s) took a
+    // nine-leg hand-interleaved rerun to adjudicate as window variance;
+    // with these readings the leg's window is adjudicable from its own
+    // line. The reading runs OUTSIDE the timers and syncs its writes.
+    val (ioLead, _) = graft.IoCanary.sample(spark)
+    println(f"[scale] io_canary_leading=$ioLead%.2fs")
+
     for (n <- Seq(20000L, 80000L, 320000L)) {
       val docs = corpus(n)
       docs.count() // materialize outside the timers
@@ -61,9 +70,10 @@ object ScaleProbe {
       val (nCc, tCc) = time(
         Dedup.clusterNearDups(pairs).select(countDistinct(col("cluster_id"))).head.getLong(0))
       val leaked = spark.sparkContext.getPersistentRDDs.size - before
+      val (ioLeg, _) = graft.IoCanary.sample(spark)
       println(f"[scale] n=$n%7d exact=$tExact%6.2fs ($nExact%d kept)  " +
         f"minhash=$tMh%6.2fs ($nPairs%d pairs)  embed=$tEmb%6.2fs ($nEmb%d pairs)  " +
-        f"cc=$tCc%6.2fs ($nCc%d clusters, +$leaked%d live RDDs)")
+        f"cc=$tCc%6.2fs ($nCc%d clusters, +$leaked%d live RDDs)  io_canary=$ioLeg%.2fs")
       // release this size's corpus checkpoint and nudge ContextCleaner to
       // reap the operators' internal (now-unreferenced) checkpoints before
       // the next, 4x larger, corpus

@@ -52,13 +52,18 @@ class AnnSpec extends SparkSpec {
       .collect()
       .map(r => s"${r.getLong(0)},${r.getInt(1)},${r.getLong(2)},${r.getDouble(3)}")
       .mkString("\n")
-    val goldenPath = java.nio.file.Paths.get("src/test/resources/q45_golden_sf0.001.txt")
     if (sys.props.get("graft.test.writeGolden").contains("1")) {
+      // regeneration writes to the SOURCE tree (CWD-relative by design —
+      // only ever run from the repo root, by a human changing the fit)
+      val goldenPath = java.nio.file.Paths.get("src/test/resources/q45_golden_sf0.001.txt")
       java.nio.file.Files.createDirectories(goldenPath.getParent)
       java.nio.file.Files.writeString(goldenPath, got + "\n")
       info(s"golden regenerated at $goldenPath")
     } else {
-      val golden = java.nio.file.Files.readString(goldenPath).trim
+      // reads go through the test CLASSPATH (r16 advice): the only
+      // CWD-relative read in the suite would break under forked tests
+      // with a different working directory
+      val golden = GoldenResource.read("/q45_golden_sf0.001.txt")
       assert(got === golden,
         "seeded IVF top-k diverged from the checked-in golden: either the fit " +
           "changed intentionally (regenerate with -Dgraft.test.writeGolden=1) " +

@@ -69,4 +69,68 @@ class BenchLogicSpec extends AnyFunSuite {
     val all = clean :+ Map("qa" -> 2.5, "qb" -> 9.0)
     assert(Bench.headlineMin(clean, all, "qb") === 9.0)
   }
+
+  test("dirtyFallbackQueries names exactly the queries headlineMin falls back on") {
+    // qb is measured ONLY by the excluded pass — the artifact must name
+    // it so its headline value is not read as a clean-window number
+    val clean = Seq(Map("qa" -> 2.0), Map("qa" -> 2.1))
+    val all = clean :+ Map("qa" -> 2.5, "qb" -> 9.0, "qc" -> 1.0)
+    assert(Bench.dirtyFallbackQueries(clean, all) === Seq("qb", "qc"))
+    // every query clean-measured -> nothing to name
+    assert(Bench.dirtyFallbackQueries(all, all) === Nil)
+    // the all-contaminated run passes usable == all passes: per-query
+    // fallback is meaningless there (all_passes_contaminated carries the
+    // verdict), and the helper naturally returns empty
+    val dirtyOnly = Seq(Map("qa" -> 2.0, "qb" -> 3.0))
+    assert(Bench.dirtyFallbackQueries(dirtyOnly, dirtyOnly) === Nil)
+  }
+
+  test("ioFlags: absolute ceiling flags a reading on any host") {
+    // two clean readings, one over the 1.3s ceiling
+    assert(Bench.ioFlags(Seq(1.0, 1.05, 1.45), 1.3, 1.25) ===
+      Seq(false, false, true))
+  }
+
+  test("ioFlags: relative bound self-calibrates on a faster-disk host") {
+    // the r16 verdict's silent failure mode: on a host whose clean io
+    // reads ~0.5s, a 0.8s storm pass sails under the 1.3s absolute
+    // ceiling — the relative bound (1.25x the run's own under-ceiling
+    // median) must flag it
+    assert(Bench.ioFlags(Seq(0.50, 0.52, 0.80), 1.3, 1.25) ===
+      Seq(false, false, true))
+    // and ordinary jitter within the band stays clean
+    assert(Bench.ioFlags(Seq(0.50, 0.55, 0.60), 1.3, 1.25) ===
+      Seq(false, false, false))
+  }
+
+  test("ioFlags: a single reading is never relatively flagged (it is its own median)") {
+    assert(Bench.ioFlags(Seq(0.9), 1.3, 1.25) === Seq(false))
+    assert(Bench.ioFlags(Seq(2.0), 1.3, 1.25) === Seq(true)) // absolute still applies
+    assert(Bench.ioFlags(Nil, 1.3, 1.25) === Nil)
+  }
+
+  test("ioFlags: slower host where every reading tops the ceiling — all flagged, no crash") {
+    // the reference pool (readings under the ceiling) is empty: the
+    // median falls back to all readings rather than dividing by nothing;
+    // the absolute ceiling flags every pass, and Bench.main then reports
+    // all_passes_contaminated=true instead of a silent dirty headline
+    assert(Bench.ioFlags(Seq(2.0, 2.1, 2.05), 1.3, 1.25) ===
+      Seq(true, true, true))
+  }
+
+  test("ioFlags: re-adjudication can flag an early pass once later evidence lowers the median") {
+    // pass 1 reads 1.1s — clean alone; two later 0.6s readings reveal the
+    // host's actual clean band and re-flag it (flags are re-derived over
+    // the full list at every decision point, Pass stores no frozen flag)
+    assert(Bench.ioFlags(Seq(1.1), 1.3, 1.25) === Seq(false))
+    assert(Bench.ioFlags(Seq(1.1, 0.6, 0.62), 1.3, 1.25) ===
+      Seq(true, false, false))
+  }
+
+  test("median: odd, even, and two-element lists") {
+    assert(Bench.median(Seq(3.0, 1.0, 2.0)) === 2.0)
+    assert(Bench.median(Seq(4.0, 1.0, 2.0, 3.0)) === 2.5)
+    assert(Bench.median(Seq(1.0, 2.0)) === 1.5)
+    assert(Bench.median(Seq(7.0)) === 7.0)
+  }
 }

@@ -938,6 +938,33 @@ class OperatorsSpec extends SparkSpec {
     assert(out.select("payload").distinct().count() === n)
   }
 
+  test("rowSetUnstable scans subquery plans (r16 advice: instability hidden in IN subqueries)") {
+    // plan.exists does not traverse SubqueryExpression plans: a sample /
+    // un-ordered limit / rand() hidden inside an IN-subquery (reachable
+    // via the SQL surface) must still trip the freeze — without the
+    // subquery scan such an input splits with unstable routing
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    base.createOrReplaceTempView("rsu_t")
+    def unstable(sql: String): Boolean =
+      Dedup.rowSetUnstable(spark.sql(sql).queryExecution.analyzed)
+    // deterministic subquery: both executions admit the same ids — stable
+    assert(!unstable(
+      "SELECT * FROM rsu_t WHERE doc_id IN (SELECT doc_id FROM rsu_t WHERE text = 'a')"))
+    // TABLESAMPLE inside the subquery: executions can admit different ids
+    assert(unstable(
+      "SELECT * FROM rsu_t WHERE doc_id IN (SELECT doc_id FROM rsu_t TABLESAMPLE (50 PERCENT))"))
+    // un-ordered LIMIT inside the subquery: an arbitrary id wins
+    assert(unstable(
+      "SELECT * FROM rsu_t WHERE doc_id IN (SELECT doc_id FROM rsu_t LIMIT 1)"))
+    // rand() inside the subquery's filter
+    assert(unstable(
+      "SELECT * FROM rsu_t WHERE doc_id IN (SELECT doc_id FROM rsu_t WHERE rand() > 0.5)"))
+    // nested: instability two subquery levels down (subqueriesAll recurses)
+    assert(unstable(
+      "SELECT * FROM rsu_t WHERE doc_id IN (SELECT doc_id FROM rsu_t WHERE doc_id IN " +
+        "(SELECT doc_id FROM rsu_t LIMIT 1))"))
+  }
+
   test("a malformed _SKETCH_ marker fails with a message naming it, not a MatchError") {
     val corpus = Seq((1L, "some corpus text for the sketch marker test")).toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("mhidx_badmarker").toString
