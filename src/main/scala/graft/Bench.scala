@@ -239,6 +239,13 @@ object Bench {
     // opening env snapshot (its writes are synced before that snapshot,
     // outside every measured window), closes the only unsampled edge.
     // Adjudication data only — it joins the artifact, not the gate.
+    // The session's FIRST canary call pays the write pipeline's codegen/
+    // JIT (measured: 1.73 s cold vs 0.94-0.99 s warm in the same clean
+    // window), so a throwaway warmup rep runs first — recorded as
+    // io_canary_warmup_sec for completeness, never adjudicated — and the
+    // leading sample (plus every per-pass reading after it) is warm and
+    // band-comparable.
+    val (ioWarm, _) = IoCanary.sample(spark)
     val (ioLead, ioLeadWr) = IoCanary.sample(spark)
     val ioAbs = threshold("io_canary_max", 1.3)
     val ioRel = threshold("io_canary_rel", 1.25)
@@ -354,7 +361,7 @@ object Bench {
     val outliersJson = outliers.map { case (i, q, r) =>
       s"""{"pass":${i + 1},"query":"$q","ratio":${fmt(r)}}""" }.mkString("[", ",", "]")
     val fallbackJson = fallbackQs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":${passes.size},"clean_passes":${clean.size},"all_passes_contaminated":$allContaminated,"dirty_fallback_queries":$fallbackJson,"run_totals":$runTotals,"contaminated":$contamArr,"contamination_note":"$note","query_outliers":$outliersJson,"canary_sec":$canaryArr,"io_canary_sec":$ioCanaryArr,"io_flagged":$ioFlaggedArr,"io_canary_wr_delta":$ioWrArr,"io_canary_leading_sec":${fmt(ioLead)},"io_canary_leading_wr_delta":$ioLeadWr,"canary_iters":$CanaryIters,"queries_per_canary":$qsNorm,"contamination_thresholds":$thresholds,"per_run":$runs,"env":$envArr}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":${passes.size},"clean_passes":${clean.size},"all_passes_contaminated":$allContaminated,"dirty_fallback_queries":$fallbackJson,"run_totals":$runTotals,"contaminated":$contamArr,"contamination_note":"$note","query_outliers":$outliersJson,"canary_sec":$canaryArr,"io_canary_sec":$ioCanaryArr,"io_flagged":$ioFlaggedArr,"io_canary_wr_delta":$ioWrArr,"io_canary_warmup_sec":${fmt(ioWarm)},"io_canary_leading_sec":${fmt(ioLead)},"io_canary_leading_wr_delta":$ioLeadWr,"canary_iters":$CanaryIters,"queries_per_canary":$qsNorm,"contamination_thresholds":$thresholds,"per_run":$runs,"env":$envArr}"""
     // stop Spark BEFORE emitting the JSON line, then quiesce both streams:
     // sbt reads stdout and stderr on separate threads and interleaves them
     // by arrival, so a JSON line printed while per-query stderr lines are

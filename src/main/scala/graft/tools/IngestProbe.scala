@@ -39,6 +39,8 @@ object IngestProbe {
     // window instrumentation (r16 verdict): one io-canary reading before
     // leg 1 and one per corpus-size leg so a leg's window is adjudicable
     // from its own output — see ScaleProbe's note. Outside the timers.
+    // Warmup rep first: the first canary call pays codegen/JIT.
+    graft.IoCanary.sample(spark)
     val (ioLead, _) = graft.IoCanary.sample(spark)
     println(f"[ingestprobe] io_canary_leading=$ioLead%.2fs")
 

@@ -75,6 +75,8 @@ object LineageProbe {
     }
 
     println(s"[lineage] n=$n derived = heavy-md5 projection + left_semi join")
+    // warmup rep first: the first canary call pays codegen/JIT
+    graft.IoCanary.sample(spark)
     val (ioLead, _) = graft.IoCanary.sample(spark)
     println(f"[lineage] io_canary_leading=$ioLead%.2fs")
     // warmup: codegen + shuffle infra on a small slice

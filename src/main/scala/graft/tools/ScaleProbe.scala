@@ -47,6 +47,9 @@ object ScaleProbe {
     // nine-leg hand-interleaved rerun to adjudicate as window variance;
     // with these readings the leg's window is adjudicable from its own
     // line. The reading runs OUTSIDE the timers and syncs its writes.
+    // A throwaway warmup rep first: the session's first canary call pays
+    // the write pipeline's codegen/JIT (~1.7s vs ~0.95s warm).
+    graft.IoCanary.sample(spark)
     val (ioLead, _) = graft.IoCanary.sample(spark)
     println(f"[scale] io_canary_leading=$ioLead%.2fs")
 
