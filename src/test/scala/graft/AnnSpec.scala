@@ -53,12 +53,13 @@ class AnnSpec extends SparkSpec {
       .map(r => s"${r.getLong(0)},${r.getInt(1)},${r.getLong(2)},${r.getDouble(3)}")
       .mkString("\n")
     if (sys.props.get("graft.test.writeGolden").contains("1")) {
-      // regeneration writes to the SOURCE tree (CWD-relative by design —
+      // regeneration writes the SOURCE tree (CWD-relative by design —
       // only ever run from the repo root, by a human changing the fit)
-      val goldenPath = java.nio.file.Paths.get("src/test/resources/q45_golden_sf0.001.txt")
-      java.nio.file.Files.createDirectories(goldenPath.getParent)
-      java.nio.file.Files.writeString(goldenPath, got + "\n")
-      info(s"golden regenerated at $goldenPath")
+      // plus the live test classpath, so a same-session re-run compares
+      // against the fresh golden (r17 advice)
+      GoldenResource.write("/q45_golden_sf0.001.txt",
+        "src/test/resources/q45_golden_sf0.001.txt", got + "\n")
+      info("golden regenerated (source tree + test classpath)")
     } else {
       // reads go through the test CLASSPATH (r16 advice): the only
       // CWD-relative read in the suite would break under forked tests
