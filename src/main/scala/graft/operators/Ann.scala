@@ -292,22 +292,36 @@ object Ann {
   def writeIvf(index: IvfIndex, path: String, idsFrom: Option[DataFrame] = None): String = {
     val spark = index.assigned.sparkSession
     val gen = graft.store.Generations.claimNextGen(spark, path)
-    index.assigned.write.mode("overwrite").partitionBy("list")
-      .parquet(new Path(gen, "assigned").toString)
-    // compact id manifest for the streaming replay guard ([[ivfIds]]) —
-    // derived by re-reading the written tree (a pruned id-column scan),
-    // not by recomputing the assignment; a caller whose id set is
-    // unchanged (compaction) passes the existing manifest via `idsFrom`
+    // the three relations land in DISJOINT dirs of an UNCOMMITTED
+    // generation (readers resolve nothing until the _COMMITTED marker
+    // lands below), so they write concurrently (guide §2.6); the id
+    // manifest — derived by re-reading the written tree (a pruned
+    // id-column scan), not by recomputing the assignment, unless a caller
+    // whose id set is unchanged (compaction) passed it via `idsFrom` —
+    // stays sequential behind the assigned write within its thread
     val idCol = index.assigned.columns.head
-    idsFrom.map(_.select("id"))
-      .getOrElse(spark.read.parquet(new Path(gen, "assigned").toString)
-        .select(col(idCol).as("id")).distinct())
-      .write.mode("overwrite").parquet(new Path(gen, "ids").toString)
     import spark.implicits._
-    index.centroids.zipWithIndex
+    val writeAssigned = () =>
+      index.assigned.write.mode("overwrite").partitionBy("list")
+        .parquet(new Path(gen, "assigned").toString)
+    val writeIds = (ids: DataFrame) => ids.select("id")
+      .write.mode("overwrite").parquet(new Path(gen, "ids").toString)
+    val writeCentroids = () => index.centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("list", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(new Path(gen, "centroids").toString)
+    idsFrom match {
+      case Some(df) =>
+        graft.Par.run(writeAssigned, () => writeIds(df), writeCentroids)
+      case None =>
+        graft.Par.run(
+          () => {
+            writeAssigned()
+            writeIds(spark.read.parquet(new Path(gen, "assigned").toString)
+              .select(col(idCol).as("id")).distinct())
+          },
+          writeCentroids)
+    }
     graft.store.Generations.commit(spark, gen)
     gen.toString
   }
@@ -506,11 +520,15 @@ object Ann {
       case None => 0
       case Some(gen) =>
         // the id manifest accumulates one file per append too — same
-        // maintenance pass, same in-place leaf rewrite
-        graft.store.Compact.leafDir(spark, new Path(gen, "ids").toString,
-          targetFiles, minFiles)
-        graft.store.Compact.partitionedDir(
-          spark, new Path(gen, "assigned").toString, "list", targetFiles, minFiles)
+        // maintenance pass, same in-place leaf rewrite. Disjoint trees,
+        // so the two passes overlap (guide §2.6).
+        var rewritten = 0
+        graft.Par.run(
+          () => graft.store.Compact.leafDir(spark, new Path(gen, "ids").toString,
+            targetFiles, minFiles),
+          () => rewritten = graft.store.Compact.partitionedDir(
+            spark, new Path(gen, "assigned").toString, "list", targetFiles, minFiles))
+        rewritten
     }
 
   /** Reader-atomic compaction: rewrite the CURRENT generation's corpus,

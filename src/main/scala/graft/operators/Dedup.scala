@@ -381,11 +381,29 @@ object Dedup {
           filesPerBucket <= 1) withBkt.repartition(1) // parallel scan, single writer
       else if (filesPerBucket <= 1) withBkt.repartition(col("__bkt"))
       else withBkt.repartition(col("__bkt"), pmod(hash(col("id")), lit(filesPerBucket)))
-    re.write.mode("overwrite").partitionBy("__bkt").parquet(s"$gen/bands")
-    idx.shingles.write.mode("overwrite").parquet(s"$gen/shingles")
-    idsFrom.map(_.select("id"))
-      .getOrElse(spark.read.parquet(s"$gen/bands").select("id").distinct())
-      .write.mode("overwrite").parquet(s"$gen/ids")
+    // the three relations land in DISJOINT dirs of an UNCOMMITTED
+    // generation (readers resolve nothing until the _COMMITTED marker
+    // lands below), so they write concurrently (guide §2.6) — the ids
+    // manifest derives from the WRITTEN bands files when no manifest was
+    // handed in, so that leg stays sequential within its thread
+    val writeBands = () =>
+      re.write.mode("overwrite").partitionBy("__bkt").parquet(s"$gen/bands")
+    val writeShingles = () =>
+      idx.shingles.write.mode("overwrite").parquet(s"$gen/shingles")
+    idsFrom match {
+      case Some(df) =>
+        val writeIds = () => df.select("id")
+          .write.mode("overwrite").parquet(s"$gen/ids")
+        graft.Par.run(writeBands, writeShingles, writeIds)
+      case None =>
+        graft.Par.run(
+          () => {
+            writeBands()
+            spark.read.parquet(s"$gen/bands").select("id").distinct()
+              .write.mode("overwrite").parquet(s"$gen/ids")
+          },
+          writeShingles)
+    }
     val genPath = new org.apache.hadoop.fs.Path(gen.toString)
     val genFs = genPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     genFs.create(new org.apache.hadoop.fs.Path(genPath, s"_NBKT_${idx.bandBuckets}"), false).close()
@@ -404,10 +422,34 @@ object Dedup {
     * ([[deleteFromMinhashIndex]]) are anti-joined OUT of both relations —
     * a deleted document can never surface as a match witness or
     * contribute shingles to a verify join. */
+  /** The bands relation of a generation: the bucketed BASE layout plus the
+    * flat append DELTA tier, when batches appended since the base was
+    * written. [[appendToMinhashIndex]] writes each batch's banding as ONE
+    * flat part-file set under `bands_delta/` (`__bkt` carried as a data
+    * column) instead of scattering ≤ bandBuckets near-empty files through
+    * the partitioned tree: a partitioned append pays per-partition-dir
+    * writer + commit overhead LINEAR in the touched-bucket count (measured
+    * 1.2–1.7 s for a 4k-row 64-bucket append vs 0.25 s flat —
+    * tools/WritePathProbe; commit-algorithm and codec variants don't move
+    * it), and at corpus scale it is also the small-files shape the
+    * compactor exists to fight — one file per batch beats 64. Probes
+    * partition-prune the base and row-filter the delta on the same `__bkt`
+    * predicate (the union pushes the filter into both children);
+    * compaction reads through this union and folds the delta back into the
+    * next generation's bucketed base. Same base-plus-flat-delta discipline
+    * as the CDC companion's collapse-vs-delta generations. */
+  private def bandsOf(spark: org.apache.spark.sql.SparkSession, gen: String): DataFrame = {
+    val base = spark.read.parquet(s"$gen/bands")
+    val delta = new org.apache.hadoop.fs.Path(s"$gen/bands_delta")
+    if (delta.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(delta))
+      base.unionByName(spark.read.parquet(delta.toString))
+    else base
+  }
+
   def readMinhashIndex(spark: org.apache.spark.sql.SparkSession, path: String): MinhashIndex = {
     val gen = graft.store.Generations.requireCommitted(spark, path)
     val (bands, shingles) = minusTombstones(spark, gen.toString,
-      spark.read.parquet(s"$gen/bands"), spark.read.parquet(s"$gen/shingles"))
+      bandsOf(spark, gen.toString), spark.read.parquet(s"$gen/shingles"))
     MinhashIndex(bands, shingles, genBandBuckets(spark, gen.toString),
       genSketch(spark, gen.toString))
   }
@@ -485,7 +527,7 @@ object Dedup {
     val fs = ids.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base =
       if (fs.exists(ids)) spark.read.parquet(ids.toString)
-      else spark.read.parquet(s"$gen/bands").select("id").distinct()
+      else bandsOf(spark, gen.toString).select("id").distinct()
     // a tombstoned id is no longer IN the index — the manifest view agrees
     // with the probe view ([[deleteFromMinhashIndex]]'s contract)
     tombstonesOf(spark, gen.toString) match {
@@ -496,10 +538,13 @@ object Dedup {
 
   /** Data-file counts of the latest committed generation — the
     * [[compactMinhashIndex]] trigger signal, recorded per batch in
-    * [[IngestStats]]. For the bucketed bands layout the count is the MAX
-    * per-`__bkt` file count (the probe's cost driver is files per scanned
-    * bucket, and every append adds one file to each touched bucket); for
-    * shingles it is the flat dir count. Directory metadata only. */
+    * [[IngestStats]]. The bands count is the MAX per-`__bkt` file count of
+    * the bucketed base PLUS the flat delta tier's file count ([[bandsOf]]):
+    * the probe's cost driver is files per scanned bucket, and every delta
+    * file is read by EVERY probe (row-filtered, not dir-pruned), so each
+    * append adds one to the figure — the same one-per-append growth the
+    * pre-delta partitioned appends had. Shingles is the flat dir count.
+    * Directory metadata only. */
   def minhashFileCounts(spark: org.apache.spark.sql.SparkSession, path: String): (Int, Int) = {
     val gen = graft.store.Generations.requireCommitted(spark, path)
     val bandsDir = new org.apache.hadoop.fs.Path(s"$gen/bands")
@@ -509,10 +554,14 @@ object Dedup {
       else fs.listStatus(bandsDir).toSeq
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("__bkt="))
         .map(st => graft.store.Compact.dataFileCount(spark, st.getPath.toString))
-    val bandsFiles =
+    val baseFiles =
       if (perBucket.nonEmpty) perBucket.max
       else graft.store.Compact.dataFileCount(spark, bandsDir.toString) // legacy flat layout
-    (bandsFiles, graft.store.Compact.dataFileCount(spark, s"$gen/shingles"))
+    val deltaDir = new org.apache.hadoop.fs.Path(s"$gen/bands_delta")
+    val deltaFiles =
+      if (fs.exists(deltaDir)) graft.store.Compact.dataFileCount(spark, deltaDir.toString)
+      else 0
+    (baseFiles + deltaFiles, graft.store.Compact.dataFileCount(spark, s"$gen/shingles"))
   }
 
   /** Append a batch's relations to a persisted index — the ingest loop's
@@ -546,6 +595,14 @@ object Dedup {
     * of paying a 64-way shuffle whose every task writes a near-empty
     * file; large appends keep the shuffle for write parallelism.
     *
+    * `bandsFrom` / `shinglesFrom`: precomputed [[minhashBandKeys]] /
+    * [[shingleRows]] relations FOR THE SAME ROWS AS `batch` under the SAME
+    * sketch parameters (expert plumbing, like `idsFrom` — [[ingestCycle]]
+    * stages both once and reuses them here, sparing the append its own
+    * tokenize + sketch passes over the batch). Row-set equality is the
+    * caller's contract; they stay valid across the heal path because the
+    * heal's checkpoint preserves the batch's row set.
+    *
     * RE-INGEST of a tombstoned id ([[deleteFromMinhashIndex]]'s contract):
     * when the generation carries live tombstones, the batch's ids are
     * semi-joined against them first (zero cost on the tombstone-free fast
@@ -562,7 +619,9 @@ object Dedup {
   def appendToMinhashIndex(
       batch: DataFrame, path: String, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4,
-      idsFrom: Option[DataFrame] = None, docsHint: Long = -1L): Unit = {
+      idsFrom: Option[DataFrame] = None, docsHint: Long = -1L,
+      bandsFrom: Option[DataFrame] = None,
+      shinglesFrom: Option[DataFrame] = None): Unit = {
     val spark = batch.sparkSession
     val gen0 = graft.store.Generations.requireCommitted(spark, path)
     requireSketch(genSketch(spark, gen0.toString), shingleN, numHashes, bands,
@@ -583,21 +642,33 @@ object Dedup {
     // re-resolve: the inline compaction (if any) committed a new generation
     val gen = graft.store.Generations.requireCommitted(spark, path)
     try {
-      ids.coalesce(1)
-        .write.mode("append").parquet(s"$gen/ids")
-      val banded = minhashBandKeys(src, idCol, textCol, shingleN, numHashes, bands)
+      // manifest FIRST and ALONE (the ordering rationale above is
+      // load-bearing); the two DATA writes after it have symmetric soft
+      // failure modes and disjoint output dirs, so they run concurrently
+      // (guide §2.6) — each is a small job whose tail previously left the
+      // cluster idle while the other waited
+      graft.Timing("append.ids")(ids.coalesce(1)
+        .write.mode("append").parquet(s"$gen/ids"))
+      val banded = bandsFrom
+        .getOrElse(minhashBandKeys(src, idCol, textCol, shingleN, numHashes, bands))
         .withColumn("__bkt",
           bandBucket(col("bandkey"), genBandBuckets(spark, gen.toString)))
       // repartition(1), NOT coalesce(1): coalesce collapses the UPSTREAM
       // tokenize+sketch stage to one core (measured q71 6.3 → 10.1 s);
       // repartition keeps the compute 32-way and funnels only the tiny
-      // banding relation through one writer task
+      // banding relation through one writer task. Large appends shuffle by
+      // __bkt instead — parallel writers, files clustered by bucket.
       val laid =
         if (docsHint >= 0 && docsHint <= SmallAppendDocs) banded.repartition(1)
         else banded.repartition(col("__bkt"))
-      laid.write.mode("append").partitionBy("__bkt").parquet(s"$gen/bands")
-      shingleRows(src, idCol, textCol, shingleN)
-        .write.mode("append").parquet(s"$gen/shingles")
+      graft.Par.run(
+        () => graft.Timing("append.bands")(
+          // FLAT delta write, __bkt as a data column — see [[bandsOf]] for
+          // why appends never write through the partitioned tree
+          laid.write.mode("append").parquet(s"$gen/bands_delta")),
+        () => graft.Timing("append.shingles")(
+          shinglesFrom.getOrElse(shingleRows(src, idCol, textCol, shingleN))
+            .write.mode("append").parquet(s"$gen/shingles")))
     } finally pinned.foreach(Bridge.unpersistCheckpoint)
   }
 
@@ -662,9 +733,20 @@ object Dedup {
   private def bandCandidates(
       batch: DataFrame, idx: MinhashIndex, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int, bands: Int,
-      maxCandidatePairs: Long = DefaultMaxCandidatePairs): DataFrame = {
-    val bBands = minhashBandKeys(batch, idCol, textCol, shingleN, numHashes, bands)
-      .scratchCheckpoint()
+      maxCandidatePairs: Long = DefaultMaxCandidatePairs): DataFrame =
+    bandCandidatesFrom(
+      minhashBandKeys(batch, idCol, textCol, shingleN, numHashes, bands)
+        .scratchCheckpoint(),
+      idx, maxCandidatePairs)
+
+  /** [[bandCandidates]] given the batch's ALREADY-CHECKPOINTED banding
+    * relation — split out so [[ingestCycle]] can stage the batch sketch
+    * ONCE and reuse it for candidate generation AND the survivor append
+    * (the append previously re-tokenized + re-sketched the whole batch,
+    * the single largest job of a measured ingest cycle). */
+  private def bandCandidatesFrom(
+      bBands: DataFrame, idx: MinhashIndex,
+      maxCandidatePairs: Long): DataFrame = {
     val idxBands =
       if (!idx.bands.columns.contains("__bkt"))
         // an IN-MEMORY index ([[dedupAgainstCorpus]]' one-shot small-corpus
@@ -692,13 +774,19 @@ object Dedup {
   }
 
   /** Verify + best-match + left-join back to the batch — the tail of
-    * [[dedupAgainstIndex]] given an already-built candidate relation. */
+    * [[dedupAgainstIndex]] given an already-built candidate relation.
+    * `batchShingles`: a caller that already materialized the batch's
+    * shingle relation ([[ingestCycle]] stages it once for the verify AND
+    * the append) passes it here and the verify path skips its own
+    * tokenize pass over the batch. */
   private def verdictsFromCandidates(
       batch: DataFrame, cands: DataFrame, idx: MinhashIndex,
-      idCol: String, textCol: String, threshold: Double, shingleN: Int): DataFrame = {
+      idCol: String, textCol: String, threshold: Double, shingleN: Int,
+      batchShingles: Option[DataFrame] = None): DataFrame = {
     // ids are disjoint by contract, so one unioned shingle relation serves
     // both sides of the verify join
-    val sh = shingleRows(batch, idCol, textCol, shingleN).unionByName(idx.shingles)
+    val sh = batchShingles.getOrElse(shingleRows(batch, idCol, textCol, shingleN))
+      .unionByName(idx.shingles)
     val verified = verifyJaccard(cands, sh, threshold)
     val w = Window.partitionBy(col("id_a")).orderBy(col("jaccard").desc, col("id_b").asc)
     val best = verified.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
@@ -739,27 +827,47 @@ object Dedup {
     // (the streaming sinks free them per batch; a bare batch caller
     // manages them like any checkpoint it is handed).
     val spark = batch.sparkSession
-    val idx = readMinhashIndex(spark, path)
+    val idx = graft.Timing("ingest.readIndex")(readMinhashIndex(spark, path))
     requireSketch(idx.sketch, shingleN, numHashes, bands, "ingestCycle")
-    val cands = bandCandidates(batch, idx, idCol, textCol, shingleN, numHashes, bands,
-        maxCandidatePairs)
-      .scratchCheckpoint()
-    val verdicts = Scratch.checkpointEscaping(verdictsFromCandidates(
-      batch, cands, idx, idCol, textCol, threshold, shingleN))
-    val agg = verdicts.agg(
-      count(lit(1)).as("n"), count(when(col("is_dup"), 1)).as("d")).head
+    // the batch's sketch and shingle relations are staged ONCE per cycle:
+    // the banding feeds candidate generation AND the survivor append, the
+    // shingles feed the verify join AND the survivor append — previously
+    // the append re-tokenized + re-sketched the whole batch (the single
+    // largest job of a measured cycle) and the verify re-tokenized it a
+    // third time. Both frames are cycle-scoped scratch.
+    val bBands = graft.Timing("ingest.batchBands")(
+      minhashBandKeys(batch, idCol, textCol, shingleN, numHashes, bands)
+        .scratchCheckpoint())
+    val batchSh = graft.Timing("ingest.batchShingles")(
+      shingleRows(batch, idCol, textCol, shingleN).scratchCheckpoint())
+    val cands = graft.Timing("ingest.bandCandidates")(
+      bandCandidatesFrom(bBands, idx, maxCandidatePairs)
+      .scratchCheckpoint())
+    val verdicts = graft.Timing("ingest.verdicts")(
+      Scratch.checkpointEscaping(verdictsFromCandidates(
+        batch, cands, idx, idCol, textCol, threshold, shingleN,
+        batchShingles = Some(batchSh))))
+    val agg = graft.Timing("ingest.agg")(verdicts.agg(
+      count(lit(1)).as("n"), count(when(col("is_dup"), 1)).as("d")).head)
     val (total, dups) = (agg.getLong(0), agg.getLong(1))
+    val survivorIds = verdicts.filter(!col("is_dup")).select(col("id"))
     val survivors = batch.join(
-      verdicts.filter(!col("is_dup")).select(col("id").as(idCol)), Seq(idCol), "left_semi")
+      survivorIds.select(col("id").as(idCol)), Seq(idCol), "left_semi")
     // the survivor ids already sit in the checkpointed verdicts — hand them
     // to the append (skips a batch re-scan + distinct for the manifest) along
     // with the known survivor count (lets a small append skip the bucket
-    // shuffle) — the q71/q73 fixed-job-overhead trim
-    appendToMinhashIndex(survivors, path, idCol, textCol, shingleN, numHashes, bands,
-      idsFrom = Some(verdicts.filter(!col("is_dup")).select(col("id"))),
-      docsHint = total - dups)
-    val (bandsFiles, shinglesFiles) = minhashFileCounts(spark, path)
-    val candidatePairs = cands.count()
+    // shuffle) — the q71/q73 fixed-job-overhead trim. The staged sketch /
+    // shingle relations, semi-joined down to survivors, spare the append
+    // its own tokenize + sketch passes over the batch.
+    graft.Timing("ingest.append")(
+      appendToMinhashIndex(survivors, path, idCol, textCol, shingleN, numHashes, bands,
+        idsFrom = Some(survivorIds),
+        docsHint = total - dups,
+        bandsFrom = Some(bBands.join(survivorIds, Seq("id"), "left_semi")),
+        shinglesFrom = Some(batchSh.join(survivorIds, Seq("id"), "left_semi"))))
+    val (bandsFiles, shinglesFiles) = graft.Timing("ingest.fileCounts")(
+      minhashFileCounts(spark, path))
+    val candidatePairs = graft.Timing("ingest.candCount")(cands.count())
     (verdicts, IngestStats(
       batchRows = total, candidatePairs = candidatePairs, dups = dups,
       appendedRows = total - dups,
@@ -794,7 +902,6 @@ object Dedup {
     // swap as a plain compaction; the new generation records its count and
     // every probe/append follows it. 0 keeps the recorded count.
     val curBuckets = genBandBuckets(spark, gen.toString)
-    val newBuckets = if (targetBuckets > 0) targetBuckets else curBuckets
     // targetFiles = 0 auto-sizes per relation from its byte size (files come
     // out ≈ maxFileBytes and the write keeps one task per output file — a
     // fixed small target would cap the whole rewrite stage's parallelism,
@@ -803,8 +910,26 @@ object Dedup {
     // salts the bucket shuffle when one bucket's share exceeds a healthy
     // file.
     val bandsPath = new org.apache.hadoop.fs.Path(s"$gen/bands")
-    val bandsBytes = bandsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .getContentSummary(bandsPath).getLength
+    val bandsFs = bandsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deltaPath = new org.apache.hadoop.fs.Path(s"$gen/bands_delta")
+    // the rewrite reads base ∪ delta ([[bandsOf]] via readMinhashIndex),
+    // so the sizing/ hint bytes must cover both tiers
+    val bandsBytes = bandsFs.getContentSummary(bandsPath).getLength +
+      (if (bandsFs.exists(deltaPath)) bandsFs.getContentSummary(deltaPath).getLength else 0L)
+    // SCALE-ADAPTIVE bucket count (guide §2: partitioning derived from
+    // input size, not a constant tuned for one scale): when a rewrite is
+    // happening anyway, the new layout's modulus sizes each bucket to ≈
+    // one healthy file — a small index collapses to few partition dirs
+    // (each `__bkt=` dir costs writer + commit overhead per rewrite AND
+    // an open per probe, WritePathProbe: dir count is the partitioned
+    // write's cost driver), a corpus-scale index keeps the recorded
+    // count (the clamp: auto never grows the modulus — outgrowing it is
+    // the explicit `targetBuckets` migration path). The no-op trigger
+    // below deliberately ignores the auto count: an under-threshold index
+    // is never rewritten JUST to shrink its bucket count.
+    val autoBuckets = math.max(1, math.min(curBuckets,
+      ((bandsBytes + maxFileBytes - 1) / maxFileBytes).toInt))
+    val newBuckets = if (targetBuckets > 0) targetBuckets else autoBuckets
     val filesPerBucket = Compact.resolveTarget(
       targetFiles, bandsBytes / newBuckets, maxFileBytes)
     val shinglesTarget = Compact.resolveTarget(
@@ -813,7 +938,10 @@ object Dedup {
     // "the next compaction drops deleted rows physically" is the deletion
     // tier's contract, and the filtered read below is what enforces it
     val hasTombstones = tombstonesOf(spark, gen.toString).isDefined
-    if (!hasTombstones && newBuckets == curBuckets &&
+    // the no-op comparison uses the RECORDED count (`targetBuckets == 0`
+    // keeps the layout "as is" for trigger purposes): only an explicit
+    // migration target forces a rewrite by itself
+    if (!hasTombstones && (targetBuckets == 0 || targetBuckets == curBuckets) &&
         bandsFiles <= math.max(minFiles, filesPerBucket) &&
         shinglesFiles <= math.max(minFiles, shinglesTarget)) 0
     else {

@@ -154,8 +154,17 @@ object Compact {
     val p = new Path(dir)
     val f = fsOf(spark, p)
     if (!f.exists(p)) return 0
-    f.listStatus(p).toSeq
+    val children = f.listStatus(p).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix + "="))
-      .count(st => leafDir(spark, st.getPath.toString, targetFiles, minFiles, maxFileBytes))
+    // children are disjoint leaf dirs rewritten independently — run a few
+    // rewrites concurrently (guide §2.6) so one child's coalesce tail does
+    // not leave the cluster idle while the next child waits; the swap
+    // discipline is per-child and unaffected by ordering
+    val rewritten = new java.util.concurrent.atomic.AtomicInteger(0)
+    graft.Par.runBounded(children, maxConcurrent = 4) { st =>
+      if (leafDir(spark, st.getPath.toString, targetFiles, minFiles, maxFileBytes))
+        rewritten.incrementAndGet()
+    }
+    rewritten.get()
   }
 }

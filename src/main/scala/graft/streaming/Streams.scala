@@ -253,7 +253,6 @@ object Streams {
       // reference's probe-the-last-stored-history-row shape (its history
       // also only holds should_log rows, postgres_storage.py:1283-1305).
       val events = History.deriveEvents(batch, prev, None, staleHorizon).scratchCheckpoint()
-      events.write.mode("overwrite").parquet(s"$historyPath/batch_id=$batchId")
       // the batch's delta: its own changed rows only, collapsed to one per
       // key below. A no_change row never enters any generation — it carries
       // values identical to the state it matched, so dropping it cannot
@@ -320,14 +319,25 @@ object Streams {
       // (measured 3× on the q76 gate). Deltas stay one flat file
       // (repartition, never coalesce — coalesce would single-thread the
       // upstream derive); cdcStateFrom row-filters them when pruning.
-      if (isFull)
-        next.withColumn("__kbkt", keyBucket(col("product_id"), keyBuckets))
-          .repartition(col("__kbkt"))
-          .write.mode("overwrite").partitionBy("__kbkt")
-          .parquet(new Path(gen, "state").toString)
-      else
-        next.repartition(1)
-          .write.mode("overwrite").parquet(new Path(gen, "state").toString)
+      //
+      // The batch's EVENT-partition write and its COMPANION-state write
+      // both derive from the checkpointed `events` and land in disjoint
+      // trees, so they run concurrently (guide §2.6). Ordering between
+      // them was never load-bearing: the companion's commit marker lands
+      // AFTER both (below), derives read strictly-earlier generations
+      // only, and a replayed batch rewrites both deterministically.
+      graft.Par.run(
+        () => events.write.mode("overwrite")
+          .parquet(s"$historyPath/batch_id=$batchId"),
+        () =>
+          if (isFull)
+            next.withColumn("__kbkt", keyBucket(col("product_id"), keyBuckets))
+              .repartition(col("__kbkt"))
+              .write.mode("overwrite").partitionBy("__kbkt")
+              .parquet(new Path(gen, "state").toString)
+          else
+            next.repartition(1)
+              .write.mode("overwrite").parquet(new Path(gen, "state").toString))
       if (isFull) {
         fs.create(new Path(gen, "_FULL"), false).close()
         // record the layout's bucket count beside the data so every future

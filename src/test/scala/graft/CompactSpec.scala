@@ -105,6 +105,48 @@ class CompactSpec extends SparkSpec {
     assert(Streams.compactArchive(spark, histPath) === 0)
   }
 
+  test("appendToMinhashIndex writes a flat delta tier; probes read base ∪ delta; compaction folds it") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val corpus = docs.filter(col("doc_id") % 3 === 0)
+    val b1 = docs.filter(col("doc_id") % 3 === 1)
+    val probeBatch = docs.filter(col("doc_id") % 3 === 2)
+    val path = tmp("graft_mh_delta")
+    val gen = Dedup.writeMinhashIndex(
+      Dedup.buildMinhashIndex(corpus, "doc_id", "text"), path)
+    val bandsDir = new org.apache.hadoop.fs.Path(s"$gen/bands")
+    val fs = bandsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def baseFiles() = fs.listStatus(bandsDir)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__bkt="))
+      .map(st => Compact.dataFileCount(spark, st.getPath.toString)).toSeq
+    val baseBefore = baseFiles()
+    Dedup.appendToMinhashIndex(b1, path, "doc_id", "text")
+    // the append landed as a FLAT delta: the bucketed base is untouched
+    // (no near-empty file scattered into each __bkt= dir) and the delta
+    // dir exists with the batch's banding rows, __bkt as a data column
+    assert(baseFiles() === baseBefore, "append must not touch the bucketed base")
+    val deltaDir = s"$gen/bands_delta"
+    assert(Compact.dataFileCount(spark, deltaDir) >= 1, "append must write the delta tier")
+    val deltaRows = spark.read.parquet(deltaDir)
+    assert(deltaRows.columns.toSet === Set("id", "bandkey", "__bkt"))
+    assert(deltaRows.filter(col("__bkt").isNull).count() === 0)
+    // a probe against base ∪ delta equals the probe after compaction folds
+    // the delta into the next generation's base
+    def verdicts() = Dedup.dedupAgainstIndex(probeBatch,
+      Dedup.readMinhashIndex(spark, path), "doc_id", "text", threshold = 0.3)
+      .collect().map(_.toString).sorted.toSeq
+    val before = verdicts()
+    // appended ids are visible through the manifest AND the delta read
+    val idsWithDelta = Dedup.minhashIndexIds(spark, path)
+      .collect().map(_.getLong(0)).toSet
+    assert(Dedup.compactMinhashIndex(spark, path) === 1)
+    val genAfter = graft.store.Generations.requireCommitted(spark, path).toString
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$genAfter/bands_delta")),
+      "compaction must fold the delta into the new base")
+    assert(verdicts() === before, "delta-tier probe must equal the folded layout's")
+    assert(Dedup.minhashIndexIds(spark, path).collect().map(_.getLong(0)).toSet
+      === idsWithDelta)
+  }
+
   test("compactMinhashIndex: reader-atomic generation swap, counts drop, relations identical") {
     val docs = Tables.load(spark, sfDir, "documents")
     val corpus = docs.filter(col("doc_id") % 3 === 0)
@@ -115,7 +157,11 @@ class CompactSpec extends SparkSpec {
         path, "doc_id", "text")
     def rows() = {
       val idx = Dedup.readMinhashIndex(spark, path)
-      (idx.bands.collect().map(_.toString).sorted.toSeq,
+      // compare index CONTENT (id, bandkey): __bkt is layout metadata —
+      // compaction may legitimately re-bucket (scale-adaptive shrink, or
+      // an explicit targetBuckets migration), and q83's oracle proves
+      // bucket migrations are result-invisible
+      (idx.bands.drop("__bkt").collect().map(_.toString).sorted.toSeq,
         idx.shingles.collect().map(_.toString).sorted.toSeq)
     }
     val (bandsBefore, shinglesBefore) = rows()
