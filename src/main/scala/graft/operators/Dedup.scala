@@ -251,9 +251,17 @@ object Dedup {
     * partition-prune always agrees with the layout it scans (a prober
     * whose modulus disagreed with the writer's would silently drop true
     * candidates). In-memory indexes never consult it. */
+  /** `bandsRowBound`: an UPPER BOUND on the bands relation's row count,
+    * when one is cheaply known (persisted layouts: id-manifest footer rows
+    * × bands-per-doc — every doc emits exactly `bands` band keys, and the
+    * raw manifest never undercounts the tombstone-filtered relation). The
+    * probe guard's free tier uses it instead of paying a count() scan of
+    * the index per batch; None falls back to the scan. A larger bound is
+    * always safe — it can only make the guard more conservative. */
   final case class MinhashIndex(bands: DataFrame, shingles: DataFrame,
       bandBuckets: Int = BandBuckets,
-      sketch: Option[(Int, Int, Int)] = None)
+      sketch: Option[(Int, Int, Int)] = None,
+      bandsRowBound: Option[Long] = None)
 
   /** Build the in-memory index relations for a corpus (no persistence —
     * see [[writeMinhashIndex]] for the production artifact). The sketch
@@ -450,8 +458,24 @@ object Dedup {
     val gen = graft.store.Generations.requireCommitted(spark, path)
     val (bands, shingles) = minusTombstones(spark, gen.toString,
       bandsOf(spark, gen.toString), spark.read.parquet(s"$gen/shingles"))
+    val sketch = genSketch(spark, gen.toString)
+    // bands-row upper bound from the id manifest's parquet FOOTERS (docs ×
+    // bands-per-doc): driver-side metadata, no Spark job — but only while
+    // the manifest's file count is modest (each append adds one; compaction
+    // re-coalesces), so a long-uncompacted index falls back to the count()
+    // scan rather than paying thousands of sequential footer opens
+    val bound = sketch.flatMap { case (_, _, nb) =>
+      val ids = new org.apache.hadoop.fs.Path(s"$gen/ids")
+      val fs = ids.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(ids)) None
+      else {
+        val files = graft.store.Compact.dataFiles(spark, ids.toString)
+        if (files.isEmpty || files.size > 64) None
+        else Some(graft.store.Compact.footerRowCount(spark, Seq(ids)) * nb)
+      }
+    }
     MinhashIndex(bands, shingles, genBandBuckets(spark, gen.toString),
-      genSketch(spark, gen.toString))
+      sketch, bound)
   }
 
   /** DELETION TIER for a persisted index — the takedown path (PII removal,
@@ -768,7 +792,8 @@ object Dedup {
       "dedupAgainstIndex",
       "exactDedup the corpus before indexing and the batch before probing " +
         "(identical documents share every band key), compact the index, or " +
-        "raise numHashes/bands rows per band at the next rebuild")
+        "raise numHashes/bands rows per band at the next rebuild",
+      rightBound = idx.bandsRowBound)
     broadcast(bBands.as("x")).join(idxBands.as("y"), Seq("bandkey"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
   }
@@ -1411,8 +1436,15 @@ object Dedup {
     * runs only where the bound cannot rule out saturation — corpus-scale
     * joins, where its one extra scan amortizes against the join itself. */
   private[graft] def guardJoinFanout(left: DataFrame, right: DataFrame, keyCol: String,
-      maxCandidatePairs: Long, what: String, guidance: String): Unit = {
-    val bound = left.count().toDouble * right.count().toDouble
+      maxCandidatePairs: Long, what: String, guidance: String,
+      rightBound: Option[Long] = None): Unit = {
+    // `rightBound`: a caller-known UPPER bound on the right side's rows
+    // (e.g. a persisted index's manifest-derived figure) spares the free
+    // tier its count() scan of the right relation; a larger bound can only
+    // make the tier more conservative — the exact histogram still
+    // adjudicates wherever the product cannot rule the cap out
+    val bound = left.count().toDouble *
+      rightBound.getOrElse(right.count()).toDouble
     if (bound > maxCandidatePairs.toDouble)
       requireBandedJoinFanout(joinFanoutStats(left, right, keyCol),
         maxCandidatePairs, what, guidance)
