@@ -203,12 +203,17 @@ object Dedup {
   def minhashLshCandidates(
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4,
-      maxCandidatePairs: Long = DefaultMaxCandidatePairs): DataFrame = {
+      maxCandidatePairs: Long = DefaultMaxCandidatePairs,
+      bandsFrom: Option[DataFrame] = None): DataFrame = {
     // localCheckpoint: without it the self-join computes the full signature
     // pass once PER SIDE (no shuffle ⇒ no exchange reuse); the banded
-    // relation is tiny (bands × docs rows of (key, id))
-    val withBands = minhashBandKeys(docs, idCol, textCol, shingleN, numHashes, bands)
-      .scratchCheckpoint()
+    // relation is tiny (bands × docs rows of (key, id)). `bandsFrom`: a
+    // caller that already CHECKPOINTED the docs' banding (same rows, same
+    // sketch parameters — the appendToMinhashIndex expert-param contract)
+    // hands it in and skips the sketch pass.
+    val withBands = bandsFrom.getOrElse(
+      minhashBandKeys(docs, idCol, textCol, shingleN, numHashes, bands)
+        .scratchCheckpoint())
     guardSelfJoinFanout(withBands, "bandkey", maxCandidatePairs,
       "minhashLshCandidates",
       "run exactDedup first (identical documents share every band key), or " +
@@ -228,12 +233,19 @@ object Dedup {
   def minhashDedupPairs(
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4,
-      maxCandidatePairs: Long = DefaultMaxCandidatePairs): DataFrame = {
+      maxCandidatePairs: Long = DefaultMaxCandidatePairs,
+      shinglesFrom: Option[DataFrame] = None,
+      bandsFrom: Option[DataFrame] = None): DataFrame = {
     // the verify join reads the exploded shingle relation three times
-    // (sizes, id_a side, id_b side) — materialize it once
-    val sh = shingleRows(docs, idCol, textCol, shingleN).scratchCheckpoint()
+    // (sizes, id_a side, id_b side) — materialize it once. `shinglesFrom` /
+    // `bandsFrom`: pre-CHECKPOINTED relations for the same rows under the
+    // same sketch parameters (the appendToMinhashIndex expert-param
+    // contract) — the curation batch stages them once and shares them with
+    // the cross-stream ingest cycle.
+    val sh = shinglesFrom.getOrElse(
+      shingleRows(docs, idCol, textCol, shingleN).scratchCheckpoint())
     val cands = minhashLshCandidates(docs, idCol, textCol, shingleN, numHashes, bands,
-      maxCandidatePairs)
+      maxCandidatePairs, bandsFrom)
     verifyJaccard(cands, sh, threshold)
   }
 
@@ -843,7 +855,9 @@ object Dedup {
       batch: DataFrame, path: String, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3, numHashes: Int = 12,
       bands: Int = 4,
-      maxCandidatePairs: Long = DefaultMaxCandidatePairs): (DataFrame, IngestStats) = Scratch.scoped {
+      maxCandidatePairs: Long = DefaultMaxCandidatePairs,
+      bandsFrom: Option[DataFrame] = None,
+      shinglesFrom: Option[DataFrame] = None): (DataFrame, IngestStats) = Scratch.scoped {
     // the cycle's OWN scope: every internal scratch checkpoint (band keys
     // inside bandCandidates, the candidate relation, the verify join's
     // pruned shingles, the heal path's frames) is released when the cycle
@@ -859,12 +873,16 @@ object Dedup {
     // shingles feed the verify join AND the survivor append — previously
     // the append re-tokenized + re-sketched the whole batch (the single
     // largest job of a measured cycle) and the verify re-tokenized it a
-    // third time. Both frames are cycle-scoped scratch.
-    val bBands = graft.Timing("ingest.batchBands")(
+    // third time. Both frames are cycle-scoped scratch — unless the CALLER
+    // already staged them (`bandsFrom`/`shinglesFrom`, same
+    // checkpoint-backed same-rows-same-parameters contract as
+    // [[appendToMinhashIndex]]'s: the curation batch derives them from its
+    // within-batch dedup's relations and the cycle skips both passes).
+    val bBands = bandsFrom.getOrElse(graft.Timing("ingest.batchBands")(
       minhashBandKeys(batch, idCol, textCol, shingleN, numHashes, bands)
-        .scratchCheckpoint())
-    val batchSh = graft.Timing("ingest.batchShingles")(
-      shingleRows(batch, idCol, textCol, shingleN).scratchCheckpoint())
+        .scratchCheckpoint()))
+    val batchSh = shinglesFrom.getOrElse(graft.Timing("ingest.batchShingles")(
+      shingleRows(batch, idCol, textCol, shingleN).scratchCheckpoint()))
     val cands = graft.Timing("ingest.bandCandidates")(
       bandCandidatesFrom(bBands, idx, maxCandidatePairs)
       .scratchCheckpoint())

@@ -33,6 +33,16 @@ object Curation {
   private[graft] case class StageCounts(
       input: Long, gated: Long, afterExact: Long, afterNearDup: Long)
 
+  /** The kept frame's CHECKPOINT-BACKED sketch relations — (id, bandkey)
+    * banding and (id, s) shingles, lazily anti-joined down from the
+    * exact-dedup survivors' staged checkpoints. The streaming curation
+    * batch hands these to [[Dedup.ingestCycle]] so the cross-stream dedup
+    * never re-tokenizes or re-sketches documents the within-batch dedup
+    * already sketched (the sketch passes are materialized once; the
+    * anti-join re-evaluated per consumer is a broadcast over a tiny loser
+    * set). Valid under the same sketch parameters gateAndDedup ran with. */
+  private[graft] case class KeptSketches(bands: DataFrame, shingles: DataFrame)
+
   /** The within-corpus curation stages — language/quality gates, exact
     * dedup, near-dup removal — shared by [[curate]] and the streaming sink
     * ([[graft.streaming.Streams]]'s curation `foreachBatch`), in ONE place
@@ -66,27 +76,57 @@ object Curation {
       docs: DataFrame, idCol: String, textCol: String,
       allowedLangs: Seq[String], minQuality: Double, nearDupThreshold: Double,
       shingleN: Int, numHashes: Int = 12, bands: Int = 4): (DataFrame, StageCounts) = {
-    val scored = docs
+    val (kept, counts, _) = gateAndDedupWithSketches(docs, idCol, textCol,
+      allowedLangs, minQuality, nearDupThreshold, shingleN, numHashes, bands)
+    (kept, counts)
+  }
+
+  /** [[gateAndDedup]] plus the kept frame's [[KeptSketches]] — the stage-3
+    * near-dup pass needs the exact-dedup survivors' banding and shingle
+    * relations anyway, so they are staged ONCE here (checkpointed,
+    * caller's scratch scope) and the kept subset's view is returned for
+    * the caller's cross-stream ingest to reuse. */
+  private[graft] def gateAndDedupWithSketches(
+      docs: DataFrame, idCol: String, textCol: String,
+      allowedLangs: Seq[String], minQuality: Double, nearDupThreshold: Double,
+      shingleN: Int, numHashes: Int = 12, bands: Int = 4)
+      : (DataFrame, StageCounts, KeptSketches) = {
+    val scored = graft.Timing("gate.score")(docs
       .select(col(idCol),
         TextAnalysis.langPredict(TextAnalysis.tokens(col(textCol))).as("__lang"),
         TextAnalysis.qualityScore(col(textCol)).as("__q"))
-      .scratchCheckpoint()
+      .scratchCheckpoint())
     val keepIds = scored
       .filter(col("__lang").isin(allowedLangs: _*) && col("__q") >= minQuality)
       .select(idCol)
     val gated = docs.join(keepIds, Seq(idCol), "left_semi")
-    val total = scored.count()
+    val total = graft.Timing("gate.counts")(scored.count())
     val nGated = keepIds.count()
 
-    val exact = Dedup.exactDedup(gated, idCol, textCol).scratchCheckpoint()
-    val nExact = exact.count()
+    val exact = graft.Timing("gate.exactDedup")(
+      Dedup.exactDedup(gated, idCol, textCol).scratchCheckpoint())
+    val nExact = graft.Timing("gate.exactCount")(exact.count())
 
+    // stage the survivors' sketch relations ONCE: the within-batch
+    // near-dup pass consumes them here, and the kept subset's view is
+    // returned for the caller's cross-stream ingest cycle to reuse
+    val exactBands = graft.Timing("gate.exactBands")(
+      Dedup.minhashBandKeys(exact, idCol, textCol, shingleN, numHashes, bands)
+        .scratchCheckpoint())
+    val exactSh = graft.Timing("gate.exactShingles")(
+      Dedup.shingleRows(exact, idCol, textCol, shingleN).scratchCheckpoint())
     val pairs = Dedup.minhashDedupPairs(exact, idCol, textCol, nearDupThreshold,
-      shingleN, numHashes, bands)
-    val losers = pairs.select(col("id_b").as(idCol)).distinct().scratchCheckpoint()
+      shingleN, numHashes, bands,
+      shinglesFrom = Some(exactSh), bandsFrom = Some(exactBands))
+    val losers = graft.Timing("gate.nearDupPairs")(
+      pairs.select(col("id_b").as(idCol)).distinct().scratchCheckpoint())
     val kept = exact.join(losers, Seq(idCol), "left_anti")
-    val nKept = kept.count()
-    (kept, StageCounts(total, nGated, nExact, nKept))
+    val nKept = graft.Timing("gate.keptCount")(kept.count())
+    val loserIds = losers.select(col(idCol).as("id"))
+    (kept, StageCounts(total, nGated, nExact, nKept),
+      KeptSketches(
+        exactBands.join(loserIds, Seq("id"), "left_anti"),
+        exactSh.join(loserIds, Seq("id"), "left_anti")))
   }
 
   def curate(
