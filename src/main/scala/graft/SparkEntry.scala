@@ -341,15 +341,13 @@ object SparkEntry {
     }),
 
     // --- all-pairs n-gram Jaccard via inverted-index join --------------------
-    //     forceInverted: the documented corpus-scale route bypass — the
-    //     dense-vs-inverted vocabulary probe shuffles the WHOLE shingle
-    //     vocabulary to decide a route that a corpus-scale corpus always
-    //     resolves to inverted anyway; the routes are result-identical by
-    //     contract (oracle-gated), so skipping the probe changes nothing
-    //     but the wasted exchange -------------------------------------------
+    //     (the auto dense-vs-inverted route probe stays: r18 measured the
+    //     forceInverted bypass at ×2.46 SLOWER here — this corpus's 2-gram
+    //     vocabulary fits the dense bitmap route, and the probe's one
+    //     vocabulary shuffle is far cheaper than losing it) -----------------
     "q26_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        shingleN = 2, threshold = 0.5, forceInverted = true)
+        shingleN = 2, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))
     }),
 

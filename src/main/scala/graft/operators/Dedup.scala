@@ -153,11 +153,22 @@ object Dedup {
     * even when the source has few splits (a 1-file local table would
     * otherwise tokenize on one core); at real scale the input has thousands
     * of splits and the shuffle of raw (id, text) rows is still one linear
-    * narrow pass. Downstream groupBys on `id` reuse the partitioning. */
+    * narrow pass. Downstream groupBys on `id` reuse the partitioning.
+    *
+    * `s` is the shingle's xxhash64, NOT the string (guide §2.3 — narrower
+    * types: every consumer compares shingles for EQUALITY only, so an
+    * 8-byte long does the same job as a multi-tens-of-bytes n-gram string
+    * through the distinct, the persisted index's shingles relation, and
+    * the verify joins' shuffles — the standard shingle-fingerprint trade:
+    * a 64-bit collision inside one verified pair's shingle union is the
+    * only way a result could move, and every oracle run re-proves the
+    * corpus collision-free. The MinHash SIGNATURE path is untouched — its
+    * md5-over-string hash family is oracle-pinned.) */
   private[graft] def shingleRows(docs: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
     docs.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
       .repartition(col("id"))
-      .select(col("id"), explode(rawNgrams(col("__toks"), shingleN)).as("s"))
+      .select(col("id"), explode(rawNgrams(col("__toks"), shingleN)).as("__sraw"))
+      .select(col("id"), xxhash64(col("__sraw")).as("s"))
       .distinct()
 
   /** One row per (id, bandkey): the LSH banding relation. The signature is
@@ -1076,23 +1087,29 @@ object Dedup {
     // (id, shingle) rows, duplicates included: the dense path's bit_or is
     // idempotent and derives set sizes from the bitmap popcount, so only
     // the inverted path pays the per-doc-distinct shuffle (it counts
-    // intersections row-by-row and would overcount duplicates)
+    // intersections row-by-row and would overcount duplicates).
+    // `s` is the shingle's xxhash64, not the string — the [[shingleRows]]
+    // narrower-type trade, identical rationale: every consumer (vocab
+    // distinct, inverted equi-join, dense vocab join) compares shingles
+    // for equality only, so 8-byte longs flow through the checkpoint, the
+    // probe's distinct shuffle, and both routes' joins.
     val sh = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
       .repartition(col("id"))
-      .select(col("id"), explode(rawNgrams(col("__toks"), shingleN)).as("s"))
+      .select(col("id"), explode(rawNgrams(col("__toks"), shingleN)).as("__sraw"))
+      .select(col("id"), xxhash64(col("__sraw")).as("s"))
       .scratchCheckpoint()
     if (forceInverted)
       return ngramJaccardInverted(sh.distinct(), threshold, maxCandidatePairs)
     // Size probe AND dense vocab in one pass: distinct().limit(bits + 1)
     // stops the limit at denseVocabBits + 1 rows, so a big vocabulary
-    // collects at most bits+1 strings (route decision), a small one
+    // collects at most bits+1 hashes (route decision), a small one
     // collects exactly the vocab the dense path needs — the former
     // count_distinct + second distinct scan paid two aggregate passes
     // over the shingle relation for the same information. No global sort,
     // no id assignment: at corpus scale the vocabulary is billions of
     // shingles, and dense ids exist only below, where vocab fits bits.
     val probe = sh.select("s").distinct().limit(denseVocabBits + 1)
-      .collect().map(_.getString(0))
+      .collect().map(_.getLong(0))
     if (probe.isEmpty) {
       // no shingles at all (empty corpus / all-empty docs) -> no pairs; the
       // dense path would otherwise build a zero-word bitmap (empty reduce)
