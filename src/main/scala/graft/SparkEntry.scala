@@ -1278,21 +1278,27 @@ object SparkEntry {
       import graft.streaming.Streams
       val root = scratch("q75", dir)
       val srcDir = s"$root/src"; val outDir = s"$root/out"; val ckpt = s"$root/ckpt"
+      // checkpointed: each of the three slice writes below re-evaluated the
+      // events scan + filter + projection otherwise
       val obs = t(s, dir, "events").filter(col("user_id") % 3 === 0).select(
         concat(lit("u"), col("user_id").cast(StringType)).as("product_id"),
         col("value").as("price"),
         (col("event_id") % 100).cast(LongType).as("sales_count"),
-        col("ts").as("crawled_at"))
+        col("ts").as("crawled_at")).localCheckpoint()
+      // keyed-state shuffle partitions DERIVED from the stream's own
+      // catalog estimate (Streams.stateShufflePartitions' documented
+      // sizing rule — the pre-r19 literal `8` was tuned to this catalog):
+      // the count is pinned into the checkpoint at first start, and every
+      // restart re-opens one state store per partition. One cheap
+      // approx-distinct job over the checkpointed key column pays for it.
+      val statePartitions = graft.streaming.Streams.stateShufflePartitions(
+        obs.agg(approx_count_distinct(col("product_id"))).head.getLong(0))
       def run(): Unit = {
         import s.implicits._
-        // 8 state partitions, not the session's 32 (q81/q84's trim, same
-        // catalog-sizing rationale): the stateful shuffle partition count
-        // is pinned into the checkpoint at first start, and every restart
-        // re-opens one state store per partition — at ~1k keys the
-        // store-open fixed cost dominates. Session conf restored after
-        // each start; a real deployment sizes this to its catalog.
+        // session conf restored after each start (the stream holds its own
+        // copy); a real deployment sizes this to its catalog
         val before = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
         try {
           val src = s.readStream
             .schema("product_id STRING, price DOUBLE, sales_count BIGINT, crawled_at TIMESTAMP")
@@ -1347,8 +1353,13 @@ object SparkEntry {
         ev.filter(col("crawled_at") >= cuts(0) && col("crawled_at") < cuts(1)),
         ev.filter(col("crawled_at") >= cuts(1)))
       slices.zipWithIndex.foreach { case (sl, i) =>
+        // checkpointed: cdcProcessBatch evaluates its batch twice (the
+        // bucket-prune collect + the derive), and here each evaluation
+        // would re-run the latest-per-key window over the slice — pin the
+        // tiny batch once instead (the streaming sink's batches are cheap
+        // file re-reads and stay unpinned; this is the construction path)
         val batch = Merge.latestPerKey(sl, Seq("product_id"), "crawled_at",
-          Seq(col("event_id").desc)).drop("event_id")
+          Seq(col("event_id").desc)).drop("event_id").localCheckpoint()
         graft.streaming.Streams.cdcProcessBatch(batch, histPath, i.toLong)
       }
       s.read.parquet(histPath)
@@ -1388,8 +1399,13 @@ object SparkEntry {
         ev.filter(col("crawled_at") >= cuts(0) && col("crawled_at") < cuts(1)),
         ev.filter(col("crawled_at") >= cuts(1)))
       slices.zipWithIndex.foreach { case (sl, i) =>
+        // checkpointed: cdcProcessBatch evaluates its batch twice (the
+        // bucket-prune collect + the derive), and here each evaluation
+        // would re-run the latest-per-key window over the slice — pin the
+        // tiny batch once instead (the streaming sink's batches are cheap
+        // file re-reads and stay unpinned; this is the construction path)
         val batch = Merge.latestPerKey(sl, Seq("product_id"), "crawled_at",
-          Seq(col("event_id").desc)).drop("event_id")
+          Seq(col("event_id").desc)).drop("event_id").localCheckpoint()
         graft.streaming.Streams.cdcProcessBatch(batch, histPath, i.toLong)
       }
       graft.streaming.Streams.archiveEventLog(s, histPath, "2024-01-21 00:00:00")
@@ -1488,8 +1504,13 @@ object SparkEntry {
         ev.filter(col("crawled_at") >= cuts(0) && col("crawled_at") < cuts(1)),
         ev.filter(col("crawled_at") >= cuts(1)))
       slices.zipWithIndex.foreach { case (sl, i) =>
+        // checkpointed: cdcProcessBatch evaluates its batch twice (the
+        // bucket-prune collect + the derive), and here each evaluation
+        // would re-run the latest-per-key window over the slice — pin the
+        // tiny batch once instead (the streaming sink's batches are cheap
+        // file re-reads and stay unpinned; this is the construction path)
         val batch = Merge.latestPerKey(sl, Seq("product_id"), "crawled_at",
-          Seq(col("event_id").desc)).drop("event_id")
+          Seq(col("event_id").desc)).drop("event_id").localCheckpoint()
         graft.streaming.Streams.cdcProcessBatch(batch, histPath, i.toLong)
       }
       graft.streaming.Streams.archiveEventLog(s, histPath, "2024-01-21 00:00:00")
@@ -1519,22 +1540,26 @@ object SparkEntry {
       import graft.streaming.Streams
       val root = scratch("q81", dir)
       val srcDir = s"$root/src"; val outDir = s"$root/out"; val ckpt = s"$root/ckpt"
+      // checkpointed: each of the six slice writes below re-evaluated the
+      // events scan + filter + projection otherwise
       val obs = t(s, dir, "events")
         .filter(col("user_id") % 3 === 0 && col("event_id") % 8 === 0).select(
           concat(lit("u"), col("user_id").cast(StringType)).as("product_id"),
           col("value").as("price"),
           (col("event_id") % 100).cast(LongType).as("sales_count"),
-          col("ts").as("crawled_at"))
+          col("ts").as("crawled_at")).localCheckpoint()
+      // keyed-state shuffle partitions DERIVED from the stream's own
+      // catalog estimate (q75's rationale, Streams.stateShufflePartitions'
+      // sizing rule): pinned into the checkpoint at first start; every one
+      // of the SIX restarts re-opens one state store per partition
+      val statePartitions = graft.streaming.Streams.stateShufflePartitions(
+        obs.agg(approx_count_distinct(col("product_id"))).head.getLong(0))
       def run(): Unit = {
         import s.implicits._
-        // 8 state partitions, not the session's 32: the stateful shuffle
-        // partition count is pinned into the checkpoint at first start, and
-        // every one of the SIX restarts re-opens one state store per
-        // partition — at ~50 keys the store-reload fixed cost dominates the
-        // gate. Session conf is restored after each start (the stream holds
-        // its own copy); a real deployment sizes this to its catalog.
+        // session conf restored after each start (the stream holds its own
+        // copy); a real deployment sizes this to its catalog
         val before = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
         try {
           val src = s.readStream
             .schema("product_id STRING, price DOUBLE, sales_count BIGINT, crawled_at TIMESTAMP")
@@ -1582,18 +1607,23 @@ object SparkEntry {
       import graft.streaming.Streams
       val root = scratch("q84", dir)
       val srcDir = s"$root/src"; val outDir = s"$root/out"; val ckpt = s"$root/ckpt"
+      // checkpointed: each of the six slice writes below re-evaluated the
+      // events scan + filter + projection otherwise
       val obs = t(s, dir, "events")
         .filter(col("user_id") % 3 === 0 && col("event_id") % 8 === 0).select(
           concat(lit("u"), col("user_id").cast(StringType)).as("product_id"),
           col("value").as("price"),
           (col("event_id") % 100).cast(LongType).as("sales_count"),
           col("ts").as("crawled_at"),
-          col("event_id"))
+          col("event_id")).localCheckpoint()
+      // keyed-state shuffle partitions DERIVED from the stream's own
+      // catalog estimate (q75/q81's rationale) — pinned into the
+      // checkpoint at first start; six restarts re-open one store each
+      val statePartitions = graft.streaming.Streams.stateShufflePartitions(
+        obs.agg(approx_count_distinct(col("product_id"))).head.getLong(0))
       def run(): Unit = {
-        // 8 state partitions, pinned into the checkpoint — q81's trim: six
-        // restarts re-open one state store per partition, fixed cost
         val before = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
         try {
           val src = s.readStream
             .schema("product_id STRING, price DOUBLE, sales_count BIGINT, crawled_at TIMESTAMP")
@@ -1652,8 +1682,9 @@ object SparkEntry {
         ev.filter(col("crawled_at") >= cuts(1)))
       val buckets = Seq(4, 4, 8) // reconfigured before batch 2's collapse
       slices.zipWithIndex.foreach { case (sl, i) =>
+        // checkpointed — q76's rationale: spare the window a second run
         val batch = Merge.latestPerKey(sl, Seq("product_id"), "crawled_at",
-          Seq(col("event_id").desc)).drop("event_id")
+          Seq(col("event_id").desc)).drop("event_id").localCheckpoint()
         graft.streaming.Streams.cdcProcessBatch(batch, histPath, i.toLong,
           collapseEvery = 2, keyBuckets = buckets(i))
       }
@@ -1669,25 +1700,35 @@ object SparkEntry {
     }),
 
     // --- PROGRESS LEDGER ACCOUNTING under the oracle: six file-source
-    //     micro-batches (one stateless passthrough query per slice, q81's
-    //     restart pattern) with the StreamingQueryListener ledger attached.
-    //     The query returns, per DATA batch in order, the ledger-recorded
-    //     numInputRows — the oracle counts the same slices relationally, so
-    //     a hash match proves the listener recorded every batch Spark ran
-    //     with exactly the rows it processed (an ordinal, not Spark's raw
-    //     batchId, keys the output: robust to empty slices). The listener
-    //     bus delivers asynchronously; construction polls until the known
-    //     number of non-empty slices has landed. ---------------------------
+    //     micro-batches through ONE long-lived stateless passthrough query
+    //     with the StreamingQueryListener ledger attached. The pre-r19
+    //     shape restarted the query per slice (q81's pattern borrowed
+    //     wholesale), but nothing here is stateful — there is no
+    //     checkpoint-recovery contract to exercise — so the five restarts
+    //     were pure fixed cost (guide §1.2). Batch boundaries stay exact:
+    //     each slice lands as ONE parquet file made visible by ONE atomic
+    //     rename (a multi-file append could straddle two triggers of the
+    //     running query, splitting a slice's row count across ledger
+    //     rows), and processAllAvailable drains it before the next slice
+    //     is written. The query returns, per DATA batch in order, the
+    //     ledger-recorded numInputRows — the oracle counts the same slices
+    //     relationally, so a hash match proves the listener recorded every
+    //     batch Spark ran with exactly the rows it processed (an ordinal,
+    //     not Spark's raw batchId, keys the output: robust to empty
+    //     slices). The listener bus delivers asynchronously; construction
+    //     latches until the known number of non-empty slices has landed. --
     "q88_progress_ledger" -> ((s, dir) => {
       import graft.streaming.Streams
       val root = scratch("q88", dir)
       val srcDir = s"$root/src"; val outDir = s"$root/out"; val ckpt = s"$root/ckpt"
       val ledgerDir = s"$root/ledger"
+      // checkpointed: the per-slice count + write below would otherwise
+      // re-run the events scan per action
       val obs = t(s, dir, "events")
         .filter(col("user_id") % 3 === 0 && col("event_id") % 8 === 0).select(
           concat(lit("u"), col("user_id").cast(StringType)).as("product_id"),
           col("value").as("price"),
-          col("ts").as("crawled_at"))
+          col("ts").as("crawled_at")).localCheckpoint()
       val cuts = Seq("2024-01-06", "2024-01-11", "2024-01-16", "2024-01-21", "2024-01-26")
         .map(c => lit(s"$c 00:00:00").cast(TimestampType))
       val slices = Seq(
@@ -1707,17 +1748,31 @@ object SparkEntry {
         if (p.numInputRows > 0) gate.synchronized { landed.incrementAndGet(); gate.notifyAll() })
       var nonEmpty = 0L
       try {
-        slices.foreach { sl =>
+        val fs = new org.apache.hadoop.fs.Path(srcDir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
+        var q: org.apache.spark.sql.streaming.StreamingQuery = null
+        slices.zipWithIndex.foreach { case (sl, i) =>
           val n = sl.count()
           if (n > 0) nonEmpty += 1
-          sl.write.mode("append").parquet(srcDir)
-          val q = s.readStream
-            .schema("product_id STRING, price DOUBLE, crawled_at TIMESTAMP")
-            .parquet(srcDir)
-            .writeStream.option("checkpointLocation", ckpt)
-            .format("parquet").option("path", outDir).outputMode("append").start()
-          q.processAllAvailable(); q.stop()
+          // one file per slice, atomically visible: write to a staging dir,
+          // rename the single part file in (the running query's trigger can
+          // never observe a half-landed slice)
+          val stage = s"$root/stage_$i"
+          sl.repartition(1).write.mode("overwrite").parquet(stage)
+          val part = graft.store.Compact.dataFiles(s, stage).head
+          if (!fs.rename(part, new org.apache.hadoop.fs.Path(srcDir, s"slice_$i.parquet")))
+            throw new java.io.IOException(s"q88: rename of slice $i failed")
+          fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+          if (q == null)
+            q = s.readStream
+              .schema("product_id STRING, price DOUBLE, crawled_at TIMESTAMP")
+              .parquet(srcDir)
+              .writeStream.option("checkpointLocation", ckpt)
+              .format("parquet").option("path", outDir).outputMode("append").start()
+          q.processAllAvailable()
         }
+        q.stop()
         val deadline = System.currentTimeMillis() + 60000
         gate.synchronized {
           while (landed.get() < nonEmpty && System.currentTimeMillis() < deadline)
@@ -1828,8 +1883,9 @@ object SparkEntry {
         ev.filter(col("crawled_at") >= cuts(1) && col("crawled_at") < cuts(2)),
         ev.filter(col("crawled_at") >= cuts(2)))
       def process(i: Int): Unit = {
+        // checkpointed — q76's rationale: spare the window a second run
         val batch = Merge.latestPerKey(slices(i), Seq("product_id"), "crawled_at",
-          Seq(col("event_id").desc)).drop("event_id")
+          Seq(col("event_id").desc)).drop("event_id").localCheckpoint()
         graft.streaming.Streams.cdcProcessBatch(batch, histPath, i.toLong)
       }
       process(0); process(1)

@@ -144,16 +144,30 @@ object Dedup {
     keyed.unionByName(docs.filter(anonPred))
   }
 
+  /** One (id, __toks) row per document, hash-partitioned by id — the shared
+    * TOKENIZE pass both sketch relations derive from. The repartition
+    * spreads the normalize+tokenize work across the cluster even when the
+    * source has few splits (a 1-file local table would otherwise tokenize
+    * on one core); at real scale the input has thousands of splits and the
+    * shuffle of raw (id, text) rows is still one linear narrow pass.
+    * Downstream groupBys/distincts on `id` reuse the partitioning.
+    *
+    * Callers that need BOTH the banding and the shingle relation for the
+    * same rows (the ingest cycle, the index probe, the all-pairs dedup)
+    * checkpoint THIS frame once and derive both from it
+    * ([[bandKeysFromTokens]]/[[shinglesFromTokenRows]]) — tokenization is
+    * the sketch path's dominant per-document cost, and the pre-r19 shape
+    * paid it once per relation (two full tokenize+shuffle passes per
+    * batch; guide §2.3/§2.4 — one pass feeds every consumer). */
+  private[graft] def tokenRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+      .repartition(col("id"))
+
   /** One row per (id, shingle), DISTINCT per doc: the working relation for
     * MinHash/Jaccard. Per-doc dedup happens at the RELATION level
     * (explode raw n-grams, then `.distinct()`) — `array_distinct` inside
     * the projection is O(T²) string comparisons per document and measured
     * 3× slower than the exploded hash-dedup at sf0.1.
-    * The repartition spreads the normalize+shingle work across the cluster
-    * even when the source has few splits (a 1-file local table would
-    * otherwise tokenize on one core); at real scale the input has thousands
-    * of splits and the shuffle of raw (id, text) rows is still one linear
-    * narrow pass. Downstream groupBys on `id` reuse the partitioning.
     *
     * `s` is the shingle's xxhash64, NOT the string (guide §2.3 — narrower
     * types: every consumer compares shingles for EQUALITY only, so an
@@ -165,8 +179,15 @@ object Dedup {
     * corpus collision-free. The MinHash SIGNATURE path is untouched — its
     * md5-over-string hash family is oracle-pinned.) */
   private[graft] def shingleRows(docs: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
-    docs.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
-      .repartition(col("id"))
+    shinglesFromTokenRows(tokenRows(docs, idCol, textCol), shingleN)
+
+  /** [[shingleRows]] over an already-staged [[tokenRows]] relation — same
+    * expressions, so a checkpointed token frame yields the identical rows
+    * without re-tokenizing. The distinct's (id, s) grouping is satisfied by
+    * the token frame's hash-by-id partitioning (a subset of the keys), so
+    * deriving from a checkpoint adds no shuffle. */
+  private[graft] def shinglesFromTokenRows(toks: DataFrame, shingleN: Int): DataFrame =
+    toks
       .select(col("id"), explode(rawNgrams(col("__toks"), shingleN)).as("__sraw"))
       .select(col("id"), xxhash64(col("__sraw")).as("s"))
       .distinct()
@@ -180,17 +201,23 @@ object Dedup {
     * — callers decide (self-joins must, a one-pass write needn't). */
   def minhashBandKeys(
       docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4): DataFrame = {
+      shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4): DataFrame =
+    bandKeysFromTokens(tokenRows(docs, idCol, textCol), shingleN, numHashes, bands)
+
+  /** [[minhashBandKeys]] over an already-staged [[tokenRows]] relation —
+    * same expressions over the same rows, so callers that stage the token
+    * frame once derive this AND the shingle relation from it without a
+    * second tokenize pass. */
+  private[graft] def bandKeysFromTokens(
+      toks: DataFrame, shingleN: Int, numHashes: Int, bands: Int): DataFrame = {
     // bands > numHashes would make rows = 0, every band key the constant
     // md5("") — degenerating the LSH self-join into a full cross join; a
     // non-dividing bands would silently ignore the trailing hashes
     require(bands >= 1 && numHashes >= bands && numHashes % bands == 0,
       s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
     val rows = numHashes / bands
-    val sig = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
-      .repartition(col("id"))
-      .select(col("id"), graft.expressions.HashExpressions.minhashSignature(
-        shinglesFromTokens(col("__toks"), shingleN), numHashes).as("sig"))
+    val sig = toks.select(col("id"), graft.expressions.HashExpressions.minhashSignature(
+      shinglesFromTokens(col("__toks"), shingleN), numHashes).as("sig"))
     val bandCols = (0 until bands).map { b =>
       concat(lit(s"$b:"),
         md5(concat_ws(",", (b * rows until (b + 1) * rows).map(i => element_at(col("sig"), i + 1)): _*)))
@@ -252,11 +279,22 @@ object Dedup {
     // `bandsFrom`: pre-CHECKPOINTED relations for the same rows under the
     // same sketch parameters (the appendToMinhashIndex expert-param
     // contract) — the curation batch stages them once and shares them with
-    // the cross-stream ingest cycle.
-    val sh = shinglesFrom.getOrElse(
-      shingleRows(docs, idCol, textCol, shingleN).scratchCheckpoint())
+    // the cross-stream ingest cycle. When NEITHER is staged, one tokenize
+    // pass feeds both (the ingestCycle discipline: tokenRows checkpointed
+    // once, banding + shingles derived and materialized concurrently).
+    val (sh, bandsIn) = (shinglesFrom, bandsFrom) match {
+      case (Some(s0), b) => (s0, b)
+      case (None, b @ Some(_)) =>
+        (shingleRows(docs, idCol, textCol, shingleN).scratchCheckpoint(), b)
+      case (None, None) =>
+        val toks = tokenRows(docs, idCol, textCol).scratchCheckpoint()
+        val (b, s0) = Scratch.checkpointPar(
+          bandKeysFromTokens(toks, shingleN, numHashes, bands),
+          shinglesFromTokenRows(toks, shingleN))
+        (s0, Some(b))
+    }
     val cands = minhashLshCandidates(docs, idCol, textCol, shingleN, numHashes, bands,
-      maxCandidatePairs, bandsFrom)
+      maxCandidatePairs, bandsIn)
     verifyJaccard(cands, sh, threshold)
   }
 
@@ -317,16 +355,64 @@ object Dedup {
     * always agree on the SAME generation's recorded modulus. */
   private def bandBucket(c: org.apache.spark.sql.Column, n: Int) = pmod(hash(c), lit(n))
 
+  /** Marker metadata of a COMMITTED generation — (bands bucket modulus,
+    * sketch parameters) — resolved from ONE directory listing and memoized.
+    * A generation's markers are created before its `_COMMITTED` lands and
+    * never change after, so they are cacheable for the generation's
+    * lifetime; the cache key carries the `_COMMITTED` marker's modification
+    * time because a scratch tree can be WIPED and rebuilt at the same path
+    * (the bench does exactly that per pass) — same path, new commit, new
+    * mtime, never a stale hit. An uncommitted gen (no marker — only
+    * reachable through maintenance internals) is resolved fresh and not
+    * cached. Bounded LRU: entries are tiny, the cap is hygiene for
+    * long-lived sessions cycling many indexes. */
+  private val genMarkersMemo = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long), (Int, Option[(Int, Int, Int)])](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), (Int, Option[(Int, Int, Int)])]): Boolean =
+        size() > 1024
+    })
+
+  private def genMarkers(spark: org.apache.spark.sql.SparkSession,
+      gen: String): (Int, Option[(Int, Int, Int)]) = {
+    val p = new org.apache.hadoop.fs.Path(gen)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commit = new org.apache.hadoop.fs.Path(p, "_COMMITTED")
+    val key = scala.util.Try((gen, fs.getFileStatus(commit).getModificationTime)).toOption
+    key.flatMap(k => Option(genMarkersMemo.get(k))).getOrElse {
+      val names = fs.listStatus(p).map(_.getPath.getName)
+      val nbkt = names.collectFirst {
+        case n if n.startsWith("_NBKT_") => n.drop("_NBKT_".length).toInt
+      }.getOrElse(BandBuckets)
+      val sketch = names.collectFirst {
+        case n if n.startsWith("_SKETCH_") =>
+          // defensive parse: a malformed or foreign marker must produce a
+          // clear error naming the file, not a MatchError from deep inside
+          // a directory listing — and it must NOT be treated as "legacy,
+          // accept anything" (that would silently disable the parameter
+          // gate on a layout that clearly tried to record its parameters)
+          val parsed = n.drop("_SKETCH_".length).split("_") match {
+            case Array(sn, nh, nb) =>
+              scala.util.Try((sn.toInt, nh.toInt, nb.toInt)).toOption
+            case _ => None
+          }
+          parsed.getOrElse(throw new IllegalArgumentException(
+            s"malformed sketch marker '$n' under $gen — expected " +
+              "_SKETCH_<shingleN>_<numHashes>_<bands>; refusing to guess " +
+              "(probing with wrong parameters silently declares every " +
+              "document unique)"))
+      }
+      val v = (nbkt, sketch)
+      key.foreach(k => genMarkersMemo.put(k, v))
+      v
+    }
+  }
+
   /** The `__bkt` modulus a generation's bands layout was written with —
     * its `_NBKT_<n>` marker, or [[BandBuckets]] for legacy layouts that
     * predate per-generation counts (written when it was a constant). */
-  private def genBandBuckets(spark: org.apache.spark.sql.SparkSession, gen: String): Int = {
-    val p = new org.apache.hadoop.fs.Path(gen)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(p).map(_.getPath.getName).collectFirst {
-      case n if n.startsWith("_NBKT_") => n.drop("_NBKT_".length).toInt
-    }.getOrElse(BandBuckets)
-  }
+  private def genBandBuckets(spark: org.apache.spark.sql.SparkSession, gen: String): Int =
+    genMarkers(spark, gen)._1
 
   /** The sketch parameters a generation was written with, from its
     * `_SKETCH_<shingleN>_<numHashes>_<bands>` marker (None for layouts
@@ -337,28 +423,7 @@ object Dedup {
     * batch doc declared unique, duplicates silently flooding the corpus.
     * The layout must carry what it was built with. */
   private def genSketch(spark: org.apache.spark.sql.SparkSession,
-      gen: String): Option[(Int, Int, Int)] = {
-    val p = new org.apache.hadoop.fs.Path(gen)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(p).map(_.getPath.getName).collectFirst {
-      case n if n.startsWith("_SKETCH_") =>
-        // defensive parse: a malformed or foreign marker must produce a
-        // clear error naming the file, not a MatchError from deep inside a
-        // directory listing — and it must NOT be treated as "legacy, accept
-        // anything" (that would silently disable the parameter gate on a
-        // layout that clearly tried to record its parameters)
-        val parsed = n.drop("_SKETCH_".length).split("_") match {
-          case Array(sn, nh, nb) =>
-            scala.util.Try((sn.toInt, nh.toInt, nb.toInt)).toOption
-          case _ => None
-        }
-        parsed.getOrElse(throw new IllegalArgumentException(
-          s"malformed sketch marker '$n' under $gen — expected " +
-            "_SKETCH_<shingleN>_<numHashes>_<bands>; refusing to guess " +
-            "(probing with wrong parameters silently declares every " +
-            "document unique)"))
-    }
-  }
+      gen: String): Option[(Int, Int, Int)] = genMarkers(spark, gen)._2
 
   /** Fail loudly when a probe/append's sketch parameters disagree with the
     * layout's recorded ones. A None (in-memory index or legacy layout)
@@ -592,18 +657,42 @@ object Dedup {
     * append adds one to the figure — the same one-per-append growth the
     * pre-delta partitioned appends had. Shingles is the flat dir count.
     * Directory metadata only. */
+  /** Per-gen memo for the bucketed BASE's max per-`__bkt` file count: the
+    * base layout is immutable after commit (appends land in `bands_delta/`,
+    * compactions write a NEW generation), so the up-to-65 directory
+    * listings it costs are paid once per generation. Same key discipline as
+    * [[genMarkersMemo]] (path + `_COMMITTED` mtime survives a same-path
+    * wipe-and-rebuild); the append-mutable delta/shingles listings stay
+    * fresh on every call. */
+  private val baseFilesMemo = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long), java.lang.Integer](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), java.lang.Integer]): Boolean =
+        size() > 1024
+    })
+
   def minhashFileCounts(spark: org.apache.spark.sql.SparkSession, path: String): (Int, Int) = {
     val gen = graft.store.Generations.requireCommitted(spark, path)
     val bandsDir = new org.apache.hadoop.fs.Path(s"$gen/bands")
     val fs = bandsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val perBucket =
-      if (!fs.exists(bandsDir)) Nil
-      else fs.listStatus(bandsDir).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("__bkt="))
-        .map(st => graft.store.Compact.dataFileCount(spark, st.getPath.toString))
-    val baseFiles =
+    def baseFilesFresh(): Int = {
+      val perBucket =
+        if (!fs.exists(bandsDir)) Nil
+        else fs.listStatus(bandsDir).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("__bkt="))
+          .map(st => graft.store.Compact.dataFileCount(spark, st.getPath.toString))
       if (perBucket.nonEmpty) perBucket.max
       else graft.store.Compact.dataFileCount(spark, bandsDir.toString) // legacy flat layout
+    }
+    val commit = new org.apache.hadoop.fs.Path(gen, "_COMMITTED")
+    val key = scala.util.Try(
+      (gen.toString, fs.getFileStatus(commit).getModificationTime)).toOption
+    val baseFiles = key.flatMap(k => Option(baseFilesMemo.get(k)).map(_.intValue()))
+      .getOrElse {
+        val n = baseFilesFresh()
+        key.foreach(k => baseFilesMemo.put(k, n))
+        n
+      }
     val deltaDir = new org.apache.hadoop.fs.Path(s"$gen/bands_delta")
     val deltaFiles =
       if (fs.exists(deltaDir)) graft.store.Compact.dataFileCount(spark, deltaDir.toString)
@@ -696,7 +785,16 @@ object Dedup {
       // cluster idle while the other waited
       graft.Timing("append.ids")(ids.coalesce(1)
         .write.mode("append").parquet(s"$gen/ids"))
+      // a bare-API caller staged neither relation: one token checkpoint
+      // feeds both derivations (the ingestCycle discipline) instead of two
+      // tokenize passes. Created on THIS thread — the Par thunks below only
+      // consume it (Par's no-Scratch-inside-thunks contract).
+      val stagedToks =
+        if (bandsFrom.isEmpty && shinglesFrom.isEmpty)
+          Some(tokenRows(src, idCol, textCol).scratchCheckpoint())
+        else None
       val banded = bandsFrom
+        .orElse(stagedToks.map(bandKeysFromTokens(_, shingleN, numHashes, bands)))
         .getOrElse(minhashBandKeys(src, idCol, textCol, shingleN, numHashes, bands))
         .withColumn("__bkt",
           bandBucket(col("bandkey"), genBandBuckets(spark, gen.toString)))
@@ -714,7 +812,9 @@ object Dedup {
           // why appends never write through the partitioned tree
           laid.write.mode("append").parquet(s"$gen/bands_delta")),
         () => graft.Timing("append.shingles")(
-          shinglesFrom.getOrElse(shingleRows(src, idCol, textCol, shingleN))
+          shinglesFrom
+            .orElse(stagedToks.map(shinglesFromTokenRows(_, shingleN)))
+            .getOrElse(shingleRows(src, idCol, textCol, shingleN))
             .write.mode("append").parquet(s"$gen/shingles")))
     } finally pinned.foreach(Bridge.unpersistCheckpoint)
   }
@@ -747,10 +847,17 @@ object Dedup {
       threshold: Double, shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4,
       maxCandidatePairs: Long = DefaultMaxCandidatePairs): DataFrame = {
     requireSketch(idx.sketch, shingleN, numHashes, bands, "dedupAgainstIndex")
+    // ONE tokenize pass for the whole probe: the banding (checkpointed —
+    // the candidate probe and the guard both read it) and the verify
+    // join's batch shingles both derive from the staged token frame; the
+    // pre-r19 shape tokenized the batch twice (once per relation)
+    val toks = tokenRows(batch, idCol, textCol).scratchCheckpoint()
+    val bBands = bandKeysFromTokens(toks, shingleN, numHashes, bands)
+      .scratchCheckpoint()
     verdictsFromCandidates(batch,
-      bandCandidates(batch, idx, idCol, textCol, shingleN, numHashes, bands,
-        maxCandidatePairs),
-      idx, idCol, textCol, threshold, shingleN)
+      bandCandidatesFrom(bBands, idx, maxCandidatePairs),
+      idx, idCol, textCol, threshold, shingleN,
+      batchShingles = Some(shinglesFromTokenRows(toks, shingleN)))
   }
 
   /** Candidate (batch id, corpus id) pairs from the banded broadcast probe —
@@ -777,24 +884,15 @@ object Dedup {
     * counts bound the fan-out for free, and only a probe whose
     * |batch bands|·|index bands| product could exceed the cap pays the
     * exact histogram pass (probe cost only; append tiers untouched). */
-  private def bandCandidates(
-      batch: DataFrame, idx: MinhashIndex, idCol: String, textCol: String,
-      shingleN: Int, numHashes: Int, bands: Int,
-      maxCandidatePairs: Long = DefaultMaxCandidatePairs): DataFrame =
-    bandCandidatesFrom(
-      minhashBandKeys(batch, idCol, textCol, shingleN, numHashes, bands)
-        .scratchCheckpoint(),
-      idx, maxCandidatePairs)
-
-  /** [[bandCandidates]] given the batch's ALREADY-CHECKPOINTED banding
-    * relation — split out so [[ingestCycle]] can stage the batch sketch
-    * ONCE and reuse it for candidate generation AND the survivor append
-    * (the append previously re-tokenized + re-sketched the whole batch,
-    * the single largest job of a measured ingest cycle). */
+  /** Candidate pairs given the batch's ALREADY-CHECKPOINTED banding
+    * relation — [[ingestCycle]] and [[dedupAgainstIndex]] stage the batch
+    * sketch ONCE and reuse it for candidate generation AND the survivor
+    * append (the append previously re-tokenized + re-sketched the whole
+    * batch, the single largest job of a measured ingest cycle). */
   private def bandCandidatesFrom(
       bBands: DataFrame, idx: MinhashIndex,
       maxCandidatePairs: Long): DataFrame = {
-    val idxBands =
+    val (idxBands, batchRows) =
       if (!idx.bands.columns.contains("__bkt"))
         // an IN-MEMORY index ([[dedupAgainstCorpus]]' one-shot small-corpus
         // route, by contract): its bands relation is a lazy sketch
@@ -803,20 +901,28 @@ object Dedup {
         // layout (the 100 TB path) stays scan-based: its count is a
         // pruned parquet job, and checkpointing a corpus-scale relation
         // is exactly what the bucketed on-disk layout exists to avoid.
-        idx.bands.scratchCheckpoint()
+        (idx.bands.scratchCheckpoint(), None)
       else {
         // the prune's modulus is the INDEX's recorded count, so it always
-        // matches the layout being scanned, whatever count it was written at
-        val bkts = bBands.select(bandBucket(col("bandkey"), idx.bandBuckets).as("b"))
-          .distinct().collect().map(_.getInt(0)).toSeq
-        idx.bands.filter(col("__bkt").isin(bkts: _*)).drop("__bkt")
+        // matches the layout being scanned, whatever count it was written
+        // at. ONE aggregate job yields the batch's bucket set AND its band
+        // row count — the guard's free tier previously paid a separate
+        // count() scan of the same checkpointed relation per probe (guide
+        // §1.2: two jobs' worth of information from one).
+        val perBucket = bBands
+          .groupBy(bandBucket(col("bandkey"), idx.bandBuckets).as("b"))
+          .agg(count(lit(1)).as("c"))
+          .collect()
+        val bkts = perBucket.map(_.getInt(0)).toSeq
+        (idx.bands.filter(col("__bkt").isin(bkts: _*)).drop("__bkt"),
+          Some(perBucket.map(_.getLong(1)).sum))
       }
     guardJoinFanout(bBands, idxBands, "bandkey", maxCandidatePairs,
       "dedupAgainstIndex",
       "exactDedup the corpus before indexing and the batch before probing " +
         "(identical documents share every band key), compact the index, or " +
         "raise numHashes/bands rows per band at the next rebuild",
-      rightBound = idx.bandsRowBound)
+      rightBound = idx.bandsRowBound, leftCount = batchRows)
     broadcast(bBands.as("x")).join(idxBands.as("y"), Seq("bandkey"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
   }
@@ -889,11 +995,27 @@ object Dedup {
     // checkpoint-backed same-rows-same-parameters contract as
     // [[appendToMinhashIndex]]'s: the curation batch derives them from its
     // within-batch dedup's relations and the cycle skips both passes).
-    val bBands = bandsFrom.getOrElse(graft.Timing("ingest.batchBands")(
-      minhashBandKeys(batch, idCol, textCol, shingleN, numHashes, bands)
-        .scratchCheckpoint()))
-    val batchSh = shinglesFrom.getOrElse(graft.Timing("ingest.batchShingles")(
-      shingleRows(batch, idCol, textCol, shingleN).scratchCheckpoint()))
+    val (bBands, batchSh) = (bandsFrom, shinglesFrom) match {
+      case (Some(b), Some(sh)) => (b, sh)
+      case (Some(b), None) => (b, graft.Timing("ingest.batchShingles")(
+        shingleRows(batch, idCol, textCol, shingleN).scratchCheckpoint()))
+      case (None, Some(sh)) => (graft.Timing("ingest.batchBands")(
+        minhashBandKeys(batch, idCol, textCol, shingleN, numHashes, bands)
+          .scratchCheckpoint()), sh)
+      case (None, None) =>
+        // ONE tokenize pass feeds both sketch relations (guide §2.3):
+        // tokenization is the dominant per-document cost, and the banding
+        // and shingle derivations over the staged checkpoint are narrow
+        // map-side work (the distinct reuses the hash-by-id partitioning),
+        // so they materialize CONCURRENTLY (guide §2.6) — two small jobs
+        // back-filling each other's tails instead of two full
+        // tokenize+shuffle passes in sequence.
+        val toks = graft.Timing("ingest.batchToks")(
+          tokenRows(batch, idCol, textCol).scratchCheckpoint())
+        graft.Timing("ingest.batchSketch")(Scratch.checkpointPar(
+          bandKeysFromTokens(toks, shingleN, numHashes, bands),
+          shinglesFromTokenRows(toks, shingleN)))
+    }
     val cands = graft.Timing("ingest.bandCandidates")(
       bandCandidatesFrom(bBands, idx, maxCandidatePairs)
       .scratchCheckpoint())
@@ -901,9 +1023,15 @@ object Dedup {
       Scratch.checkpointEscaping(verdictsFromCandidates(
         batch, cands, idx, idCol, textCol, threshold, shingleN,
         batchShingles = Some(batchSh))))
-    val agg = graft.Timing("ingest.agg")(verdicts.agg(
-      count(lit(1)).as("n"), count(when(col("is_dup"), 1)).as("d")).head)
-    val (total, dups) = (agg.getLong(0), agg.getLong(1))
+    // two independent driver actions over already-checkpointed frames —
+    // run them concurrently (guide §2.6); each is fixed-overhead-bound
+    @volatile var aggRow: org.apache.spark.sql.Row = null
+    @volatile var candidatePairs = 0L
+    graft.Timing("ingest.agg")(graft.Par.run(
+      () => aggRow = verdicts.agg(
+        count(lit(1)).as("n"), count(when(col("is_dup"), 1)).as("d")).head,
+      () => candidatePairs = cands.count()))
+    val (total, dups) = (aggRow.getLong(0), aggRow.getLong(1))
     val survivorIds = verdicts.filter(!col("is_dup")).select(col("id"))
     val survivors = batch.join(
       survivorIds.select(col("id").as(idCol)), Seq(idCol), "left_semi")
@@ -921,7 +1049,6 @@ object Dedup {
         shinglesFrom = Some(batchSh.join(survivorIds, Seq("id"), "left_semi"))))
     val (bandsFiles, shinglesFiles) = graft.Timing("ingest.fileCounts")(
       minhashFileCounts(spark, path))
-    val candidatePairs = graft.Timing("ingest.candCount")(cands.count())
     (verdicts, IngestStats(
       batchRows = total, candidatePairs = candidatePairs, dups = dups,
       appendedRows = total - dups,
@@ -1019,10 +1146,22 @@ object Dedup {
   def dedupAgainstCorpus(
       batch: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4,
-      maxCandidatePairs: Long = DefaultMaxCandidatePairs): DataFrame =
+      maxCandidatePairs: Long = DefaultMaxCandidatePairs): DataFrame = {
+    // the corpus is SMALL by this form's contract ("not worth persisting an
+    // index for"), so its token frame is staged once and both in-memory
+    // index relations derive from it — the lazy buildMinhashIndex form
+    // tokenized the corpus twice (bands checkpoint + verify-join shingles).
+    // The corpus-scale path (writeMinhashIndex) deliberately keeps the lazy
+    // relations instead: a corpus-wide token checkpoint is a cluster-sized
+    // extra copy, worse than the second tokenize pass it would save.
+    val toks = tokenRows(corpus, idCol, textCol).scratchCheckpoint()
     dedupAgainstIndex(batch,
-      buildMinhashIndex(corpus, idCol, textCol, shingleN, numHashes, bands),
+      MinhashIndex(
+        bandKeysFromTokens(toks, shingleN, numHashes, bands),
+        shinglesFromTokenRows(toks, shingleN),
+        sketch = Some((shingleN, numHashes, bands))),
       idCol, textCol, threshold, shingleN, numHashes, bands, maxCandidatePairs)
+  }
 
   /** Join candidate (id_a,id_b) pairs against the exploded shingle relation,
     * count intersections, attach set sizes, filter on 6-dp-rounded Jaccard.
@@ -1033,8 +1172,12 @@ object Dedup {
     * over candidate shingles only — verify cost is ∝ candidate docs, not
     * corpus size (measured 59.7 → 32-39 s on the 320 k-doc ScaleProbe). */
   private def verifyJaccard(cands: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    // no .distinct() on the id union: its only consumer is the left-semi
+    // join, which dedups by construction — the distinct added a shuffle of
+    // the candidate ids to every verify pass for nothing (guide §2.4: a
+    // distinct on data whose consumer doesn't need it)
     val candIds = cands.select(col("id_a").as("id"))
-      .unionByName(cands.select(col("id_b").as("id"))).distinct()
+      .unionByName(cands.select(col("id_b").as("id")))
     val shc = sh.join(candIds, Seq("id"), "left_semi").scratchCheckpoint()
     val sizes = shc.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = cands
@@ -1472,13 +1615,16 @@ object Dedup {
     * joins, where its one extra scan amortizes against the join itself. */
   private[graft] def guardJoinFanout(left: DataFrame, right: DataFrame, keyCol: String,
       maxCandidatePairs: Long, what: String, guidance: String,
-      rightBound: Option[Long] = None): Unit = {
+      rightBound: Option[Long] = None, leftCount: Option[Long] = None): Unit = {
     // `rightBound`: a caller-known UPPER bound on the right side's rows
     // (e.g. a persisted index's manifest-derived figure) spares the free
     // tier its count() scan of the right relation; a larger bound can only
     // make the tier more conservative — the exact histogram still
-    // adjudicates wherever the product cannot rule the cap out
-    val bound = left.count().toDouble *
+    // adjudicates wherever the product cannot rule the cap out.
+    // `leftCount`: the left side's EXACT row count when the caller already
+    // paid a job that knows it (the probe's bucket-set aggregate) — spares
+    // the free tier its left count() the same way.
+    val bound = leftCount.getOrElse(left.count()).toDouble *
       rightBound.getOrElse(right.count()).toDouble
     if (bound > maxCandidatePairs.toDouble)
       requireBandedJoinFanout(joinFanoutStats(left, right, keyCol),

@@ -74,6 +74,33 @@ private[graft] object Scratch {
     ck
   }
 
+  /** Checkpoint two INDEPENDENT frames concurrently (guide §2.6 — their
+    * materialization jobs back-fill each other's stage tails), registering
+    * BOTH with the calling thread's innermost scope. This is the
+    * thread-safe composition [[graft.Par]]'s contract forbids doing by
+    * hand ("no Scratch checkpoints inside Par thunks" — the registry is
+    * thread-confined): the `localCheckpoint()` actions run on worker
+    * threads, registration happens here on the caller's thread after both
+    * complete. Failure semantics match two sequential checkpoints — the
+    * first failure is rethrown; a frame whose checkpoint DID complete
+    * while the sibling failed is still registered with the scope (released
+    * at scope exit, never leaked). */
+  def checkpointPar(a: DataFrame, b: DataFrame): (DataFrame, DataFrame) = {
+    @volatile var ca: DataFrame = null
+    @volatile var cb: DataFrame = null
+    try graft.Par.run(
+      () => ca = a.localCheckpoint(),
+      () => cb = b.localCheckpoint())
+    finally {
+      val stack = active.get()
+      if (stack.nonEmpty) {
+        if (ca != null) stack.top += ca
+        if (cb != null) stack.top += cb
+      }
+    }
+    (ca, cb)
+  }
+
   /** `df.scratchCheckpoint()` — [[checkpoint]] as a postfix op, so call
     * sites read like the `localCheckpoint()` they replace. */
   implicit final class Ops(private val df: DataFrame) extends AnyVal {

@@ -109,12 +109,16 @@ object Curation {
 
     // stage the survivors' sketch relations ONCE: the within-batch
     // near-dup pass consumes them here, and the kept subset's view is
-    // returned for the caller's cross-stream ingest cycle to reuse
-    val exactBands = graft.Timing("gate.exactBands")(
-      Dedup.minhashBandKeys(exact, idCol, textCol, shingleN, numHashes, bands)
-        .scratchCheckpoint())
-    val exactSh = graft.Timing("gate.exactShingles")(
-      Dedup.shingleRows(exact, idCol, textCol, shingleN).scratchCheckpoint())
+    // returned for the caller's cross-stream ingest cycle to reuse. ONE
+    // tokenize pass feeds both (Dedup.tokenRows checkpointed, banding +
+    // shingles derived from it and materialized concurrently — the
+    // ingestCycle discipline, guide §2.3/§2.6).
+    val exactToks = graft.Timing("gate.exactToks")(
+      Dedup.tokenRows(exact, idCol, textCol).scratchCheckpoint())
+    val (exactBands, exactSh) = graft.Timing("gate.exactSketch")(
+      graft.operators.Scratch.checkpointPar(
+        Dedup.bandKeysFromTokens(exactToks, shingleN, numHashes, bands),
+        Dedup.shinglesFromTokenRows(exactToks, shingleN)))
     val pairs = Dedup.minhashDedupPairs(exact, idCol, textCol, nearDupThreshold,
       shingleN, numHashes, bands,
       shinglesFrom = Some(exactSh), bandsFrom = Some(exactBands))

@@ -89,18 +89,44 @@ object Compact {
     * (big enough to amortize footer/open cost, small enough to split). */
   val DefaultMaxFileBytes: Long = 128L << 20
 
+  /** Per-file footer row-count memo, keyed by (path, length, mtime): a
+    * parquet part file is immutable once visible (appends create NEW
+    * task-UUID files, compactions swap whole directories), so the key
+    * identifies the bytes and a hit spares the footer open. The directory
+    * LISTING stays fresh on every call — only already-seen files skip
+    * their open, so an appended or swapped file is always re-read. Bounded
+    * LRU so a long-lived session's archival sweeps cannot grow it without
+    * limit; entries are ~100 B, so the cap is a few hundred KB. */
+  private val footerRowsMemo = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long, Long), java.lang.Long](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long), java.lang.Long]): Boolean =
+        size() > 4096
+    })
+
   /** Total row count of the visible data files under each of `dirs`, read
-    * from parquet FOOTERS only: one driver-side footer open per file, no
-    * Spark job, no data pages touched. This is how the archival sweeps
-    * report how many rows they moved without re-scanning data they are
-    * about to rename away — O(file count) metadata, not O(bytes). */
+    * from parquet FOOTERS only: one driver-side footer open per file
+    * (memoized per immutable file — see [[footerRowsMemo]]), no Spark job,
+    * no data pages touched. This is how the archival sweeps report how
+    * many rows they moved without re-scanning data they are about to
+    * rename away, and how the MinHash probe guard derives its row bound
+    * per ingest batch — O(file count) metadata, not O(bytes). */
   def footerRowCount(spark: SparkSession, dirs: Seq[Path]): Long =
     dirs.iterator.flatMap { d =>
+      val fs = fsOf(spark, d)
       dataFiles(spark, d.toString).iterator.map { f =>
-        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            f, spark.sparkContext.hadoopConfiguration))
-        try rd.getRecordCount finally rd.close()
+        val st = fs.getFileStatus(f)
+        val key = (f.toString, st.getLen, st.getModificationTime)
+        val hit = footerRowsMemo.get(key)
+        if (hit != null) hit.longValue()
+        else {
+          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              f, spark.sparkContext.hadoopConfiguration))
+          val n = try rd.getRecordCount finally rd.close()
+          footerRowsMemo.put(key, n)
+          n
+        }
       }
     }.sum
 

@@ -1120,6 +1120,34 @@ object Streams {
     n
   }
 
+  /** Shuffle-partition count for a KEYED STATEFUL streaming query, derived
+    * from the stream's estimated live key count instead of hard-coded (the
+    * r18 literal `8` was tuned to one catalog). The partition count is
+    * pinned into the checkpoint at first start, and every restart re-opens
+    * one state store per partition, so the rule sizes partitions to the
+    * state they will hold:
+    *
+    *  - [[StateKeysPerPartition]] keys per partition (~tens of MB of
+    *    per-key (double, long) state — big enough that a store's open/
+    *    commit fixed cost amortizes, small enough that one store never
+    *    concentrates a catalog);
+    *  - floor 1 (a tiny catalog pays one store open per restart, not 8);
+    *  - cap `maxPartitions` (default 4096 — past that, re-shard the stream
+    *    itself; a 10⁹-key catalog lands at ~500 under the default target).
+    *
+    * `estimatedKeys` is an ESTIMATE (approx_count_distinct over the key
+    * column, a catalog figure the operator owns, ...) — partitioning only
+    * moves physical placement, never results, so a wrong estimate costs
+    * performance, not correctness (the oracle gates q75/q81/q84 across the
+    * sizes this rule produces). Size it to the LIVE catalog where a TTL
+    * bounds state, the all-time catalog otherwise. */
+  def stateShufflePartitions(estimatedKeys: Long, maxPartitions: Int = 4096): Int =
+    math.max(1L, math.min(maxPartitions.toLong,
+      (estimatedKeys + StateKeysPerPartition - 1) / StateKeysPerPartition)).toInt
+
+  /** Target keys per state-store partition — see [[stateShufflePartitions]]. */
+  val StateKeysPerPartition = 2000000L
+
   /** Switch stateful streaming to the RocksDB state store with changelog
     * checkpointing — the large-state configuration. The default
     * HDFS-backed provider keeps every key's state AS JVM OBJECTS on the
