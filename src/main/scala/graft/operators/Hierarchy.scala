@@ -23,9 +23,19 @@ object Hierarchy {
   /** H1 — materialize root-first name paths for every node.
     * Input: url, name, parent_url. Output: adds `category_path`
     * (array<string>, root first, ≤ maxDepth) and `level` (= size(path)).
-    */
+    *
+    * Deliberately ONE lazy plan, no mid-loop materialization: an r19
+    * experiment checkpointed the frontier every 3 rounds to cap the plan
+    * the driver optimizes (the un-cut chain re-plans as 110 broadcast
+    * joins through repairParents' consumers), and a clean-window
+    * same-session A/B measured it ~1 s SLOWER warm (q59 2.2–3.4 s plain
+    * vs 3.5–3.6 s checkpointed): the extra materialization jobs' fixed
+    * cost exceeds the planning they save — CollapseProject's
+    * duplication guard keeps the mega-plan's optimizer cost linear, and
+    * the storm-window measurement that motivated the change did not
+    * reproduce. Reverted; recorded here so the next optimizer does not
+    * re-try it without new evidence. */
   def resolvePaths(categories: DataFrame, maxDepth: Int = 10, maxLevels: Int = 5): DataFrame = {
-    import graft.operators.Scratch.Ops
     val parents = categories.select(
       col("url").as("__p_url"), col("name").as("__p_name"),
       col("parent_url").as("__p_parent"))
@@ -33,7 +43,6 @@ object Hierarchy {
       .withColumn("category_path", array(col("name")))
       .withColumn("__cursor", col("parent_url"))
       .withColumn("__seen", array(col("url")))
-    var lastCkpt: DataFrame = null
     var i = 0
     while (i < maxDepth) {
       cur = cur
@@ -52,32 +61,11 @@ object Hierarchy {
             .otherwise(lit(null)))
         .drop("__p_url", "__p_name", "__p_parent", "__cycle")
       i += 1
-      // bound the DRIVER's per-round cost (measured: warm q59 spent 4.7 s
-      // of driver-side gap against 0.9 s of jobs): each round nests another
-      // `when` tree into path/seen/cursor and AQE re-optimizes the whole
-      // accumulated join chain once per materialized stage, so the plan is
-      // cut every few rounds by materializing the frontier — dim-sized by
-      // this operator's contract (categories are the reference's ~1k-row
-      // dim), so the checkpoint is a tiny job, and the superseded one is
-      // released immediately. Never after the LAST round: the returned
-      // plan keeps its broadcast-join tail (PlanSpec pins it), and a
-      // depth-≤-ResolveCkptEvery call is exactly as lazy as before.
-      if (i % ResolveCkptEvery == 0 && i < maxDepth) {
-        val ck = cur.scratchCheckpoint()
-        if (lastCkpt != null)
-          org.apache.spark.sql.graftx.Bridge.unpersistCheckpoint(lastCkpt)
-        lastCkpt = ck
-        cur = ck
-      }
     }
     cur.drop("__cursor", "__seen")
       .withColumn("category_path", slice(col("category_path"), 1, maxLevels))
       .withColumn("level", size(col("category_path")))
   }
-
-  /** Rounds between frontier materializations in [[resolvePaths]] — plans
-    * stay ≤ this many broadcast joins deep. */
-  val ResolveCkptEvery = 3
 
   /** H4 — is_leaf: url never appears as someone's parent_url.
     * Ref: postgres_storage.py:481,588,714. */
